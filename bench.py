@@ -1,0 +1,121 @@
+"""Benchmark: probability-flow log-prob evaluations/sec on real TPU.
+
+The north-star metric (BASELINE.json): probability-flow ODE log-likelihood
+throughput with the Hutchinson trace estimator at rtol=1e-5, on the
+reference workload (2-D GMM, VESDE, MLP[128,128,128] score net — the
+configuration of demo_diffusion.ipynb).  The baseline rate is the
+reference's Hutchinson timing: 50,000 points in 15.79 s = 3,166 evals/s
+(BASELINE.md; measured there at atol=rtol=1e-4 on CPU — we benchmark at the
+*tighter* 1e-5 target and still compare against that number, which is
+conservative in our disfavour).
+
+Protocol: briefly train the score net with jitted DSM steps so the solve
+integrates a realistic (trained) vector field, then time the compiled,
+batch-sharded log-prob on the largest batch that fits, best of 3.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_EVALS_PER_SEC = 3166.0  # reference Hutchinson rate (BASELINE.md)
+
+
+def build_trained_model(key, steps: int = 400, batch: int = 4096):
+    """Flagship model, briefly DSM-trained on the demo GMM."""
+    import optax
+
+    from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
+    from flowfusion_tpu.models.score import ScoreModel
+    from flowfusion_tpu.ops.sde import VESDE
+    from flowfusion_tpu.utils.data import DEMO_GMM, standardization_stats
+
+    k_net, k_data, k_train = jax.random.split(key, 3)
+    cfg = ScoreMLPConfig(n_dimensions=2, units=(128, 128, 128))
+    model = ScoreModel(params=init_score_mlp(k_net, cfg), net=cfg, sde=VESDE())
+
+    x_raw = DEMO_GMM.sample(k_data, 50_000)
+    shift, scale = standardization_stats(x_raw)
+    x = (x_raw - shift) / scale
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(model.params)
+
+    def step(carry, k):
+        params, opt_state = carry
+        kb, kl = jax.random.split(k)
+        idx = jax.random.randint(kb, (batch,), 0, x.shape[0])
+
+        def loss_fn(p):
+            import dataclasses
+
+            m = dataclasses.replace(model, params=p)
+            return m.loss_fn(kl, x[idx])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    keys = jax.random.split(k_train, steps)
+    (params, _), losses = jax.lax.scan(step, (model.params, opt_state), keys)
+    import dataclasses
+
+    return dataclasses.replace(model, params=params), x, (shift, scale)
+
+
+def main():
+    import dataclasses
+
+    from flowfusion_tpu.parallel.sharding import make_mesh, shard_batch
+
+    key = jax.random.PRNGKey(0)
+    model, x, _ = build_trained_model(key)
+    model = dataclasses.replace(model, trace_mode="hutchinson")
+
+    n = x.shape[0]
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+
+    def logprob_fn(m, xx, k):
+        lp, stats = m.log_prob(xx, key=k, atol=1e-5, rtol=1e-5, options=None)
+        return lp, stats.n_func_evals
+
+    jfn = jax.jit(logprob_fn)
+    x_dev = shard_batch(x, mesh) if n_dev > 1 else jax.device_put(x)
+    k = jax.random.PRNGKey(1)
+
+    # compile + warmup
+    lp, nfe = jfn(model, x_dev, k)
+    jax.block_until_ready(lp)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        lp, nfe = jfn(model, x_dev, k)
+        jax.block_until_ready(lp)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    rate = n / best
+    print(
+        json.dumps(
+            {
+                "metric": "probflow_logprob_evals_per_sec_hutchinson_rtol1e-5",
+                "value": round(rate, 1),
+                "unit": "evals/s",
+                "vs_baseline": round(rate / BASELINE_EVALS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Population-model wrappers: standardization + convenience API.
+
+TPU-native equivalents of ``PopulationModelDiffusion`` and
+``PopulationModelDiffusionConditional``
+(/root/reference/flowfusion/diffusion.py:1466-1848): thin pytree wrappers
+around a ``ScoreModel`` that own shift/scale (and conditional shift/scale)
+statistics and apply them at the API boundary.
+
+Parity notes (including reference quirks, preserved and documented):
+  * ``forward``/``sample`` uses atol=rtol=1e-5 regardless of construction
+    options (hard-coded in the reference, diffusion.py:1579-1580);
+  * ``log_prob`` does NOT subtract sum(log(scale)) — densities are reported
+    in *standardized* units, unlike the flow/symplectic wrappers which do
+    apply the volume correction (SURVEY.md §2.6.5).  Pass
+    ``volume_corrected=True`` to get the mathematically-consistent density
+    in data units (a capability the reference lacks);
+  * the reference's ``sample_sde`` ignores its ``steps`` argument and always
+    runs 100 steps (bug at diffusion.py:1608); here ``steps`` works, with
+    the same default of 100.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.integrate import SolverStats
+from ..ops.sde import SDE
+from .nets import ScoreMLPConfig, init_score_mlp
+from .score import ScoreModel
+
+__all__ = ["PopulationModelDiffusion"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PopulationModelDiffusion:
+    """Standardizing wrapper over a ScoreModel (conditional when
+    ``conditional_shift``/``conditional_scale`` are set).
+
+    One class covers both reference wrappers; an unconditional model simply
+    has no conditional statistics (the reference's conditional wrapper also
+    forgot to expose the Hutchinson flag, diffusion.py:1678-1689 — here
+    ``trace_mode`` is uniformly available through the inner ScoreModel).
+    """
+
+    score_model: ScoreModel
+    shift: jax.Array
+    scale: jax.Array
+    conditional_shift: Optional[jax.Array]
+    conditional_scale: Optional[jax.Array]
+
+    @classmethod
+    def create(
+        cls,
+        key: jax.Array,
+        sde: SDE,
+        n_dimensions: int = 2,
+        n_conditionals: int = 0,
+        embedding_dimensions: int = 8,
+        units: Tuple[int, ...] = (128,),
+        activation: str = "silu",
+        shift=None,
+        scale=None,
+        conditional_shift=None,
+        conditional_scale=None,
+        no_sigma: bool = False,
+        trace_mode: str = "exact",
+        hpp_rank: int = 1,
+        hpp_vecs: int = 1,
+        xt_vecs: int = 1,
+    ) -> "PopulationModelDiffusion":
+        net = ScoreMLPConfig(
+            n_dimensions=n_dimensions,
+            n_conditionals=n_conditionals,
+            embedding_dimensions=embedding_dimensions,
+            units=tuple(units),
+            activation=activation,
+        )
+        params = init_score_mlp(key, net)
+        sm = ScoreModel(
+            params=params,
+            net=net,
+            sde=sde,
+            no_sigma=no_sigma,
+            trace_mode=trace_mode,
+            hpp_rank=hpp_rank,
+            hpp_vecs=hpp_vecs,
+            xt_vecs=xt_vecs,
+        )
+        z = jnp.zeros((n_dimensions,), jnp.float32)
+        o = jnp.ones((n_dimensions,), jnp.float32)
+        if n_conditionals:
+            cz = jnp.zeros((n_conditionals,), jnp.float32)
+            co = jnp.ones((n_conditionals,), jnp.float32)
+        else:
+            cz = co = None
+        return cls(
+            score_model=sm,
+            shift=jnp.asarray(shift, jnp.float32) if shift is not None else z,
+            scale=jnp.asarray(scale, jnp.float32) if scale is not None else o,
+            conditional_shift=jnp.asarray(conditional_shift, jnp.float32)
+            if conditional_shift is not None
+            else cz,
+            conditional_scale=jnp.asarray(conditional_scale, jnp.float32)
+            if conditional_scale is not None
+            else co,
+        )
+
+    # ------------------------------------------------------------------
+    def _norm_cond(self, conditional):
+        if conditional is None:
+            return None
+        return (conditional - self.conditional_shift) / self.conditional_scale
+
+    def loss_fn(self, key, x, conditional=None):
+        """DSM loss on standardized data — the training entry point."""
+        x_std = (x - self.shift) / self.scale
+        return self.score_model.loss_fn(key, x_std, self._norm_cond(conditional))
+
+    def forward(
+        self,
+        base_samples: jax.Array,
+        conditional: Optional[jax.Array] = None,
+        method: str = "dopri5",
+        options: Optional[dict] = None,
+    ) -> Tuple[jax.Array, SolverStats]:
+        """Deterministic sampling via the prob-flow ODE (diffusion.py:1556-1585).
+
+        atol=rtol=1e-5 hard-coded, matching the reference.
+        """
+        x0, stats = self.score_model.sample_ode_from_base(
+            base_samples,
+            conditional=self._norm_cond(conditional),
+            atol=1e-5,
+            rtol=1e-5,
+            method=method,
+            options=options,
+        )
+        return x0 * self.scale + self.shift, stats
+
+    # alias matching the nn.Module calling convention
+    sample = forward
+
+    def sample_sde(
+        self,
+        key: jax.Array,
+        shape: Tuple[int, ...],
+        conditional: Optional[jax.Array] = None,
+        steps: int = 100,
+    ) -> jax.Array:
+        """Stochastic sampling via reverse-SDE Euler--Maruyama.
+
+        Note: unlike the reference (which hard-codes 100 steps and silently
+        ignores ``steps``, diffusion.py:1608), ``steps`` is honoured here.
+        """
+        res = self.score_model.sample_sde(
+            key, shape, conditional=self._norm_cond(conditional), steps=steps
+        )
+        return res.x_mean * self.scale + self.shift
+
+    def log_prob(
+        self,
+        x: jax.Array,
+        conditional: Optional[jax.Array] = None,
+        key: Optional[jax.Array] = None,
+        atol: float = 1e-5,
+        rtol: float = 1e-5,
+        method: str = "dopri5",
+        options: Optional[dict] = None,
+        volume_corrected: bool = False,
+    ) -> Tuple[jax.Array, SolverStats]:
+        """Log density (diffusion.py:1587-1640).  Shape (B,).
+
+        By default reports densities of the *standardized* variables — the
+        reference omits the -sum(log scale) Jacobian of the affine
+        standardization (SURVEY.md §2.6.5).  ``volume_corrected=True`` adds
+        it, yielding a proper density in data units.
+        """
+        x_std = (x - self.shift) / self.scale
+        xT, dlp, stats = self.score_model.solve_odes_forward(
+            x_std,
+            conditional=self._norm_cond(conditional),
+            key=key,
+            atol=atol,
+            rtol=rtol,
+            method=method,
+            options=options,
+        )
+        lp = dlp + jnp.sum(self.score_model.sde.prior_log_prob(xT), axis=1)
+        if volume_corrected:
+            lp = lp - jnp.sum(jnp.log(self.scale))
+        return lp, stats

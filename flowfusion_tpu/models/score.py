@@ -1,0 +1,254 @@
+"""Score-based diffusion model: loss, sampling and exact CNF log-likelihood.
+
+TPU-native redesign of the reference ``ScoreModel``
+(/root/reference/flowfusion/diffusion.py:124-815).  The reference object is a
+*stateful* ODE right-hand side: it mutates ``self.prob``, ``self.conditional``
+and probe tensors mid-solve (diffusion.py:614-617, 697-721) and hands itself
+to torchdiffeq.  Here the model is an immutable pytree dataclass; every solve
+builds a pure RHS closure with the conditional and trace probes passed
+explicitly, so the whole pipeline jits, vmaps and shards.
+
+Parity contract (SURVEY.md §6):
+  * score(t,x,c) = net(t,x,c) / sigma(t) unless ``no_sigma``;
+  * probability-flow drift  f_tilde = f - g^2 s / 2;
+  * ``sample_ode_from_base`` integrates t: 1.0 -> epsilon (the 1.0 is
+    hard-coded in the reference, diffusion.py:611) with dopri5 at
+    atol=rtol=1e-4, pre-scaling base samples by the prior scale (sigma_max
+    for VESDE, diffusion.py:605-608);
+  * ``solve_odes_forward`` integrates the augmented state (x, dlogp)
+    t: epsilon -> 1.0 at atol=rtol=1e-5 with probes sampled once per solve;
+  * ``log_prob`` defaults atol=rtol=1e-4 with min_step=1e-6 and adds the
+    prior term sum_d log N(x_T).
+
+Shapes: log-prob outputs are (B,) (the reference returns (B,1); squeeze is
+the only difference, documented here once).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import losses as losses_lib
+from ..ops import trace as trace_lib
+from ..ops.integrate import EMResult, SolverStats, euler_maruyama, odeint
+from ..ops.sde import SDE, VESDE
+from .nets import ScoreMLPConfig
+
+__all__ = ["ScoreModel"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ScoreModel:
+    """Immutable (params, sde, config) bundle with pure methods.
+
+    ``trace_mode`` selects the divergence estimator used by
+    ``solve_odes_forward``/``log_prob``: 'exact' (default), 'hutchinson',
+    'hutchpp', or 'xtrace' — the reference's boolean flag tangle
+    (hutch/hutchpp/xtrace, diffusion.py:158-215) collapsed into one enum.
+    """
+
+    params: dict
+    # Any hashable config exposing .apply(params, t, x, conditional) works
+    # here (the reference accepts any nn.Module as `model`); ScoreMLPConfig
+    # is the stock choice.
+    net: ScoreMLPConfig = dataclasses.field(metadata=dict(static=True))
+    sde: SDE = dataclasses.field(metadata=dict(static=True))
+    no_sigma: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    trace_mode: str = dataclasses.field(default="exact", metadata=dict(static=True))
+    hpp_rank: int = dataclasses.field(default=1, metadata=dict(static=True))
+    hpp_vecs: int = dataclasses.field(default=1, metadata=dict(static=True))
+    xt_vecs: int = dataclasses.field(default=1, metadata=dict(static=True))
+
+    # ------------------------------------------------------------------
+    # core fields
+    # ------------------------------------------------------------------
+    def score(
+        self, t: jax.Array, x: jax.Array, conditional: Optional[jax.Array] = None
+    ) -> jax.Array:
+        """s(x, t) = net(t, x, c)[ / sigma(t)] (diffusion.py:215-238)."""
+        out = self.net.apply(self.params, t, x, conditional)
+        if self.no_sigma:
+            return out
+        sigma = self.sde.sigma(jnp.asarray(t, jnp.float32))
+        sigma = jnp.reshape(sigma, (-1,) + (1,) * (x.ndim - 1))
+        return out / sigma
+
+    def ode_drift(
+        self, t: jax.Array, x: jax.Array, conditional: Optional[jax.Array] = None
+    ) -> jax.Array:
+        """Probability-flow drift f - g^2 s / 2 (diffusion.py:258-279)."""
+        f = self.sde.drift(t, x)
+        g = self.sde.diffusion(t, x)
+        return f - 0.5 * g**2 * self.score(t, x, conditional)
+
+    def loss_fn(
+        self, key: jax.Array, x: jax.Array, conditional: Optional[jax.Array] = None
+    ) -> jax.Array:
+        """Denoising score-matching loss (diffusion.py:240-256)."""
+        return losses_lib.denoising_score_matching(
+            self.score, self.sde, key, x, conditional
+        )
+
+    # ------------------------------------------------------------------
+    # sampling
+    # ------------------------------------------------------------------
+    def sample_sde(
+        self,
+        key: jax.Array,
+        shape: Tuple[int, ...],
+        conditional: Optional[jax.Array] = None,
+        steps: int = 100,
+    ) -> EMResult:
+        """Reverse-time Euler--Maruyama sampler (diffusion.py:510-563).
+
+        Returns an ``EMResult``; ``.x_mean`` is the reference's return value
+        (final denoised mean).  The NaN guard is the ``nan_encountered``
+        flag instead of a printed warning.
+        """
+        k_prior, k_path = jax.random.split(key)
+        x0 = self.sde.prior_sample(k_prior, shape)
+
+        def drift(t, x):
+            g = self.sde.diffusion(t, x)
+            return self.sde.drift(t, x) - g**2 * self.score(t, x, conditional)
+
+        return euler_maruyama(
+            k_path,
+            drift,
+            self.sde.diffusion,
+            x0,
+            t0=self.sde.T,
+            t1=self.sde.epsilon,
+            steps=steps,
+            epsilon=self.sde.epsilon,
+        )
+
+    def sample_ode_from_base(
+        self,
+        base_samples: jax.Array,
+        conditional: Optional[jax.Array] = None,
+        atol: float = 1e-4,
+        rtol: float = 1e-4,
+        method: str = "dopri5",
+        options: Optional[dict] = None,
+    ) -> Tuple[jax.Array, SolverStats]:
+        """Deterministic sampling: integrate the prob-flow ODE 1.0 -> epsilon.
+
+        ``base_samples`` ~ N(0, 1); they are scaled by the prior scale
+        (sigma_max for VESDE) before the solve (diffusion.py:605-608).
+        """
+        z = base_samples * self.sde.prior_scale
+
+        def rhs(t, x):
+            return self.ode_drift(t, x, conditional)
+
+        ys, stats = odeint(
+            rhs,
+            z,
+            [1.0, float(self.sde.epsilon)],
+            rtol=rtol,
+            atol=atol,
+            method=method,
+            options=options,
+        )
+        return jax.tree_util.tree_map(lambda a: a[-1], ys), stats
+
+    # ------------------------------------------------------------------
+    # likelihood
+    # ------------------------------------------------------------------
+    def _make_probes(self, key: Optional[jax.Array], x: jax.Array):
+        """Sample trace probes once per solve (diffusion.py:697-721)."""
+        batch = x.shape[0]
+        D = x.reshape(batch, -1).shape[1]
+        if self.trace_mode == "exact":
+            return ()
+        if key is None:
+            raise ValueError(
+                f"trace_mode={self.trace_mode!r} needs a PRNG key for its probes"
+            )
+        if self.trace_mode == "hutchinson":
+            return (trace_lib.rademacher(key, x.shape, x.dtype),)
+        if self.trace_mode == "hutchpp":
+            r = min(self.hpp_rank, D)
+            m = max(1, self.hpp_vecs)
+            ks, kg = jax.random.split(key)
+            return (
+                trace_lib.rademacher(ks, (r, batch, D), x.dtype),
+                trace_lib.rademacher(kg, (m, batch, D), x.dtype),
+            )
+        if self.trace_mode == "xtrace":
+            m = min(max(1, self.xt_vecs), D)
+            return (trace_lib.rademacher(key, (m, batch, D), x.dtype),)
+        raise ValueError(f"unknown trace_mode {self.trace_mode!r}")
+
+    def solve_odes_forward(
+        self,
+        x0_samples: jax.Array,
+        conditional: Optional[jax.Array] = None,
+        key: Optional[jax.Array] = None,
+        atol: float = 1e-5,
+        rtol: float = 1e-5,
+        method: str = "dopri5",
+        options: Optional[dict] = None,
+    ) -> Tuple[jax.Array, jax.Array, SolverStats]:
+        """Integrate (x, dlogp) from t=epsilon to t=1 (diffusion.py:642-754).
+
+        Returns (x_T, delta_logp, stats) with delta_logp of shape (B,).
+        """
+        probes = self._make_probes(key, x0_samples)
+        est = trace_lib.divergence_fn(self.trace_mode)
+
+        def rhs(t, state):
+            x, _ = state
+
+            def drift_of_x(xx):
+                return self.ode_drift(t, xx, conditional)
+
+            x_dot, div = est(drift_of_x, x, *probes)
+            return (x_dot, div)
+
+        dlp0 = jnp.zeros((x0_samples.shape[0],), x0_samples.dtype)
+        (xs, dlps), stats = odeint(
+            rhs,
+            (x0_samples, dlp0),
+            [float(self.sde.epsilon), 1.0],
+            rtol=rtol,
+            atol=atol,
+            method=method,
+            options=options,
+        )
+        return xs[-1], dlps[-1], stats
+
+    def log_prob(
+        self,
+        x0_samples: jax.Array,
+        conditional: Optional[jax.Array] = None,
+        key: Optional[jax.Array] = None,
+        atol: float = 1e-4,
+        rtol: float = 1e-4,
+        method: str = "dopri5",
+        options: Optional[dict] = None,
+    ) -> Tuple[jax.Array, SolverStats]:
+        """Exact CNF log-likelihood (diffusion.py:756-815).
+
+        Defaults mirror the reference: atol=rtol=1e-4, min_step=1e-6.
+        Returns (log_prob (B,), stats).
+        """
+        if options is None:
+            options = {"min_step": 1e-6}
+        xT, dlp, stats = self.solve_odes_forward(
+            x0_samples,
+            conditional=conditional,
+            key=key,
+            atol=atol,
+            rtol=rtol,
+            method=method,
+            options=options,
+        )
+        lp = dlp + jnp.sum(self.sde.prior_log_prob(xT), axis=1)
+        return lp, stats

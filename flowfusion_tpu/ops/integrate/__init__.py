@@ -1,0 +1,60 @@
+"""On-device ODE/SDE integration (the framework's replacement for torchdiffeq).
+
+``odeint`` is the single entry point: it dispatches to the adaptive embedded
+RK solvers (dopri5, bosh3, fehlberg2, adaptive_heun) or the fixed-grid
+solvers (euler, midpoint, heun3, rk4) by method name, mirroring the
+``torchdiffeq.odeint`` call signature used throughout the reference
+(diffusion.py:620-639, 733-752; flow.py:286-306, 357-382; symplectic.py:237).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+from .adaptive import SolverStats, odeint_adaptive
+from .fixed import FIXED_METHODS, EMResult, euler_maruyama, odeint_fixed
+from .tableaus import ADAPTIVE_TABLEAUS
+
+__all__ = [
+    "odeint",
+    "odeint_adaptive",
+    "odeint_fixed",
+    "euler_maruyama",
+    "SolverStats",
+    "EMResult",
+]
+
+
+def odeint(
+    func: Callable,
+    y0: Any,
+    ts,
+    *,
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    method: str = "dopri5",
+    options: Optional[dict] = None,
+):
+    """Integrate dy/dt = func(t, y) through the times ``ts``.
+
+    Returns ``(ys, stats)``; for fixed-step methods ``stats`` is None.
+    Default tolerances match torchdiffeq's (rtol=1e-7, atol=1e-9), which the
+    reference relies on in ``ODEFlow.sample`` (flow.py:297-306 passes none).
+    """
+    if method in ADAPTIVE_TABLEAUS:
+        return odeint_adaptive(
+            func, y0, ts, rtol=rtol, atol=atol, method=method, options=options
+        )
+    if method in FIXED_METHODS:
+        opts = dict(options or {})
+        steps = int(opts.pop("steps_per_interval", opts.pop("steps", 1)))
+        if opts:
+            raise ValueError(f"unknown fixed-step options: {sorted(opts)}")
+        return (
+            odeint_fixed(func, y0, ts, method=method, steps_per_interval=steps),
+            None,
+        )
+    raise ValueError(
+        f"unknown method {method!r}; adaptive: {sorted(ADAPTIVE_TABLEAUS)}, "
+        f"fixed: {sorted(FIXED_METHODS)}"
+    )

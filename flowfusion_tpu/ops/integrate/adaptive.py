@@ -1,0 +1,376 @@
+"""Adaptive embedded Runge--Kutta ODE solver, fully on-device.
+
+This replaces the reference's external ``torchdiffeq.odeint`` dependency
+(import sites: /root/reference/flowfusion/diffusion.py:5, flow.py:3,
+symplectic.py:6) with a jittable ``lax.while_loop`` implementation whose
+numerical conventions match torchdiffeq 0.2.x so that densities agree to the
+1e-5 parity bar at equal tolerances:
+
+  * mixed RMS error norm: for a tuple/pytree state, the norm is the max over
+    state components of the RMS over all elements of that component
+    (one *global* accept/reject decision for the whole batch — the batch is
+    integrated as a single coupled system, exactly like torchdiffeq).
+  * error scale ``atol + rtol * max(|y0|, |y1|)``, accept iff ratio <= 1.
+  * step-size update: ``dt * clip(safety / ratio**(1/order), dfactor,
+    ifactor)`` with safety=0.9, ifactor=10, dfactor=0.2 (no shrink on
+    accepted steps).
+  * Hairer initial-step heuristic (the d0/d1/d2 rule).
+  * no clipping of steps onto output times: the solver overshoots and
+    evaluates outputs from 4th-order dense interpolation (Shampine midpoint
+    fit for dopri5, cubic Hermite otherwise).
+  * FSAL reuse for dopri5/bosh3.
+
+Differences from torchdiffeq (deliberate, TPU-motivated):
+  * the entire adaptive loop is compiled — no Python dispatch per step;
+  * the solver is vmappable (per-sample stepping) and shardable (the RMS
+    reductions lower to ``psum`` over a mesh when the state is sharded);
+  * a ``max_num_steps`` safety bound (the loop cannot spin forever on NaNs);
+  * solver statistics (function evals, accepted/rejected steps) are returned
+    on-device as part of the result, since host code cannot observe the
+    compiled loop (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tableaus import ADAPTIVE_TABLEAUS, ButcherTableau
+
+__all__ = ["odeint_adaptive", "SolverStats"]
+
+
+class SolverStats(NamedTuple):
+    """On-device counters describing the work an adaptive solve performed."""
+
+    n_func_evals: jax.Array
+    n_accepted: jax.Array
+    n_rejected: jax.Array
+    succeeded: jax.Array  # False iff max_num_steps was exhausted
+
+
+def _rms(x: jax.Array) -> jax.Array:
+    return jnp.sqrt(jnp.mean(jnp.square(x)))
+
+
+def _mixed_rms_norm(tree: Any) -> jax.Array:
+    """max over pytree leaves of per-leaf RMS — torchdiffeq's tuple norm."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.max(jnp.stack([_rms(l) for l in leaves]))
+
+
+def _weighted_sum(trees: Sequence[Any], weights: Sequence[float], scale) -> Any:
+    """scale * sum_i weights[i] * trees[i], skipping zero weights."""
+    terms = [(w, t) for w, t in zip(weights, trees) if w != 0.0]
+    if not terms:
+        return jax.tree_util.tree_map(jnp.zeros_like, trees[0])
+
+    def combine(*leaves):
+        acc = terms[0][0] * leaves[0]
+        for (w, _), leaf in zip(terms[1:], leaves[1:]):
+            acc = acc + w * leaf
+        return scale * acc
+
+    return jax.tree_util.tree_map(combine, *[t for _, t in terms])
+
+
+def _tree_axpy(y: Any, scale, x: Any) -> Any:
+    return jax.tree_util.tree_map(lambda a, b: a + scale * b, y, x)
+
+
+def _tree_select(pred: jax.Array, a: Any, b: Any) -> Any:
+    return jax.tree_util.tree_map(lambda u, v: jnp.where(pred, u, v), a, b)
+
+
+def _rk_step(func, t0, dt, y0, f0, tab: ButcherTableau):
+    """One embedded RK step.  Returns (y1, f1, err, k_stages)."""
+    k = [f0]
+    for i, (alpha_i, beta_row) in enumerate(zip(tab.alpha, tab.beta)):
+        ti = t0 + alpha_i * dt
+        yi = _weighted_sum(k, beta_row, dt)
+        yi = jax.tree_util.tree_map(jnp.add, y0, yi)
+        k.append(func(ti, yi))
+    if tab.is_fsal:
+        # Last stage was evaluated at (t1, y1): reuse it.
+        y1 = yi
+        f1 = k[-1]
+    else:
+        y1 = jax.tree_util.tree_map(
+            jnp.add, y0, _weighted_sum(k, tab.c_sol, dt)
+        )
+        f1 = func(t0 + dt, y1)
+    err = _weighted_sum(k, tab.c_error, dt)
+    return y1, f1, err, k
+
+
+def _error_ratio(err, y0, y1, rtol, atol, norm):
+    def scaled(e, a, b):
+        tol = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
+        return e / tol
+
+    return norm(jax.tree_util.tree_map(scaled, err, y0, y1))
+
+
+def _interp_fit(y0, y1, y_mid, f0, f1, dt):
+    """Quartic through (y0, y_mid, y1) with end slopes (f0, f1).
+
+    Coefficients of y(x) = e + d x + c x^2 + b x^3 + a x^4 on x = (t-t0)/dt —
+    the unique degree-4 polynomial matching the five constraints.
+    """
+
+    def fit(y0_, y1_, ym_, f0_, f1_):
+        a = 2.0 * dt * (f1_ - f0_) - 8.0 * (y1_ + y0_) + 16.0 * ym_
+        b = dt * (5.0 * f0_ - 3.0 * f1_) + 18.0 * y0_ + 14.0 * y1_ - 32.0 * ym_
+        c = dt * (f1_ - 4.0 * f0_) - 11.0 * y0_ - 5.0 * y1_ + 16.0 * ym_
+        d = dt * f0_
+        e = y0_
+        return jnp.stack([e, d, c, b, a])
+
+    return jax.tree_util.tree_map(fit, y0, y1, y_mid, f0, f1)
+
+
+def _interp_eval(coeffs, t0, t1, t):
+    """Evaluate the fitted polynomial (Horner) at time t in [t0, t1]."""
+    x = (t - t0) / (t1 - t0)
+
+    def horner(cs):
+        acc = cs[4]
+        for i in (3, 2, 1, 0):
+            acc = acc * x + cs[i]
+        return acc
+
+    return jax.tree_util.tree_map(horner, coeffs)
+
+
+def _select_initial_step(func, t0, y0, f0, order, rtol, atol, norm, span):
+    """Hairer, Norsett & Wanner (1993) starting-step heuristic.
+
+    Robustness deltas vs torchdiffeq's version: the probe step h0 and the
+    returned dt are clamped to the integration span (a near-zero drift at
+    t0 otherwise yields an enormous probe step that evaluates the RHS far
+    outside its domain), and a NaN probe derivative falls back to the
+    d1-only estimate instead of poisoning dt.
+    """
+    scale = jax.tree_util.tree_map(
+        lambda y: atol + jnp.abs(y) * rtol, y0
+    )
+    d0 = norm(jax.tree_util.tree_map(jnp.divide, y0, scale))
+    d1 = norm(jax.tree_util.tree_map(jnp.divide, f0, scale))
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    h0 = jnp.minimum(h0, span)
+
+    y1 = _tree_axpy(y0, h0, f0)
+    f1 = func(t0 + h0, y1)
+    d2 = (
+        norm(jax.tree_util.tree_map(lambda a, b, s: (a - b) / s, f1, f0, scale))
+        / h0
+    )
+    # NaN probe (RHS evaluated outside its domain): fall back to d1 alone.
+    d2 = jnp.where(jnp.isfinite(d2), d2, d1)
+
+    h1 = jnp.where(
+        (d1 <= 1e-15) & (d2 <= 1e-15),
+        jnp.maximum(1e-6, h0 * 1e-3),
+        (0.01 / jnp.maximum(d1, d2)) ** (1.0 / float(order + 1)),
+    )
+    dt0 = jnp.minimum(100.0 * h0, h1)
+    dt0 = jnp.where(jnp.isfinite(dt0), dt0, 1e-6)
+    return jnp.minimum(dt0, span)
+
+
+def _optimal_step_size(last_step, error_ratio, safety, ifactor, dfactor, order):
+    """torchdiffeq's controller: never shrink an accepted step.
+
+    One robustness improvement over torchdiffeq: a non-finite error ratio
+    (NaN/Inf from an RHS evaluated outside its domain, e.g. sqrt(beta(t))
+    at an overshot t < 0 in a backward VP-SDE solve) shrinks the step by
+    ``dfactor`` instead of poisoning ``dt`` with NaN — torchdiffeq's
+    controller propagates the NaN and rejects forever.
+    """
+    dfac = jnp.where(error_ratio < 1.0, 1.0, dfactor)
+    exponent = 1.0 / order
+    factor = jnp.minimum(
+        ifactor, jnp.maximum(safety / error_ratio**exponent, dfac)
+    )
+    factor = jnp.where(jnp.isfinite(factor), factor, dfactor)
+    return jnp.where(error_ratio == 0.0, last_step * ifactor, last_step * factor)
+
+
+@dataclasses.dataclass(frozen=True)
+class _AdaptiveOptions:
+    rtol: float
+    atol: float
+    safety: float = 0.9
+    ifactor: float = 10.0
+    dfactor: float = 0.2
+    min_step: float = 0.0
+    max_step: float = float("inf")
+    max_num_steps: int = 2**14
+
+
+class _RKCarry(NamedTuple):
+    t0: jax.Array  # start of last accepted step
+    t1: jax.Array  # end of last accepted step (current time)
+    dt: jax.Array  # proposed next step size
+    y: Any  # state at t1
+    f: Any  # func(t1, y)
+    coeffs: Any  # dense-output coefficients over [t0, t1]
+    nfe: jax.Array
+    n_acc: jax.Array
+    n_rej: jax.Array
+
+
+def odeint_adaptive(
+    func: Callable[[jax.Array, Any], Any],
+    y0: Any,
+    ts: Sequence[float] | np.ndarray,
+    *,
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    method: str = "dopri5",
+    options: Optional[dict] = None,
+    norm: Callable[[Any], jax.Array] = _mixed_rms_norm,
+):
+    """Integrate ``dy/dt = func(t, y)`` from ts[0] through each time in ts.
+
+    ``ts`` must be concrete (host) values, strictly monotonic; decreasing
+    grids are handled by the standard time-reflection trick.  Returns
+    ``(ys, stats)`` where ``ys`` is a pytree whose leaves have a leading
+    axis of ``len(ts)`` (ys[0] == y0), and ``stats`` is a ``SolverStats``.
+    """
+    tab = ADAPTIVE_TABLEAUS[method]
+    opts = dict(options or {})
+    cfg = _AdaptiveOptions(
+        rtol=float(rtol),
+        atol=float(atol),
+        safety=float(opts.pop("safety", 0.9)),
+        ifactor=float(opts.pop("ifactor", 10.0)),
+        dfactor=float(opts.pop("dfactor", 0.2)),
+        min_step=float(opts.pop("min_step", 0.0)),
+        max_step=float(opts.pop("max_step", float("inf"))),
+        max_num_steps=int(opts.pop("max_num_steps", 2**14)),
+    )
+    if opts:
+        raise ValueError(f"unknown solver options: {sorted(opts)}")
+
+    ts = np.asarray(ts, np.float64)
+    if ts.ndim != 1 or len(ts) < 2:
+        raise ValueError("ts must be a 1-D grid with at least two times")
+    diffs = np.diff(ts)
+    if np.all(diffs > 0):
+        reverse = False
+    elif np.all(diffs < 0):
+        reverse = True
+    else:
+        raise ValueError("ts must be strictly monotonic")
+
+    if reverse:
+        base = func
+        func = lambda t, y: jax.tree_util.tree_map(jnp.negative, base(-t, y))
+        ts = -ts
+
+    ts_j = jnp.asarray(ts, jnp.float32)
+    t0 = ts_j[0]
+
+    f0 = func(t0, y0)
+    span = float(ts[-1] - ts[0])
+    dt0 = _select_initial_step(
+        func, t0, y0, f0, tab.order - 1, cfg.rtol, cfg.atol, norm, span
+    )
+
+    zero_coeffs = jax.tree_util.tree_map(
+        lambda y: jnp.zeros((5,) + y.shape, y.dtype), y0
+    )
+    carry = _RKCarry(
+        t0=t0,
+        t1=t0,
+        dt=dt0,
+        y=y0,
+        f=f0,
+        coeffs=zero_coeffs,
+        nfe=jnp.asarray(2, jnp.int32),  # f0 + the probe eval in init-step
+        n_acc=jnp.asarray(0, jnp.int32),
+        n_rej=jnp.asarray(0, jnp.int32),
+    )
+
+    evals_per_step = tab.n_stages - 1 if tab.is_fsal else tab.n_stages
+
+    def attempt_step(c: _RKCarry) -> _RKCarry:
+        dt = jnp.clip(c.dt, cfg.min_step, cfg.max_step)
+        y1, f1, err, k = _rk_step(func, c.t1, dt, c.y, c.f, tab)
+        ratio = _error_ratio(err, c.y, y1, cfg.rtol, cfg.atol, norm)
+        accept = ratio <= 1.0
+
+        if tab.c_mid is not None:
+            y_mid = jax.tree_util.tree_map(
+                jnp.add, c.y, _weighted_sum(k, tab.c_mid, dt)
+            )
+            new_coeffs = _interp_fit(c.y, y1, y_mid, c.f, f1, dt)
+        else:
+            # Cubic Hermite: midpoint from endpoint values and slopes.
+            y_mid = jax.tree_util.tree_map(
+                lambda a, b, fa, fb: 0.5 * (a + b) + 0.125 * dt * (fa - fb),
+                c.y,
+                y1,
+                c.f,
+                f1,
+            )
+            new_coeffs = _interp_fit(c.y, y1, y_mid, c.f, f1, dt)
+
+        dt_next = _optimal_step_size(
+            dt, ratio, cfg.safety, cfg.ifactor, cfg.dfactor, tab.order
+        )
+        return _RKCarry(
+            t0=jnp.where(accept, c.t1, c.t0),
+            t1=jnp.where(accept, c.t1 + dt, c.t1),
+            dt=dt_next,
+            y=_tree_select(accept, y1, c.y),
+            f=_tree_select(accept, f1, c.f),
+            coeffs=_tree_select(accept, new_coeffs, c.coeffs),
+            nfe=c.nfe + evals_per_step,
+            n_acc=c.n_acc + accept.astype(jnp.int32),
+            n_rej=c.n_rej + (~accept).astype(jnp.int32),
+        )
+
+    n_out = len(ts)
+    out_buf = jax.tree_util.tree_map(
+        lambda y: jnp.zeros((n_out,) + y.shape, y.dtype).at[0].set(y), y0
+    )
+
+    def write_out(buf, idx, val):
+        return jax.tree_util.tree_map(
+            lambda b, v: b.at[idx].set(v), buf, val
+        )
+
+    total_steps = jnp.asarray(0, jnp.int32)
+    for i in range(1, n_out):
+        target = ts_j[i]
+
+        def cond(state):
+            c, steps = state
+            return (c.t1 < target) & (steps < cfg.max_num_steps)
+
+        def body(state):
+            c, steps = state
+            return attempt_step(c), steps + 1
+
+        carry, total_steps = jax.lax.while_loop(cond, body, (carry, total_steps))
+        # First requested time may coincide with t0 before any step is taken.
+        y_at = jax.lax.cond(
+            carry.n_acc + carry.n_rej > 0,
+            lambda: _interp_eval(carry.coeffs, carry.t0, carry.t1, target),
+            lambda: carry.y,
+        )
+        out_buf = write_out(out_buf, i, y_at)
+
+    stats = SolverStats(
+        n_func_evals=carry.nfe,
+        n_accepted=carry.n_acc,
+        n_rejected=carry.n_rej,
+        succeeded=total_steps < cfg.max_num_steps,
+    )
+    return out_buf, stats

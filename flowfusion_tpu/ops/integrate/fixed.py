@@ -1,0 +1,151 @@
+"""Fixed-step ODE solvers and the Euler--Maruyama SDE sampler.
+
+All loops are ``lax.scan`` over a static number of steps — one compiled
+program, no per-step Python dispatch (the reference loops in Python:
+Euler--Maruyama at diffusion.py:543-562, symplectic Euler at
+symplectic.py:191-197).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["odeint_fixed", "euler_maruyama", "FIXED_METHODS", "EMResult"]
+
+
+def _tree_axpy(y, scale, x):
+    return jax.tree_util.tree_map(lambda a, b: a + scale * b, y, x)
+
+
+def _euler_step(func, t, dt, y):
+    return _tree_axpy(y, dt, func(t, y))
+
+
+def _midpoint_step(func, t, dt, y):
+    k1 = func(t, y)
+    k2 = func(t + 0.5 * dt, _tree_axpy(y, 0.5 * dt, k1))
+    return _tree_axpy(y, dt, k2)
+
+
+def _heun3_step(func, t, dt, y):
+    k1 = func(t, y)
+    k2 = func(t + dt / 3.0, _tree_axpy(y, dt / 3.0, k1))
+    k3 = func(t + 2.0 * dt / 3.0, _tree_axpy(y, 2.0 * dt / 3.0, k2))
+    upd = jax.tree_util.tree_map(lambda a, c: 0.25 * a + 0.75 * c, k1, k3)
+    return _tree_axpy(y, dt, upd)
+
+
+def _rk4_step(func, t, dt, y):
+    k1 = func(t, y)
+    k2 = func(t + 0.5 * dt, _tree_axpy(y, 0.5 * dt, k1))
+    k3 = func(t + 0.5 * dt, _tree_axpy(y, 0.5 * dt, k2))
+    k4 = func(t + dt, _tree_axpy(y, dt, k3))
+    upd = jax.tree_util.tree_map(
+        lambda a, b, c, d: (a + 2.0 * b + 2.0 * c + d) / 6.0, k1, k2, k3, k4
+    )
+    return _tree_axpy(y, dt, upd)
+
+
+FIXED_METHODS = {
+    "euler": _euler_step,
+    "midpoint": _midpoint_step,
+    "heun3": _heun3_step,
+    "rk4": _rk4_step,
+}
+
+
+def odeint_fixed(
+    func: Callable[[jax.Array, Any], Any],
+    y0: Any,
+    ts: Sequence[float] | np.ndarray,
+    *,
+    method: str = "euler",
+    steps_per_interval: int = 1,
+):
+    """Integrate on the fixed grid ``ts`` (with optional sub-stepping).
+
+    Returns a pytree whose leaves gain a leading axis of len(ts); row 0 is
+    ``y0``.  ``ts`` may be increasing or decreasing.
+    """
+    step_fn = FIXED_METHODS[method]
+    ts = np.asarray(ts, np.float64)
+    # Sub-stepped global grid: each output interval is split uniformly.
+    fine = []
+    for a, b in zip(ts[:-1], ts[1:]):
+        fine.extend(np.linspace(a, b, steps_per_interval + 1)[:-1])
+    fine.append(ts[-1])
+    fine = np.asarray(fine, np.float32)
+    t_pairs = jnp.stack(
+        [jnp.asarray(fine[:-1]), jnp.asarray(np.diff(fine).astype(np.float32))],
+        axis=1,
+    )
+    out_mask = np.zeros(len(fine) - 1, bool)
+    out_mask[steps_per_interval - 1 :: steps_per_interval] = True
+
+    def body(y, t_dt):
+        t, dt = t_dt[0], t_dt[1]
+        y1 = step_fn(func, t, dt, y)
+        return y1, y1
+
+    _, ys = jax.lax.scan(body, y0, t_pairs)
+    idx = np.nonzero(out_mask)[0]
+    ys_out = jax.tree_util.tree_map(lambda a: a[idx], ys)
+    return jax.tree_util.tree_map(
+        lambda y, rest: jnp.concatenate([y[None], rest], axis=0), y0, ys_out
+    )
+
+
+class EMResult(NamedTuple):
+    x_mean: jax.Array  # final denoised mean (the reference's return value)
+    x: jax.Array  # final noisy state
+    nan_encountered: jax.Array  # scalar bool diagnostic
+
+
+def euler_maruyama(
+    key: jax.Array,
+    drift_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    diffusion_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    x0: jax.Array,
+    *,
+    t0: float,
+    t1: float,
+    steps: int,
+    epsilon: float = 0.0,
+) -> EMResult:
+    """Euler--Maruyama integration of dx = f dt + g dW from t0 to t1.
+
+    Matches the reference reverse-SDE sampler semantics
+    (diffusion.py:510-563): ``steps`` uniform steps of dt = (t1 - t0)/steps,
+    per-step noise sqrt(|dt|) * N(0,1), the *mean* update is returned (no
+    noise added on the last step), iteration stops (state freezes) if t
+    drops below ``epsilon`` or a NaN appears.  The NaN guard is surfaced as
+    a returned flag instead of a host-side print (SURVEY.md §5.2).
+    """
+    dt = (t1 - t0) / steps
+    sqrt_dt = jnp.sqrt(jnp.abs(dt)).astype(x0.dtype)
+    keys = jax.random.split(key, steps)
+
+    def body(carry, inp):
+        x, x_mean, t, frozen = carry
+        step_key = inp
+        # Reference: breaks out when t < epsilon (handles discretization
+        # round-off) or when NaNs appear; freezing reproduces that.
+        active = (~frozen) & (t >= epsilon)
+        g = diffusion_fn(t, x)
+        f = drift_fn(t, x)
+        new_mean = x + f * dt
+        noise = jax.random.normal(step_key, x.shape, x.dtype) * sqrt_dt
+        new_x = new_mean + g * noise
+        has_nan = ~jnp.all(jnp.isfinite(new_x))
+        use = active & ~has_nan
+        x_out = jnp.where(use, new_x, x)
+        mean_out = jnp.where(use, new_mean, x_mean)
+        return (x_out, mean_out, t + dt, frozen | has_nan), None
+
+    init = (x0, x0, jnp.asarray(t0, x0.dtype), jnp.asarray(False))
+    (x, x_mean, _, nan_flag), _ = jax.lax.scan(body, init, keys)
+    return EMResult(x_mean=x_mean, x=x, nan_encountered=nan_flag)

@@ -1,0 +1,117 @@
+"""Butcher tableaus for explicit (embedded) Runge--Kutta methods.
+
+These are the published coefficients of the named methods (Dormand & Prince
+1980; Bogacki & Shampine 1989; Fehlberg 1969; Heun).  The solver consumes
+them generically, so adding a method is a data-only change.
+
+Layout (matching the classical embedded-RK formulation):
+  * ``alpha``   — stage times c_2..c_s (s-1 entries; c_1 = 0).
+  * ``beta``    — stage weight rows a_ij, row i has i entries.
+  * ``c_sol``   — solution weights b_i (s entries).
+  * ``c_error`` — b_i - b*_i (error-estimate weights, s entries).
+  * ``c_mid``   — optional dense-output midpoint weights (s entries).
+  * ``order``   — order used by the step-size controller.
+
+The last beta row of an FSAL method equals ``c_sol[:-1]``, so the final
+stage is f(t1, y1) and can seed the next step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+__all__ = ["ButcherTableau", "DOPRI5", "BOSH3", "FEHLBERG2", "ADAPTIVE_HEUN", "ADAPTIVE_TABLEAUS"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ButcherTableau:
+    alpha: Tuple[float, ...]
+    beta: Tuple[Tuple[float, ...], ...]
+    c_sol: Tuple[float, ...]
+    c_error: Tuple[float, ...]
+    order: int
+    c_mid: Optional[Tuple[float, ...]] = None
+
+    @property
+    def n_stages(self) -> int:
+        return len(self.c_sol)
+
+    @property
+    def is_fsal(self) -> bool:
+        last = self.beta[-1] + (0.0,) * (self.n_stages - 1 - len(self.beta[-1]))
+        sol = self.c_sol[: self.n_stages - 1]
+        return (
+            len(self.beta) == self.n_stages - 1
+            and self.alpha[-1] == 1.0
+            and all(abs(a - b) < 1e-15 for a, b in zip(last, sol))
+            and self.c_sol[-1] == 0.0
+        )
+
+
+# Dormand--Prince 5(4) ("dopri5"; RK45 with Shampine dense-output midpoint).
+DOPRI5 = ButcherTableau(
+    alpha=(1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0),
+    beta=(
+        (1 / 5,),
+        (3 / 40, 9 / 40),
+        (44 / 45, -56 / 15, 32 / 9),
+        (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+        (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+        (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+    ),
+    c_sol=(35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0),
+    c_error=(
+        35 / 384 - 1951 / 21600,
+        0.0,
+        500 / 1113 - 22642 / 50085,
+        125 / 192 - 451 / 720,
+        -2187 / 6784 - -12231 / 42400,
+        11 / 84 - 649 / 6300,
+        -1.0 / 60.0,
+    ),
+    c_mid=(
+        0.5 * (6025192743 / 30085553152),
+        0.0,
+        0.5 * (51252292925 / 65400821598),
+        0.5 * (-2691868925 / 45128329728),
+        0.5 * (187940372067 / 1594534317056),
+        0.5 * (-1776094331 / 19743644256),
+        0.5 * (11237099 / 235043384),
+    ),
+    order=5,
+)
+
+# Bogacki--Shampine 3(2).
+BOSH3 = ButcherTableau(
+    alpha=(1 / 2, 3 / 4, 1.0),
+    beta=((1 / 2,), (0.0, 3 / 4), (2 / 9, 1 / 3, 4 / 9)),
+    c_sol=(2 / 9, 1 / 3, 4 / 9, 0.0),
+    c_error=(2 / 9 - 7 / 24, 1 / 3 - 1 / 4, 4 / 9 - 1 / 3, -1 / 8),
+    order=3,
+)
+
+# Fehlberg 2(1).
+FEHLBERG2 = ButcherTableau(
+    alpha=(1 / 2, 1.0),
+    beta=((1 / 2,), (1 / 256, 255 / 256)),
+    c_sol=(1 / 512, 255 / 256, 1 / 512),
+    c_error=(1 / 512 - 1 / 256, 0.0, 1 / 512),
+    order=2,
+)
+
+# Adaptive Heun 2(1).
+ADAPTIVE_HEUN = ButcherTableau(
+    alpha=(1.0,),
+    beta=((1.0,),),
+    c_sol=(1 / 2, 1 / 2),
+    c_error=(-1 / 2, 1 / 2),
+    order=2,
+)
+
+ADAPTIVE_TABLEAUS = {
+    "dopri5": DOPRI5,
+    "bosh3": BOSH3,
+    "fehlberg2": FEHLBERG2,
+    "adaptive_heun": ADAPTIVE_HEUN,
+}

@@ -1,0 +1,189 @@
+"""Stochastic differential equations for score-based generative models.
+
+TPU-native redesign of the reference SDE classes (VESDE / VPSDE / SUBVPSDE,
+see /root/reference/flowfusion/diffusion.py:818-1366): each SDE is a frozen
+dataclass of static floats whose methods are pure jittable functions of
+``(t, x)``.  No buffers, no modules, no device state — an SDE instance is a
+hashable static argument, so it can close over ``jit``/``vmap``/``pjit``
+boundaries for free.
+
+Conventions (identical to the reference):
+  * t = 0 is data, t = T is noise/base (diffusion.py time convention).
+  * ``marginal_prob_scalars(t) -> (nu, eta)`` with
+    p[x(t)|x(0)] = N(nu(t) x(0), eta(t)^2).
+  * ``prior_log_prob`` returns the per-dimension log density of the base
+    distribution (summed over trailing dims by callers, matching
+    ``torch.distributions.Normal(...).log_prob`` elementwise semantics).
+
+All math is float32 by default (reference contract, SURVEY.md §2.6.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["SDE", "VESDE", "VPSDE", "SUBVPSDE"]
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _bcast_right(a: jax.Array, x: jax.Array) -> jax.Array:
+    """Broadcast a per-batch scalar ``a`` of shape (B,) against x of shape (B, ...)."""
+    a = jnp.asarray(a)
+    if a.ndim == 0:
+        return a
+    return a.reshape(a.shape + (1,) * (x.ndim - a.ndim))
+
+
+@dataclasses.dataclass(frozen=True)
+class SDE:
+    """Base class: defines the shared API surface.
+
+    Subclasses provide ``sigma``, ``drift``, ``diffusion``,
+    ``marginal_prob_scalars``, and the prior.
+    """
+
+    T: float = 1.0
+    epsilon: float = 1e-3
+
+    # --- marginal transition kernel -------------------------------------
+    def marginal_prob_scalars(self, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        raise NotImplementedError
+
+    def sigma(self, t: jax.Array) -> jax.Array:
+        """Marginal standard deviation eta(t)."""
+        return self.marginal_prob_scalars(t)[1]
+
+    def marginal_prob(self, t: jax.Array, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Mean and std of p[x(t)|x(0)], broadcast against ``x``.
+
+        Mirrors reference ``marginal_prob`` (diffusion.py:1158-1180).
+        """
+        nu, eta = self.marginal_prob_scalars(t)
+        return _bcast_right(nu, x) * x, _bcast_right(eta, x) * jnp.ones_like(x)
+
+    def sample_marginal(self, key: jax.Array, t: jax.Array, x0: jax.Array) -> jax.Array:
+        """Draw x(t) ~ p[x(t)|x(0)] (reference diffusion.py:960-985)."""
+        z = jax.random.normal(key, x0.shape, x0.dtype)
+        nu, eta = self.marginal_prob_scalars(t)
+        return _bcast_right(nu, x0) * x0 + _bcast_right(eta, x0) * z
+
+    # --- SDE coefficients ----------------------------------------------
+    def drift(self, t: jax.Array, x: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def diffusion(self, t: jax.Array, x: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    # --- prior (base density at t=T) ------------------------------------
+    @property
+    def prior_scale(self) -> float:
+        """Std of the N(0, s^2) base distribution."""
+        return 1.0
+
+    def prior_log_prob(self, x: jax.Array) -> jax.Array:
+        """Elementwise log N(x | 0, prior_scale^2)."""
+        s = self.prior_scale
+        return -0.5 * (x / s) ** 2 - math.log(s) - 0.5 * _LOG_2PI
+
+    def prior_sample(self, key: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
+        return jax.random.normal(key, shape, dtype) * self.prior_scale
+
+
+@dataclasses.dataclass(frozen=True)
+class VESDE(SDE):
+    """Variance-exploding SDE (reference diffusion.py:818-1003).
+
+    sigma(t) = sigma_min (sigma_max/sigma_min)^(t/T); f = 0;
+    g(t) = sigma(t) sqrt(2 log(sigma_max/sigma_min) / T);
+    prior N(0, sigma_max^2).
+    """
+
+    sigma_min: float = 1e-2
+    sigma_max: float = 10.0
+    T: float = 1.0
+    epsilon: float = 1e-5
+
+    def sigma(self, t: jax.Array) -> jax.Array:
+        t = jnp.asarray(t, jnp.float32)
+        return self.sigma_min * (self.sigma_max / self.sigma_min) ** (t / self.T)
+
+    def drift(self, t: jax.Array, x: jax.Array) -> jax.Array:
+        return jnp.zeros_like(x)
+
+    def diffusion(self, t: jax.Array, x: jax.Array) -> jax.Array:
+        g = self.sigma(t) * math.sqrt(
+            2.0 * (math.log(self.sigma_max) - math.log(self.sigma_min)) / self.T
+        )
+        return _bcast_right(g, x) * jnp.ones_like(x)
+
+    def marginal_prob_scalars(self, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        t = jnp.asarray(t, jnp.float32)
+        return jnp.ones_like(t), self.sigma(t)
+
+    @property
+    def prior_scale(self) -> float:
+        return self.sigma_max
+
+
+@dataclasses.dataclass(frozen=True)
+class VPSDE(SDE):
+    """Variance-preserving SDE (reference diffusion.py:1006-1180).
+
+    beta(t) = beta_min + (beta_max - beta_min) t/T; f = -beta(t) x / 2;
+    g = sqrt(beta(t)); marginal scalars nu = exp(-B(t)/2),
+    eta = sqrt(1 - exp(-B(t))) with B(t) = int_0^t beta (Song+2021 eq. 33);
+    prior N(0, 1).
+    """
+
+    beta_min: float = 0.1
+    beta_max: float = 20.0
+    T: float = 1.0
+    epsilon: float = 1e-3
+
+    def beta(self, t: jax.Array) -> jax.Array:
+        t = jnp.asarray(t, jnp.float32)
+        return self.beta_min + (self.beta_max - self.beta_min) * (t / self.T)
+
+    def _int_beta(self, t: jax.Array) -> jax.Array:
+        t = jnp.asarray(t, jnp.float32)
+        return 0.5 * (self.beta_max - self.beta_min) * t**2 / self.T + self.beta_min * t
+
+    def drift(self, t: jax.Array, x: jax.Array) -> jax.Array:
+        return -0.5 * _bcast_right(self.beta(t), x) * x
+
+    def diffusion(self, t: jax.Array, x: jax.Array) -> jax.Array:
+        return _bcast_right(jnp.sqrt(self.beta(t)), x) * jnp.ones_like(x)
+
+    def marginal_prob_scalars(self, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        log_coeff = self._int_beta(t)
+        # -expm1 instead of the reference's 1 - exp: equal in exact math,
+        # far more accurate in float32 for small t.
+        std = jnp.sqrt(-jnp.expm1(-log_coeff))
+        return jnp.exp(-0.5 * log_coeff), std
+
+
+@dataclasses.dataclass(frozen=True)
+class SUBVPSDE(VPSDE):
+    """Sub-variance-preserving SDE (reference diffusion.py:1183-1366).
+
+    Same beta/f as VPSDE; g = sqrt(beta(t)(1 - exp(-2 B(t)~)));
+    eta = 1 - exp(-B(t)) (no square root); prior N(0, 1).
+    """
+
+    def diffusion(self, t: jax.Array, x: jax.Array) -> jax.Array:
+        t = jnp.asarray(t, jnp.float32)
+        discount = -jnp.expm1(
+            -2.0 * self.beta_min * t - (self.beta_max - self.beta_min) * t**2 / self.T
+        )
+        return _bcast_right(jnp.sqrt(self.beta(t) * discount), x) * jnp.ones_like(x)
+
+    def marginal_prob_scalars(self, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        log_coeff = self._int_beta(t)
+        std = -jnp.expm1(-log_coeff)
+        return jnp.exp(-0.5 * log_coeff), std

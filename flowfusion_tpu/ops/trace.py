@@ -1,0 +1,175 @@
+"""Jacobian-trace (divergence) estimators for CNF log-likelihoods.
+
+Four strategies with the same semantics as the reference dispatch in
+``ScoreModel.forward`` (/root/reference/flowfusion/diffusion.py:281-508):
+
+  * ``exact``      — per-sample trace of the Jacobian.  The reference uses
+    reverse-mode (``jacrev`` under ``vmap``, diffusion.py:483-503); here we
+    use *forward*-mode ``jacfwd``: for the small state dimensions this
+    library targets (D <~ 20), D JVP columns are cheaper on TPU than D VJP
+    rows and need no transpose program.
+  * ``hutchinson`` — probe estimate e^T J e with a fixed Rademacher probe.
+    The reference computes e^T J via VJP (diffusion.py:327-334); we compute
+    J e via a single JVP — the two contractions give the *same scalar*
+    e^T J e for a fixed probe, and forward mode is one fused pass.
+  * ``hutchpp``    — Hutch++ (low-rank QR sketch + residual Hutchinson),
+    mirroring diffusion.py:336-400 including the ``stop_gradient`` on the
+    sketches (the reference ``.detach()``s them).
+  * ``xtrace``     — Epperly et al. XTrace leave-one-out estimator,
+    mirroring diffusion.py:402-481.
+
+Probes are sampled once per solve and held fixed across every RHS
+evaluation so the augmented ODE stays smooth for the adaptive solver
+(reference samples them in ``solve_odes_forward``, diffusion.py:697-721).
+Here they are explicit arguments — no hidden state.
+
+Hutch++/XTrace apply the probe operator through a VJP closure (operator
+A = J^T; trace(J^T) == trace(J)), exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "rademacher",
+    "exact_divergence",
+    "hutchinson_divergence",
+    "hutchpp_divergence",
+    "xtrace_divergence",
+    "divergence_fn",
+]
+
+
+def rademacher(key: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
+    """sign(N(0,1)) probes — matches the reference's torch.sign(randn)."""
+    return jnp.sign(jax.random.normal(key, shape, dtype))
+
+
+def exact_divergence(
+    f: Callable[[jax.Array], jax.Array], x: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact divergence via D forward-mode JVP columns.
+
+    ``f`` maps a batch (B, D) -> (B, D) and must be *batch-elementwise*
+    (row i of the output depends only on row i of the input — true for
+    every RHS in this library, whose networks act row-wise).  Then the
+    batched Jacobian is block-diagonal and column d of each per-sample
+    Jacobian is one JVP with the broadcast basis tangent e_d:
+    div = sum_d [J e_d]_d.  D JVPs total — for the small D this library
+    targets, forward mode beats reverse (no transpose program), and the
+    batched formulation handles closures over batched conditionals.
+    """
+    x_dot = f(x)
+    D = x.shape[-1]
+    div = jnp.zeros(x.shape[:-1], x.dtype)
+    for d in range(D):
+        tangent = jnp.zeros_like(x).at[..., d].set(1.0)
+        _, jcol = jax.jvp(f, (x,), (tangent,))
+        div = div + jcol[..., d]
+    return x_dot, div
+
+
+def hutchinson_divergence(
+    f: Callable[[jax.Array], jax.Array], x: jax.Array, e: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Skilling--Hutchinson estimate e^T J e with one JVP."""
+    x_dot, je = jax.jvp(f, (x,), (e,))
+    div = jnp.sum(je * e, axis=tuple(range(1, x.ndim)))
+    return x_dot, div
+
+
+def _batched_vjp(f, x):
+    """Return (f(x), operator v -> J^T v batched over a leading probe axis)."""
+    x_dot, vjp_fn = jax.vjp(f, x)
+
+    def apply(v):  # v: (n, B, D)
+        return jax.vmap(lambda vi: vjp_fn(vi)[0])(v)
+
+    return x_dot, apply
+
+
+def hutchpp_divergence(
+    f: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    S: jax.Array,
+    G: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Hutch++: tr(Q^T A Q) + (1/m) tr(U^T A U), U = (I - QQ^T) G.
+
+    ``S``: (r, B, D) sketch probes, ``G``: (m, B, D) residual probes.
+    """
+    m = G.shape[0]
+    x_dot, Av = _batched_vjp(f, x)
+
+    Y = jnp.transpose(Av(S), (1, 2, 0))  # (B, D, r)
+    Y = jax.lax.stop_gradient(Y)
+    Q, _ = jnp.linalg.qr(Y)  # (B, D, k)
+
+    AQ = jnp.transpose(Av(jnp.transpose(Q, (2, 0, 1))), (1, 2, 0))  # (B, D, k)
+    AQ = jax.lax.stop_gradient(AQ)
+    trace_lr = jnp.einsum("bdk,bdk->b", Q, AQ)
+
+    G_perm = jnp.transpose(G, (1, 2, 0))  # (B, D, m)
+    QtG = jnp.einsum("bdk,bdm->bkm", Q, G_perm)
+    U = G_perm - jnp.einsum("bdk,bkm->bdm", Q, QtG)
+
+    AU = jnp.transpose(Av(jnp.transpose(U, (2, 0, 1))), (1, 2, 0))  # (B, D, m)
+    AU = jax.lax.stop_gradient(AU)
+    trace_res = jnp.einsum("bdm,bdm->b", U, AU)
+
+    return x_dot, trace_lr + trace_res / float(m)
+
+
+def xtrace_divergence(
+    f: Callable[[jax.Array], jax.Array], x: jax.Array, O: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """XTrace (Epperly, Tropp & Webber 2023) leave-one-out estimator.
+
+    ``O``: (m, B, D) probes with m <= D.  Follows the batched algebra of the
+    reference implementation (diffusion.py:402-481).
+    """
+    x_dot, Av = _batched_vjp(f, x)
+
+    Y = jnp.transpose(Av(O), (1, 2, 0))  # (B, D, m)
+    Y = jax.lax.stop_gradient(Y)
+    Q, R = jnp.linalg.qr(Y)  # (B, D, k), (B, k, m)
+    k = Q.shape[2]
+
+    AQ = jnp.transpose(Av(jnp.transpose(Q, (2, 0, 1))), (1, 2, 0))  # (B, D, k)
+    AQ = jax.lax.stop_gradient(AQ)
+
+    H = jnp.einsum("bdi,bdj->bij", Q, AQ)  # (B, k, k)
+    W = jnp.einsum("bdk,mbd->bkm", Q, O)
+    T = jnp.einsum("bdk,mbd->bkm", AQ, O)
+
+    eye = jnp.broadcast_to(jnp.eye(k, dtype=x.dtype), (R.shape[0], k, k))
+    S_t = jax.scipy.linalg.solve_triangular(R, eye, lower=False)  # (B, k, k)
+    S_t = S_t / jnp.linalg.norm(S_t, axis=-1, keepdims=True)
+    S = jnp.transpose(S_t, (0, 2, 1))  # (B, m, k)
+
+    trace_H = jnp.trace(H, axis1=1, axis2=2)  # (B,)
+
+    X = W - jnp.sum(S * W, axis=1, keepdims=True) * S  # (B, k, m)
+    SHS = jnp.sum(S * jnp.einsum("bim,bmk->bik", H, S), axis=1)  # (B, k)
+    XHX = jnp.sum(X * jnp.einsum("bim,bmk->bik", H, X), axis=1)
+    WS = jnp.sum(W * S, axis=1)
+    SR = jnp.sum(S * R, axis=1)
+    TX = jnp.sum(T * X, axis=1)
+
+    trace_ests = trace_H[:, None] - SHS + WS * SR - TX + XHX  # (B, k)
+    return x_dot, jnp.mean(trace_ests, axis=1)
+
+
+def divergence_fn(mode: str):
+    """Look up an estimator by name ('exact'|'hutchinson'|'hutchpp'|'xtrace')."""
+    table = {
+        "exact": exact_divergence,
+        "hutchinson": hutchinson_divergence,
+        "hutchpp": hutchpp_divergence,
+        "xtrace": xtrace_divergence,
+    }
+    return table[mode]

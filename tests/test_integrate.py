@@ -1,0 +1,189 @@
+"""Integrator tests: closed forms, the float64 oracle, and scipy cross-check."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.integrate import solve_ivp
+
+from flowfusion_tpu.ops.integrate import euler_maruyama, odeint
+from flowfusion_tpu.ops.integrate.adaptive import odeint_adaptive
+
+from oracles import numpy_dopri5
+
+
+def test_linear_ode_exact():
+    # dy/dt = -y, y(0)=1 -> y(1) = e^-1
+    ys, stats = odeint(lambda t, y: -y, jnp.ones((4, 2)), [0.0, 1.0], rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(ys[-1], np.exp(-1.0), rtol=1e-5)
+    assert int(stats.n_accepted) > 0 and bool(stats.succeeded)
+
+
+def test_backward_integration():
+    # decreasing grid: dy/dt = y integrated 1 -> 0 gives y(0) = y(1)/e
+    ys, _ = odeint(lambda t, y: y, jnp.full((3,), 2.0), [1.0, 0.0], rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(ys[-1], 2.0 * np.exp(-1.0), rtol=1e-5)
+
+
+def test_multiple_output_times():
+    ts = [0.0, 0.3, 0.7, 1.0]
+    ys, _ = odeint(lambda t, y: -y, jnp.ones(2), ts, rtol=1e-7, atol=1e-9)
+    expected = np.broadcast_to(np.exp(-np.asarray(ts))[:, None], (4, 2))
+    np.testing.assert_allclose(ys, expected, rtol=1e-5)
+
+
+def test_time_dependent_rhs():
+    # dy/dt = cos(t) -> y(t) = sin(t)
+    ys, _ = odeint(lambda t, y: jnp.cos(t) * jnp.ones_like(y), jnp.zeros(1), [0.0, 2.0], rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(ys[-1], np.sin(2.0), rtol=1e-5, atol=1e-6)
+
+
+def test_tuple_state_mixed_norm():
+    # Augmented state (x, logp) as in the CNF solves.
+    def rhs(t, state):
+        x, lp = state
+        return (-x, jnp.sum(x, axis=-1))
+
+    x0 = jnp.ones((5, 2))
+    lp0 = jnp.zeros((5,))
+    (xs, lps), stats = odeint(rhs, (x0, lp0), [0.0, 1.0], rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(xs[-1], np.exp(-1.0), rtol=1e-5)
+    # d lp/dt = sum(x) = 2 e^-t -> lp(1) = 2(1 - e^-1)
+    np.testing.assert_allclose(lps[-1], 2 * (1 - np.exp(-1.0)), rtol=1e-5)
+
+
+@pytest.mark.parametrize("rtol,atol", [(1e-4, 1e-4), (1e-5, 1e-5)])
+def test_against_float64_oracle_stiffish(rtol, atol):
+    """JAX f32 solver vs independent f64 oracle with identical conventions."""
+    A = np.array([[-1.0, 2.0], [-2.0, -1.0]])
+
+    f_np = lambda t, y: A @ y
+    f_jx = lambda t, y: jnp.asarray(A, jnp.float32) @ y
+    y0 = np.array([1.5, -0.5])
+
+    ys_np, nsteps = numpy_dopri5(f_np, y0, [0.0, 2.0], rtol, atol)
+    ys_jx, stats = odeint(f_jx, jnp.asarray(y0, jnp.float32), [0.0, 2.0], rtol=rtol, atol=atol)
+    # Value parity well inside the tolerance budget
+    np.testing.assert_allclose(ys_jx[-1], ys_np[-1], rtol=0, atol=20 * atol)
+    # Same amount of work (same accept/reject conventions) within f32 slack
+    assert abs(int(stats.n_accepted) + int(stats.n_rejected) - nsteps) <= 2
+
+
+def test_against_scipy_high_accuracy():
+    def f_np(t, y):
+        return np.array([y[1], -np.sin(y[0])])  # pendulum
+
+    def f_jx(t, y):
+        return jnp.stack([y[1], -jnp.sin(y[0])])
+
+    y0 = np.array([1.0, 0.0])
+    sol = solve_ivp(f_np, (0, 5), y0, rtol=1e-10, atol=1e-12, dense_output=True)
+    ys, _ = odeint(f_jx, jnp.asarray(y0, jnp.float32), [0.0, 5.0], rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(ys[-1], sol.y[:, -1], atol=1e-4)
+
+
+def test_min_step_option():
+    ys, stats = odeint(
+        lambda t, y: -y,
+        jnp.ones(1),
+        [0.0, 1.0],
+        rtol=1e-4,
+        atol=1e-4,
+        options={"min_step": 1e-6},
+    )
+    np.testing.assert_allclose(ys[-1], np.exp(-1.0), rtol=1e-3)
+
+
+def test_max_num_steps_bails_out():
+    # NaN-producing RHS: reference torchdiffeq would spin shrinking dt;
+    # we bound the loop and report failure.
+    def rhs(t, y):
+        return jnp.where(t > 0.5, jnp.nan, 1.0) * jnp.ones_like(y)
+
+    ys, stats = odeint(
+        rhs, jnp.zeros(1), [0.0, 1.0], rtol=1e-5, atol=1e-5,
+        options={"max_num_steps": 50},
+    )
+    assert not bool(stats.succeeded)
+
+
+@pytest.mark.parametrize("method", ["bosh3", "fehlberg2", "adaptive_heun"])
+def test_other_adaptive_methods(method):
+    ys, stats = odeint(
+        lambda t, y: -y, jnp.ones(3), [0.0, 1.0], rtol=1e-5, atol=1e-6, method=method
+    )
+    np.testing.assert_allclose(ys[-1], np.exp(-1.0), rtol=1e-3)
+
+
+@pytest.mark.parametrize("method,order", [("euler", 1), ("midpoint", 2), ("heun3", 3), ("rk4", 4)])
+def test_fixed_step_orders(method, order):
+    # Convergence sanity: error shrinks with more steps at the right rate-ish.
+    errs = []
+    for steps in (8, 16):
+        ys, _ = odeint(
+            lambda t, y: -y,
+            jnp.ones(()),
+            [0.0, 1.0],
+            method=method,
+            options={"steps": steps},
+        )
+        errs.append(abs(float(ys[-1]) - np.exp(-1.0)))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > order - 0.7, (method, errs, rate)
+
+
+def test_solver_is_vmappable():
+    # Per-sample adaptive stepping via vmap (the "fast mode" of SURVEY §7.7).
+    def solve_one(y0):
+        ys, stats = odeint_adaptive(
+            lambda t, y: -y * y, y0, [0.0, 1.0], rtol=1e-5, atol=1e-7
+        )
+        return ys[-1]
+
+    y0s = jnp.asarray([0.5, 1.0, 4.0])
+    out = jax.vmap(solve_one)(y0s[:, None])
+    expected = y0s / (1.0 + y0s)  # dy/dt=-y^2 -> y(t)=y0/(1+y0 t)
+    np.testing.assert_allclose(out[:, 0], expected, rtol=1e-4)
+
+
+def test_solver_jits_and_grads_fixed():
+    # Fixed-step path is reverse-differentiable out of the box.
+    def loss(y0):
+        ys, _ = odeint(lambda t, y: -y, y0, [0.0, 1.0], method="rk4", options={"steps": 32})
+        return jnp.sum(ys[-1])
+
+    g = jax.grad(loss)(jnp.ones(2))
+    np.testing.assert_allclose(g, np.exp(-1.0), rtol=1e-5)
+
+
+def test_euler_maruyama_ou_process():
+    # OU: dx = -x dt + sqrt(2) dW has stationary N(0, 1).
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (20000, 1))
+    res = euler_maruyama(
+        key,
+        lambda t, x: -x,
+        lambda t, x: jnp.sqrt(2.0) * jnp.ones_like(x),
+        x0,
+        t0=0.0,
+        t1=3.0,
+        steps=300,
+    )
+    assert not bool(res.nan_encountered)
+    np.testing.assert_allclose(np.std(np.asarray(res.x)), 1.0, atol=0.05)
+
+
+def test_euler_maruyama_nan_guard():
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.ones((4, 1))
+    res = euler_maruyama(
+        key,
+        lambda t, x: jnp.where(t > 0.5, jnp.nan, 0.0) * jnp.ones_like(x),
+        lambda t, x: jnp.zeros_like(x),
+        x0,
+        t0=1.0,
+        t1=0.0,
+        steps=10,
+    )
+    assert bool(res.nan_encountered)
+    assert np.all(np.isfinite(np.asarray(res.x_mean)))

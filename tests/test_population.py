@@ -1,0 +1,92 @@
+"""Population-wrapper tests: standardization semantics and quirk parity."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flowfusion_tpu.models.population import PopulationModelDiffusion
+from flowfusion_tpu.models.score import ScoreModel
+from flowfusion_tpu.ops.sde import VPSDE
+
+
+@dataclasses.dataclass(frozen=True)
+class AnalyticGaussianScore:
+    sde: object
+    s0: float = 1.0
+
+    def apply(self, params, t, x, conditional=None):
+        nu, eta = self.sde.marginal_prob_scalars(jnp.asarray(t, jnp.float32))
+        var = (nu * self.s0) ** 2 + eta**2
+        return -x / var.reshape((-1,) + (1,) * (x.ndim - 1))
+
+
+def _wrap(sde, shift, scale, s0=1.0):
+    sm = ScoreModel(params={}, net=AnalyticGaussianScore(sde=sde, s0=s0), no_sigma=True, sde=sde)
+    return PopulationModelDiffusion(
+        score_model=sm,
+        shift=jnp.asarray(shift, jnp.float32),
+        scale=jnp.asarray(scale, jnp.float32),
+        conditional_shift=None,
+        conditional_scale=None,
+    )
+
+
+def test_log_prob_is_standardized_units_by_default():
+    """Reference quirk: the diffusion wrapper reports standardized-unit
+    densities (no -sum(log scale) term) — SURVEY.md §2.6.5."""
+    sde = VPSDE()
+    shift, scale = np.array([2.0, -1.0]), np.array([3.0, 0.5])
+    m = _wrap(sde, shift, scale)
+    x_std = np.array([[0.3, -0.4]])
+    x_raw = x_std * scale + shift
+    m_unit = _wrap(sde, [0.0, 0.0], [1.0, 1.0])
+    lp_wrapped, _ = m.log_prob(jnp.asarray(x_raw, jnp.float32))
+    lp_unit, _ = m_unit.log_prob(jnp.asarray(x_std, jnp.float32))
+    np.testing.assert_allclose(lp_wrapped, lp_unit, atol=1e-4)
+
+    # volume_corrected adds the affine Jacobian.
+    lp_corr, _ = m.log_prob(jnp.asarray(x_raw, jnp.float32), volume_corrected=True)
+    np.testing.assert_allclose(
+        lp_corr, lp_unit - np.sum(np.log(scale)), atol=1e-4
+    )
+
+
+def test_forward_applies_shift_scale():
+    sde = VPSDE()
+    shift, scale = np.array([5.0, 5.0]), np.array([2.0, 2.0])
+    m = _wrap(sde, shift, scale)
+    base = jax.random.normal(jax.random.PRNGKey(0), (512, 2))
+    x, stats = m.forward(base)
+    assert bool(stats.succeeded)
+    # analytic-score model with s0=1: ODE-transported samples are ~N(0,1)
+    # standardized, so raw-space mean/std follow shift/scale.
+    np.testing.assert_allclose(np.mean(np.asarray(x), axis=0), shift, atol=0.3)
+    np.testing.assert_allclose(np.std(np.asarray(x), axis=0), scale, atol=0.3)
+
+
+def test_sample_sde_honours_steps():
+    sde = VPSDE()
+    m = _wrap(sde, [0.0, 0.0], [1.0, 1.0])
+    x = m.sample_sde(jax.random.PRNGKey(0), (256, 2), steps=25)
+    assert x.shape == (256, 2)
+    assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_create_conditional_wrapper_runs():
+    m = PopulationModelDiffusion.create(
+        jax.random.PRNGKey(0),
+        VPSDE(),
+        n_dimensions=2,
+        n_conditionals=1,
+        units=(32,),
+        conditional_shift=[1.0],
+        conditional_scale=[2.0],
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 2))
+    c = jnp.ones((4, 1))
+    lp, _ = m.log_prob(x, conditional=c)
+    assert lp.shape == (4,)
+    loss = m.loss_fn(jax.random.PRNGKey(2), x, conditional=c)
+    assert np.isfinite(float(loss))

@@ -1,0 +1,129 @@
+"""Multi-device tests on the 8-device CPU mesh (conftest forces it)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
+from flowfusion_tpu.models.score import ScoreModel
+from flowfusion_tpu.ops.sde import VPSDE
+from flowfusion_tpu.parallel.sharding import (
+    data_parallel,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    shard_batch,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs the multi-device CPU mesh"
+)
+
+
+def _model(trace_mode="exact"):
+    cfg = ScoreMLPConfig(n_dimensions=2, units=(32,))
+    params = init_score_mlp(jax.random.PRNGKey(0), cfg)
+    return ScoreModel(params=params, net=cfg, sde=VPSDE(), trace_mode=trace_mode)
+
+
+def test_mesh_and_batch_sharding():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    x = jnp.ones((64, 2))
+    xs = shard_batch(x, mesh)
+    assert xs.sharding.spec == P("data")
+
+
+def test_sharded_logprob_matches_single_device():
+    """Batch-global adaptive stepping must be invariant to sharding: the
+    error-norm reductions psum over the mesh, so the step sequence — and
+    therefore the densities — are identical."""
+    m = _model()
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+    lp_single, _ = jax.jit(lambda mm, xx: mm.log_prob(xx))(m, x)
+
+    mesh = make_mesh()
+    fn = data_parallel(lambda xx: m.log_prob(xx)[0], mesh)
+    lp_sharded = fn(x)
+    # cross-device psum reduction order perturbs the error norm at f32
+    # round-off, which can shift a step boundary: allow tiny slack.
+    np.testing.assert_allclose(
+        np.asarray(lp_single), np.asarray(lp_sharded), atol=5e-4
+    )
+
+
+def test_sharded_train_step_matches_single_device():
+    import optax
+
+    m = _model()
+    x = jax.random.normal(jax.random.PRNGKey(2), (64, 2))
+    key = jax.random.PRNGKey(3)
+    tx = optax.adam(1e-3)
+
+    def step(model, x):
+        loss, grads = jax.value_and_grad(lambda mm: mm.loss_fn(key, x))(model)
+        return loss, grads
+
+    loss_single, grads_single = jax.jit(step)(m, x)
+
+    mesh = make_mesh()
+    m_rep = replicate(m, mesh)
+    xs = shard_batch(x, mesh)
+    loss_shard, grads_shard = jax.jit(step)(m_rep, xs)
+    np.testing.assert_allclose(float(loss_single), float(loss_shard), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads_single),
+        jax.tree_util.tree_leaves(grads_shard),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_em_sampler_sharded_runs():
+    m = _model()
+    mesh = make_mesh()
+    with mesh:
+        res = jax.jit(
+            lambda mm, k: mm.sample_sde(k, (64, 2), steps=10),
+        )(replicate(m, mesh), jax.random.PRNGKey(0))
+    assert res.x_mean.shape == (64, 2)
+    assert np.all(np.isfinite(np.asarray(res.x_mean)))
+
+
+def test_pad_to_multiple():
+    x = jnp.ones((13, 2))
+    padded, n = pad_to_multiple(x, 8)
+    assert padded.shape == (16, 2) and n == 13
+
+
+def test_tensor_parallel_hidden_sharding_compiles():
+    """Hidden-dim (tensor-parallel) sharding of the MLP compiles + runs."""
+    mesh = make_mesh(model_axis=2)
+    m = _model()
+
+    def spec(path, leaf):
+        keys = [str(getattr(p, "key", getattr(p, "name", getattr(p, "idx", "")))) for p in path]
+        if "W" in keys:
+            return NamedSharding(mesh, P())
+        if keys and keys[-1] == "w":
+            idx = next(p.idx for p in path if hasattr(p, "idx"))
+            if idx == 0:
+                return NamedSharding(mesh, P(None, "model"))
+            return NamedSharding(mesh, P("model", None))
+        if keys and keys[-1] == "b":
+            idx = next(p.idx for p in path if hasattr(p, "idx"))
+            if idx == 0:
+                return NamedSharding(mesh, P("model"))
+        return NamedSharding(mesh, P())
+
+    shardings = jax.tree_util.tree_map_with_path(spec, m.params)
+    params = jax.device_put(m.params, shardings)
+    m_tp = dataclasses.replace(m, params=params)
+    x = shard_batch(jnp.ones((16, 2)), mesh)
+    t = jnp.full((16,), 0.5)
+    out = jax.jit(lambda mm, tt, xx: mm.score(tt, xx))(m_tp, t, x)
+    assert out.shape == (16, 2)
+    assert np.all(np.isfinite(np.asarray(out)))

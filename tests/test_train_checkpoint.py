@@ -1,0 +1,150 @@
+"""Training loop + checkpoint + torch-conversion tests."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
+from flowfusion_tpu.models.population import PopulationModelDiffusion
+from flowfusion_tpu.models.score import ScoreModel
+from flowfusion_tpu.ops.sde import VPSDE
+from flowfusion_tpu.train import fit, make_optimizer, trainable_mask
+from flowfusion_tpu.utils import checkpoint as ckpt
+from flowfusion_tpu.utils import convert
+from flowfusion_tpu.utils.data import DEMO_GMM, standardization_stats
+
+
+def _model():
+    return PopulationModelDiffusion.create(
+        jax.random.PRNGKey(0), VPSDE(), n_dimensions=2, units=(32,), no_sigma=True
+    )
+
+
+def test_trainable_mask_freezes_W_and_stats():
+    m = _model()
+    mask = trainable_mask(m)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    by_name = {"".join(str(k) for k in p): v for p, v in flat}
+    # W frozen, layer weights trainable, shift/scale buffers frozen
+    assert any("'W'" in k and v is False for k, v in by_name.items())
+    assert any("layers" in k and v is True for k, v in by_name.items())
+    assert any(k.endswith(".shift") and v is False for k, v in by_name.items())
+
+
+def test_fit_reduces_loss_and_freezes_W():
+    m = _model()
+    x = DEMO_GMM.sample(jax.random.PRNGKey(1), 2048)
+    shift, scale = standardization_stats(x)
+    m = dataclasses.replace(
+        m, shift=jnp.asarray(shift), scale=jnp.asarray(scale)
+    )
+    W_before = np.asarray(m.score_model.params["W"]).copy()
+    shift_before = np.asarray(m.shift).copy()
+
+    key = jax.random.PRNGKey(2)
+    loss_before = float(m.loss_fn(key, x[:512]))
+    m_trained, results = fit(
+        m,
+        jax.random.PRNGKey(3),
+        x,
+        stages=((128, 1e-3),),
+        epochs_per_stage=5,
+    )
+    loss_after = float(m_trained.loss_fn(key, x[:512]))
+    assert loss_after < loss_before
+    np.testing.assert_array_equal(
+        np.asarray(m_trained.score_model.params["W"]), W_before
+    )
+    np.testing.assert_array_equal(np.asarray(m_trained.shift), shift_before)
+    assert len(results) == 1 and len(results[0].train_losses) == 5
+
+
+def test_npz_checkpoint_round_trip(tmp_path):
+    m = _model()
+    path = str(tmp_path / "model.npz")
+    ckpt.save_npz(path, m)
+    template = _model()  # same structure, fresh init
+    # perturb template so restore provably overwrites
+    template = dataclasses.replace(template, shift=template.shift + 1.0)
+    m2 = ckpt.load_npz(path, template)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m), jax.tree_util.tree_leaves(m2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_npz_checkpoint_shape_mismatch_raises(tmp_path):
+    import pytest
+
+    m = _model()
+    path = str(tmp_path / "model.npz")
+    ckpt.save_npz(path, m)
+    other = PopulationModelDiffusion.create(
+        jax.random.PRNGKey(0), VPSDE(), n_dimensions=3, units=(32,)
+    )
+    with pytest.raises(ValueError):
+        ckpt.load_npz(path, other)
+
+
+def test_orbax_checkpoint_round_trip(tmp_path):
+    m = _model()
+    path = str(tmp_path / "orbax_ckpt")
+    try:
+        ckpt.save_orbax(path, m)
+    except Exception as e:  # orbax may be unusable in minimal sandboxes
+        import pytest
+
+        pytest.skip(f"orbax unavailable: {e}")
+    m2 = ckpt.load_orbax(path, m)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m), jax.tree_util.tree_leaves(m2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_score_mlp_conversion_numerics():
+    """Weight-level conversion: a hand-built 'torch state dict' of numpy
+    arrays must reproduce the same outputs through our apply function as a
+    manual numpy forward pass with torch conventions."""
+    rng = np.random.default_rng(0)
+    D, C, E, H = 2, 0, 8, 16
+    sd = {
+        "W": rng.normal(size=(E // 2,)).astype(np.float32) * 16,
+        "NN.0.weight": rng.normal(size=(H, D + C + E)).astype(np.float32),
+        "NN.0.bias": rng.normal(size=(H,)).astype(np.float32),
+        "NN.1.weight": rng.normal(size=(D, H)).astype(np.float32),
+        "NN.1.bias": rng.normal(size=(D,)).astype(np.float32),
+    }
+    params = convert.score_mlp_from_torch(sd, n_layers=2)
+    cfg = ScoreMLPConfig(n_dimensions=D, n_conditionals=C, embedding_dimensions=E, units=(H,))
+    t = np.asarray([0.3, 0.7], np.float32)
+    x = rng.normal(size=(2, D)).astype(np.float32)
+    out = cfg.apply(params, jnp.asarray(t), jnp.asarray(x))
+
+    # manual torch-convention forward in numpy
+    proj = t[:, None] * sd["W"][None, :] * 2 * np.pi
+    temb = np.concatenate([np.sin(proj), np.cos(proj)], axis=1)
+    h = np.concatenate([temb, x], axis=1)
+    a = h @ sd["NN.0.weight"].T + sd["NN.0.bias"]
+    a = a * (1.0 / (1.0 + np.exp(-a)))  # SiLU
+    expected = a @ sd["NN.1.weight"].T + sd["NN.1.bias"]
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-5, atol=1e-5)
+
+
+def test_make_optimizer_zeroes_frozen_updates():
+    import optax
+
+    m = _model()
+    tx = make_optimizer(1e-2, m)
+    opt_state = tx.init(m)
+    grads = jax.tree_util.tree_map(jnp.ones_like, m)
+    updates, _ = tx.update(grads, opt_state, m)
+    upd_flat = jax.tree_util.tree_flatten_with_path(updates)[0]
+    for path, u in upd_flat:
+        name = "/".join(str(p) for p in path)
+        if "'W'" in name or "params" not in name:
+            assert float(jnp.max(jnp.abs(u))) == 0.0, name
+        else:
+            assert float(jnp.max(jnp.abs(u))) > 0.0, name
