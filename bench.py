@@ -90,17 +90,19 @@ def main():
 
     jfn = jax.jit(logprob_fn)
     x_dev = shard_batch(x, mesh) if n_dev > 1 else jax.device_put(x)
-    k = jax.random.PRNGKey(1)
 
     # compile + warmup
-    lp, nfe = jfn(model, x_dev, k)
+    lp, nfe = jfn(model, x_dev, jax.random.PRNGKey(1))
     jax.block_until_ready(lp)
 
+    # NB: each timing iteration uses a fresh PRNG key so the executions are
+    # distinct (a remote-execution relay may cache identical calls).
     times = []
-    for _ in range(3):
+    for i in range(3):
         t0 = time.perf_counter()
-        lp, nfe = jfn(model, x_dev, k)
+        lp, nfe = jfn(model, x_dev, jax.random.PRNGKey(100 + i))
         jax.block_until_ready(lp)
+        np.asarray(lp[:1])  # force a host sync through the transfer path
         times.append(time.perf_counter() - t0)
 
     best = min(times)

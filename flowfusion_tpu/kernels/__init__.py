@@ -1,0 +1,10 @@
+"""Pallas TPU kernels for the hot loops.
+
+All kernels are optional accelerations behind explicit call sites with
+pure-XLA reference implementations (``*_reference``) used for testing and
+as fallbacks on unsupported configurations.
+"""
+
+from .fused_mlp import fused_drift, fused_drift_reference, supports_config
+
+__all__ = ["fused_drift", "fused_drift_reference", "supports_config"]

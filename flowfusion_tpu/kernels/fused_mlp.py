@@ -1,0 +1,303 @@
+"""Pallas TPU kernel: fused score-MLP drift (+ Hutchinson tangent) evaluation.
+
+The hot op of every ODE solve is the probability-flow RHS: one score-net
+forward (and, for likelihoods, a JVP for the divergence estimate).  Under
+plain XLA each linear layer round-trips its (B, H) activations through HBM
+for large B; this kernel keeps the whole layer chain — and the tangent
+chain — in VMEM per batch tile, so HBM traffic is just x/e in and
+drift/div out.  All weights live in VMEM (a few hundred KB).
+
+Key structural trick: during a solve the time ``t`` is a *batch-global
+scalar* (the solver steps the batch as one system), so the Fourier time
+embedding contributes a t-dependent *bias* to the first layer:
+  in = [temb | x | cond]  =>  a1 = x W1_x + cond W1_c + (b1 + temb W1_e).
+The host computes ``b1_eff = b1 + temb @ W1_e`` per RHS call (an (E,H)
+matvec — negligible) and the kernel never touches the embedding rows, so
+no feature-padding games are needed: the dominant matmuls are the
+lane-aligned (T,H)x(H,H) hidden layers on the MXU.
+
+The Hutchinson tangent is propagated analytically in the same kernel:
+linear layers map tangents through the same weights; SiLU multiplies by
+silu'(a) = sigmoid(a) (1 + a (1 - sigmoid(a))).  For a fixed probe ``e``
+this yields exactly J_net e, so  div = e . (J e)  matches the JVP-based
+estimator bit-for-bit up to matmul precision.
+
+The SDE enters through two scalars (all three SDE families have affine
+probability-flow drift in the net output):
+  drift = c0 * x + c1 * net(t, x[, cond])          (c1 folds g^2/2 and 1/sigma)
+  div   = c0 * D + c1 * (e . J_net e)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_drift", "fused_drift_reference", "supports_config"]
+
+
+def _silu(a):
+    return a * jax.nn.sigmoid(a)
+
+
+def _dsilu(a):
+    s = jax.nn.sigmoid(a)
+    return s * (1.0 + a * (1.0 - s))
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def supports_config(units: Sequence[int]) -> bool:
+    """Kernel supports uniform hidden widths that are lane multiples."""
+    return (
+        len(units) >= 1
+        and all(u == units[0] for u in units)
+        and units[0] % 128 == 0
+    )
+
+
+def _kernel(n_hidden: int, with_tangent: bool, d_out: int, refs):
+    """Kernel body.  Ref layout:
+    [x, (e), w_in, b_eff, w_h1.., b_h1.., w_out, b_out, c0c1] -> [drift,(div)]
+    """
+    i = 0
+    x_ref = refs[i]; i += 1
+    e_ref = None
+    if with_tangent:
+        e_ref = refs[i]; i += 1
+    w_in = refs[i]; i += 1
+    b_eff = refs[i]; i += 1
+    w_hidden = []
+    b_hidden = []
+    for _ in range(n_hidden - 1):
+        w_hidden.append(refs[i]); i += 1
+        b_hidden.append(refs[i]); i += 1
+    w_out = refs[i]; i += 1
+    b_out = refs[i]; i += 1
+    c_ref = refs[i]; i += 1  # SMEM (1, 2): c0, c1
+    drift_ref = refs[i]; i += 1
+    div_ref = refs[i] if with_tangent else None
+
+    c0 = c_ref[0, 0]
+    c1 = c_ref[0, 1]
+
+    x = x_ref[:]
+    a = (
+        jnp.dot(x, w_in[:], preferred_element_type=jnp.float32)
+        + b_eff[:]
+    )
+    if with_tangent:
+        e = e_ref[:]
+        ta = jnp.dot(e, w_in[:], preferred_element_type=jnp.float32)
+
+    for li in range(n_hidden - 1):
+        h = _silu(a)
+        if with_tangent:
+            ta = _dsilu(a) * ta
+        a_next = (
+            jnp.dot(h, w_hidden[li][:], preferred_element_type=jnp.float32)
+            + b_hidden[li][:]
+        )
+        if with_tangent:
+            ta = jnp.dot(ta, w_hidden[li][:], preferred_element_type=jnp.float32)
+        a = a_next
+
+    h = _silu(a)
+    out = jnp.dot(h, w_out[:], preferred_element_type=jnp.float32) + b_out[:]
+    # The kernel input may be [x | cond]; the drift's linear term and the
+    # divergence only involve the first d_out (state) columns.
+    drift_ref[:] = c0 * x[:, :d_out] + c1 * out
+
+    if with_tangent:
+        th = _dsilu(a) * ta
+        tout = jnp.dot(th, w_out[:], preferred_element_type=jnp.float32)
+        div_ref[:, 0] = c0 * jnp.float32(d_out) + c1 * jnp.sum(
+            tout * e[:, :d_out], axis=-1
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_hidden", "with_tangent", "d_out", "tile", "interpret"),
+)
+def _fused_drift_impl(
+    x,
+    e,
+    w_in,
+    b_eff,
+    hidden_flat: Tuple[jax.Array, ...],
+    w_out,
+    b_out,
+    c0c1,
+    *,
+    n_hidden: int,
+    with_tangent: bool,
+    d_out: int,
+    tile: int,
+    interpret: bool,
+):
+    B, D = x.shape  # D = state dims (+ conditional dims when folded in)
+    H = w_in.shape[1]
+    grid = (B // tile,)
+
+    def batch_spec():
+        return pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def weight_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    in_specs = [batch_spec()]
+    operands = [x]
+    if with_tangent:
+        in_specs.append(batch_spec())
+        operands.append(e)
+    in_specs += [weight_spec(w_in.shape), weight_spec(b_eff.shape)]
+    operands += [w_in, b_eff]
+    for arr in hidden_flat:
+        in_specs.append(weight_spec(arr.shape))
+        operands.append(arr)
+    in_specs += [weight_spec(w_out.shape), weight_spec(b_out.shape)]
+    operands += [w_out, b_out]
+    in_specs.append(pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM))
+    operands.append(c0c1)
+
+    out_shape = [jax.ShapeDtypeStruct((B, d_out), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((tile, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    if with_tangent:
+        out_shape.append(jax.ShapeDtypeStruct((B, 1), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+
+    kernel = lambda *refs: _kernel(n_hidden, with_tangent, d_out, refs)
+    flops_per_row = 2 * H * (D + (n_hidden - 1) * H + d_out) * (2 if with_tangent else 1)
+    result = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+        cost_estimate=pl.CostEstimate(
+            flops=B * flops_per_row,
+            bytes_accessed=B * (2 * D + 1) * 4,
+            transcendentals=B * H * n_hidden,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return result
+
+
+def fused_drift(
+    params: dict,
+    cfg,
+    t: jax.Array,
+    x: jax.Array,
+    conditional: Optional[jax.Array] = None,
+    e: Optional[jax.Array] = None,
+    c0: jax.Array = 0.0,
+    c1: jax.Array = 1.0,
+    tile: int = 512,
+    interpret: Optional[bool] = None,
+):
+    """Fused drift = c0*x + c1*net(t, x[, cond]) and optional divergence.
+
+    ``params``/``cfg`` are a ScoreMLP parameter pytree and config
+    (models/nets.py).  ``t`` must be a scalar (batch-global solver time).
+    Returns ``drift`` or ``(drift, div)`` when a probe ``e`` is given.
+
+    The conditional, when present, is folded into the first layer like x
+    (columns E+D..E+D+C of the torch-ordered input weight matrix).
+    """
+    from ..models.nets import fourier_time_embedding
+
+    if interpret is None:
+        # Auto: compile on TPU, interpret elsewhere (tests / CPU meshes).
+        interpret = jax.default_backend() != "tpu"
+
+    E = cfg.embedding_dimensions
+    D = cfg.n_dimensions
+    layers = params["layers"]
+    n_hidden = len(layers) - 1
+    if not supports_config(cfg.units):
+        raise ValueError(f"fused kernel does not support units={cfg.units}")
+
+    t = jnp.asarray(t, jnp.float32).reshape(())
+    temb = fourier_time_embedding(t[None], params["W"])[0]  # (E,)
+
+    w1 = layers[0]["w"]  # (E + D + C, H) in torch input order [temb|x|cond]
+    b_eff = layers[0]["b"] + temb @ w1[:E]
+    w_in_x = w1[E : E + D]
+    if conditional is not None:
+        # fold cond through its own slice; cheap host-side matmul of the
+        # first layer is avoided by concatenating [x|cond] as kernel input.
+        x_in = jnp.concatenate([x, conditional], axis=-1)
+        w_in = jnp.concatenate([w_in_x, w1[E + D :]], axis=0)
+    else:
+        x_in = x
+        w_in = w_in_x
+
+    B = x_in.shape[0]
+    tile = min(tile, B)
+    pad = _round_up(B, tile) - B
+    if pad:
+        x_in = jnp.pad(x_in, ((0, pad), (0, 0)))
+    with_tangent = e is not None
+    e_in = None
+    if with_tangent:
+        e_in = e
+        if conditional is not None:
+            e_in = jnp.pad(e, ((0, 0), (0, conditional.shape[-1])))
+        if pad:
+            e_in = jnp.pad(e_in, ((0, pad), (0, 0)))
+
+    hidden_flat = []
+    for l in layers[1:-1]:
+        hidden_flat.append(l["w"])
+        hidden_flat.append(l["b"][None, :])
+    c0c1 = jnp.stack(
+        [jnp.asarray(c0, jnp.float32), jnp.asarray(c1, jnp.float32)]
+    ).reshape(1, 2)
+
+    out = _fused_drift_impl(
+        x_in,
+        e_in,
+        w_in,
+        b_eff[None, :],
+        tuple(hidden_flat),
+        layers[-1]["w"],
+        layers[-1]["b"][None, :],
+        c0c1,
+        n_hidden=n_hidden,
+        with_tangent=with_tangent,
+        d_out=D,
+        tile=tile,
+        interpret=interpret,
+    )
+    if with_tangent:
+        drift, div = out
+        return drift[:B], div[:B, 0]
+    return out[:B]
+
+
+def fused_drift_reference(params, cfg, t, x, conditional=None, e=None, c0=0.0, c1=1.0):
+    """Pure-XLA reference implementation (same math) for testing."""
+    from ..models.nets import apply_score_mlp
+
+    def net(xx):
+        return apply_score_mlp(cfg, params, jnp.full((xx.shape[0],), t), xx, conditional)
+
+    if e is None:
+        return c0 * x + c1 * net(x)
+    out, je = jax.jvp(net, (x,), (e,))
+    drift = c0 * x + c1 * out
+    div = c0 * x.shape[-1] + c1 * jnp.sum(je * e, axis=-1)
+    return drift, div

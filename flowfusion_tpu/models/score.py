@@ -63,6 +63,35 @@ class ScoreModel:
     hpp_rank: int = dataclasses.field(default=1, metadata=dict(static=True))
     hpp_vecs: int = dataclasses.field(default=1, metadata=dict(static=True))
     xt_vecs: int = dataclasses.field(default=1, metadata=dict(static=True))
+    # Fused Pallas RHS kernel: None = auto (on for TPU backends with a
+    # supported stock MLP config), True/False forces.  Applies to the
+    # probability-flow solves and the EM sampler drift.
+    use_fused_kernel: Optional[bool] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+
+    # ------------------------------------------------------------------
+    # fused-kernel plumbing
+    # ------------------------------------------------------------------
+    def _fused_available(self) -> bool:
+        from ..kernels.fused_mlp import supports_config
+
+        if self.use_fused_kernel is not None:
+            return self.use_fused_kernel
+        return (
+            isinstance(self.net, ScoreMLPConfig)
+            and supports_config(self.net.units)
+            and jax.default_backend() == "tpu"
+        )
+
+    def _fused_coeffs(self, t):
+        """(c0, c1) with prob-flow drift = c0 x + c1 net(t, x[, c])."""
+        t = jnp.asarray(t, jnp.float32)
+        c0 = self.sde.drift_coefficient(t)
+        c1 = -0.5 * self.sde.diffusion_squared_scalar(t)
+        if not self.no_sigma:
+            c1 = c1 / self.sde.sigma(t)
+        return c0, c1
 
     # ------------------------------------------------------------------
     # core fields
@@ -113,9 +142,21 @@ class ScoreModel:
         k_prior, k_path = jax.random.split(key)
         x0 = self.sde.prior_sample(k_prior, shape)
 
-        def drift(t, x):
-            g = self.sde.diffusion(t, x)
-            return self.sde.drift(t, x) - g**2 * self.score(t, x, conditional)
+        if self._fused_available():
+            from ..kernels.fused_mlp import fused_drift
+
+            def drift(t, x):
+                # reverse-SDE drift f - g^2 s = c0 x + 2*c1 net
+                c0, c1 = self._fused_coeffs(t)
+                return fused_drift(
+                    self.params, self.net, t, x, conditional, c0=c0, c1=2.0 * c1
+                )
+
+        else:
+
+            def drift(t, x):
+                g = self.sde.diffusion(t, x)
+                return self.sde.drift(t, x) - g**2 * self.score(t, x, conditional)
 
         return euler_maruyama(
             k_path,
@@ -144,8 +185,19 @@ class ScoreModel:
         """
         z = base_samples * self.sde.prior_scale
 
-        def rhs(t, x):
-            return self.ode_drift(t, x, conditional)
+        if self._fused_available():
+            from ..kernels.fused_mlp import fused_drift
+
+            def rhs(t, x):
+                c0, c1 = self._fused_coeffs(t)
+                return fused_drift(
+                    self.params, self.net, t, x, conditional, c0=c0, c1=c1
+                )
+
+        else:
+
+            def rhs(t, x):
+                return self.ode_drift(t, x, conditional)
 
         ys, stats = odeint(
             rhs,
@@ -203,14 +255,28 @@ class ScoreModel:
         probes = self._make_probes(key, x0_samples)
         est = trace_lib.divergence_fn(self.trace_mode)
 
-        def rhs(t, state):
-            x, _ = state
+        if self.trace_mode == "hutchinson" and self._fused_available():
+            from ..kernels.fused_mlp import fused_drift
 
-            def drift_of_x(xx):
-                return self.ode_drift(t, xx, conditional)
+            def rhs(t, state):
+                x, _ = state
+                c0, c1 = self._fused_coeffs(t)
+                x_dot, div = fused_drift(
+                    self.params, self.net, t, x, conditional,
+                    e=probes[0], c0=c0, c1=c1,
+                )
+                return (x_dot, div)
 
-            x_dot, div = est(drift_of_x, x, *probes)
-            return (x_dot, div)
+        else:
+
+            def rhs(t, state):
+                x, _ = state
+
+                def drift_of_x(xx):
+                    return self.ode_drift(t, xx, conditional)
+
+                x_dot, div = est(drift_of_x, x, *probes)
+                return (x_dot, div)
 
         dlp0 = jnp.zeros((x0_samples.shape[0],), x0_samples.dtype)
         (xs, dlps), stats = odeint(

@@ -80,6 +80,19 @@ class SDE:
     def diffusion(self, t: jax.Array, x: jax.Array) -> jax.Array:
         raise NotImplementedError
 
+    def drift_coefficient(self, t: jax.Array) -> jax.Array:
+        """Scalar a(t) with drift(t, x) = a(t) x.
+
+        All three families have affine (state-proportional) drift; the
+        fused Pallas kernels exploit this to fold the SDE into two scalars
+        per RHS evaluation (kernels/fused_mlp.py).
+        """
+        raise NotImplementedError
+
+    def diffusion_squared_scalar(self, t: jax.Array) -> jax.Array:
+        """Scalar g(t)^2 (the diffusion is state-independent)."""
+        raise NotImplementedError
+
     # --- prior (base density at t=T) ------------------------------------
     @property
     def prior_scale(self) -> float:
@@ -122,6 +135,14 @@ class VESDE(SDE):
         )
         return _bcast_right(g, x) * jnp.ones_like(x)
 
+    def drift_coefficient(self, t: jax.Array) -> jax.Array:
+        return jnp.zeros_like(jnp.asarray(t, jnp.float32))
+
+    def diffusion_squared_scalar(self, t: jax.Array) -> jax.Array:
+        return self.sigma(t) ** 2 * (
+            2.0 * (math.log(self.sigma_max) - math.log(self.sigma_min)) / self.T
+        )
+
     def marginal_prob_scalars(self, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
         t = jnp.asarray(t, jnp.float32)
         return jnp.ones_like(t), self.sigma(t)
@@ -160,6 +181,12 @@ class VPSDE(SDE):
     def diffusion(self, t: jax.Array, x: jax.Array) -> jax.Array:
         return _bcast_right(jnp.sqrt(self.beta(t)), x) * jnp.ones_like(x)
 
+    def drift_coefficient(self, t: jax.Array) -> jax.Array:
+        return -0.5 * self.beta(t)
+
+    def diffusion_squared_scalar(self, t: jax.Array) -> jax.Array:
+        return self.beta(t)
+
     def marginal_prob_scalars(self, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
         log_coeff = self._int_beta(t)
         # -expm1 instead of the reference's 1 - exp: equal in exact math,
@@ -182,6 +209,13 @@ class SUBVPSDE(VPSDE):
             -2.0 * self.beta_min * t - (self.beta_max - self.beta_min) * t**2 / self.T
         )
         return _bcast_right(jnp.sqrt(self.beta(t) * discount), x) * jnp.ones_like(x)
+
+    def diffusion_squared_scalar(self, t: jax.Array) -> jax.Array:
+        t = jnp.asarray(t, jnp.float32)
+        discount = -jnp.expm1(
+            -2.0 * self.beta_min * t - (self.beta_max - self.beta_min) * t**2 / self.T
+        )
+        return self.beta(t) * discount
 
     def marginal_prob_scalars(self, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
         log_coeff = self._int_beta(t)
