@@ -63,7 +63,7 @@ def supports_config(units: Sequence[int]) -> bool:
     )
 
 
-def _kernel(n_hidden: int, with_tangent: bool, d_out: int, refs):
+def _kernel(n_hidden: int, with_tangent: bool, d_out: int, compute_dtype, refs):
     """Kernel body.  Ref layout:
     [x, (e), w_in, b_eff, w_h1.., b_h1.., w_out, b_out, c0c1] -> [drift,(div)]
     """
@@ -88,36 +88,38 @@ def _kernel(n_hidden: int, with_tangent: bool, d_out: int, refs):
     c0 = c_ref[0, 0]
     c1 = c_ref[0, 1]
 
+    # Matmul operands are cast to compute_dtype (bf16 fast mode runs the
+    # MXU at full rate; f32 'parity' mode keeps the 1e-5 density contract);
+    # accumulation and all elementwise math stay f32.
+    def mm(a_, w_):
+        return jnp.dot(
+            a_.astype(compute_dtype), w_, preferred_element_type=jnp.float32
+        )
+
     x = x_ref[:]
-    a = (
-        jnp.dot(x, w_in[:], preferred_element_type=jnp.float32)
-        + b_eff[:]
-    )
+    a = mm(x, w_in[:]) + b_eff[:]
     if with_tangent:
         e = e_ref[:]
-        ta = jnp.dot(e, w_in[:], preferred_element_type=jnp.float32)
+        ta = mm(e, w_in[:])
 
     for li in range(n_hidden - 1):
         h = _silu(a)
         if with_tangent:
             ta = _dsilu(a) * ta
-        a_next = (
-            jnp.dot(h, w_hidden[li][:], preferred_element_type=jnp.float32)
-            + b_hidden[li][:]
-        )
+        a_next = mm(h, w_hidden[li][:]) + b_hidden[li][:]
         if with_tangent:
-            ta = jnp.dot(ta, w_hidden[li][:], preferred_element_type=jnp.float32)
+            ta = mm(ta, w_hidden[li][:])
         a = a_next
 
     h = _silu(a)
-    out = jnp.dot(h, w_out[:], preferred_element_type=jnp.float32) + b_out[:]
+    out = mm(h, w_out[:]) + b_out[:]
     # The kernel input may be [x | cond]; the drift's linear term and the
     # divergence only involve the first d_out (state) columns.
     drift_ref[:] = c0 * x[:, :d_out] + c1 * out
 
     if with_tangent:
         th = _dsilu(a) * ta
-        tout = jnp.dot(th, w_out[:], preferred_element_type=jnp.float32)
+        tout = mm(th, w_out[:])
         div_ref[:, 0] = c0 * jnp.float32(d_out) + c1 * jnp.sum(
             tout * e[:, :d_out], axis=-1
         )
@@ -125,7 +127,9 @@ def _kernel(n_hidden: int, with_tangent: bool, d_out: int, refs):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_hidden", "with_tangent", "d_out", "tile", "interpret"),
+    static_argnames=(
+        "n_hidden", "with_tangent", "d_out", "tile", "interpret", "compute_dtype"
+    ),
 )
 def _fused_drift_impl(
     x,
@@ -142,6 +146,7 @@ def _fused_drift_impl(
     d_out: int,
     tile: int,
     interpret: bool,
+    compute_dtype: str,
 ):
     B, D = x.shape  # D = state dims (+ conditional dims when folded in)
     H = w_in.shape[1]
@@ -178,7 +183,8 @@ def _fused_drift_impl(
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
 
-    kernel = lambda *refs: _kernel(n_hidden, with_tangent, d_out, refs)
+    cd = jnp.dtype(compute_dtype)
+    kernel = lambda *refs: _kernel(n_hidden, with_tangent, d_out, cd, refs)
     flops_per_row = 2 * H * (D + (n_hidden - 1) * H + d_out) * (2 if with_tangent else 1)
     result = pl.pallas_call(
         kernel,
@@ -205,8 +211,9 @@ def fused_drift(
     e: Optional[jax.Array] = None,
     c0: jax.Array = 0.0,
     c1: jax.Array = 1.0,
-    tile: int = 512,
+    tile: int = 1024,
     interpret: Optional[bool] = None,
+    compute_dtype: str = "float32",
 ):
     """Fused drift = c0*x + c1*net(t, x[, cond]) and optional divergence.
 
@@ -259,9 +266,10 @@ def fused_drift(
         if pad:
             e_in = jnp.pad(e_in, ((0, pad), (0, 0)))
 
+    wdt = jnp.dtype(compute_dtype)
     hidden_flat = []
     for l in layers[1:-1]:
-        hidden_flat.append(l["w"])
+        hidden_flat.append(l["w"].astype(wdt))
         hidden_flat.append(l["b"][None, :])
     c0c1 = jnp.stack(
         [jnp.asarray(c0, jnp.float32), jnp.asarray(c1, jnp.float32)]
@@ -270,10 +278,10 @@ def fused_drift(
     out = _fused_drift_impl(
         x_in,
         e_in,
-        w_in,
+        w_in.astype(wdt),
         b_eff[None, :],
         tuple(hidden_flat),
-        layers[-1]["w"],
+        layers[-1]["w"].astype(wdt),
         layers[-1]["b"][None, :],
         c0c1,
         n_hidden=n_hidden,
@@ -281,6 +289,7 @@ def fused_drift(
         d_out=D,
         tile=tile,
         interpret=interpret,
+        compute_dtype=compute_dtype,
     )
     if with_tangent:
         drift, div = out

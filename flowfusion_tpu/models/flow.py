@@ -146,12 +146,29 @@ class ODEFlow:
         atol: float = 1e-9,
         method: str = "dopri5",
         options: Optional[dict] = None,
+        gradients: bool = False,
     ) -> Tuple[jax.Array, SolverStats]:
         """Transform base samples to the target: integrate t 1 -> 0.
 
         Default tolerances are the torchdiffeq defaults, because the
-        reference forwards none (flow.py:297-306).
+        reference forwards none (flow.py:297-306).  ``gradients=True``
+        differentiates through the solve via the continuous adjoint (the
+        reference's odeint_adjoint branch, flow.py:286-295); stats None.
         """
+        if gradients:
+            from ..ops.integrate.adjoint import odeint_adjoint
+
+            def func(t, x, params):
+                m = dataclasses.replace(self, params=params)
+                return m.dynamics(t, x, conditional)
+
+            ys = odeint_adjoint(
+                func, xT, [1.0, 0.0], self.params,
+                rtol=rtol, atol=atol, method=method, options=options,
+            )
+            x0 = jax.tree_util.tree_map(lambda a: a[-1], ys)
+            return x0 * self.target_scale + self.target_shift, None
+
         ys, stats = odeint(
             lambda t, x: self.dynamics(t, x, conditional),
             xT,
@@ -173,10 +190,12 @@ class ODEFlow:
         rtol: float = 1e-5,
         method: str = "dopri5",
         options: Optional[dict] = None,
+        adjoint: bool = False,
     ) -> Tuple[jax.Array, jax.Array, SolverStats]:
         """Augmented solve t 0 -> 1 of (x, log_jacobian) (flow.py:308-384).
 
         ``x`` must already be standardized (same contract as the reference).
+        ``adjoint=True`` differentiates through the solve (stats None).
         """
         if self.trace_mode == "exact":
             probes = ()
@@ -186,13 +205,29 @@ class ODEFlow:
             probes = (trace_lib.rademacher(key, x.shape, x.dtype),)
         est = trace_lib.divergence_fn(self.trace_mode)
 
+        lj0 = jnp.zeros((x.shape[0],), x.dtype)
+
+        if adjoint:
+            from ..ops.integrate.adjoint import odeint_adjoint
+
+            def func(t, state, params):
+                m = dataclasses.replace(self, params=params)
+                xx, _ = state
+                v_of_x = lambda q: m.dynamics(t, q, conditional)
+                return est(v_of_x, xx, *probes)
+
+            xs, ljs = odeint_adjoint(
+                func, (x, lj0), [0.0, 1.0], self.params,
+                rtol=rtol, atol=atol, method=method, options=options,
+            )
+            return xs[-1], ljs[-1], None
+
         def rhs(t, state):
             xx, _ = state
             v_of_x = lambda q: self.dynamics(t, q, conditional)
             v, div = est(v_of_x, xx, *probes)
             return (v, div)
 
-        lj0 = jnp.zeros((x.shape[0],), x.dtype)
         (xs, ljs), stats = odeint(
             rhs,
             (x, lj0),
@@ -213,12 +248,13 @@ class ODEFlow:
         rtol: float = 1e-5,
         method: str = "dopri5",
         options: Optional[dict] = None,
+        adjoint: bool = False,
     ) -> Tuple[jax.Array, SolverStats]:
         """Exact CNF log-likelihood with volume correction (flow.py:386-438)."""
         x_std = (x - self.target_shift) / self.target_scale
         xT, log_jac, stats = self.solve_ode_forward(
             x_std, conditional, key=key, atol=atol, rtol=rtol,
-            method=method, options=options,
+            method=method, options=options, adjoint=adjoint,
         )
         prior = jnp.sum(-0.5 * xT**2 - 0.5 * _LOG_2PI, axis=1)
         lp = prior + log_jac - jnp.sum(jnp.log(self.target_scale))

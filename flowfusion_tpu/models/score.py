@@ -69,6 +69,11 @@ class ScoreModel:
     use_fused_kernel: Optional[bool] = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # Matmul dtype inside the fused kernel: 'float32' (parity; default) or
+    # 'bfloat16' (fast serving mode: MXU-native, ~1e-3 density accuracy).
+    kernel_compute_dtype: str = dataclasses.field(
+        default="float32", metadata=dict(static=True)
+    )
 
     # ------------------------------------------------------------------
     # fused-kernel plumbing
@@ -149,7 +154,8 @@ class ScoreModel:
                 # reverse-SDE drift f - g^2 s = c0 x + 2*c1 net
                 c0, c1 = self._fused_coeffs(t)
                 return fused_drift(
-                    self.params, self.net, t, x, conditional, c0=c0, c1=2.0 * c1
+                    self.params, self.net, t, x, conditional, c0=c0, c1=2.0 * c1,
+                    compute_dtype=self.kernel_compute_dtype,
                 )
 
         else:
@@ -177,13 +183,38 @@ class ScoreModel:
         rtol: float = 1e-4,
         method: str = "dopri5",
         options: Optional[dict] = None,
+        adjoint: bool = False,
     ) -> Tuple[jax.Array, SolverStats]:
         """Deterministic sampling: integrate the prob-flow ODE 1.0 -> epsilon.
 
         ``base_samples`` ~ N(0, 1); they are scaled by the prior scale
         (sigma_max for VESDE) before the solve (diffusion.py:605-608).
+
+        ``adjoint=True`` makes the solve differentiable w.r.t. the model
+        parameters via the O(1)-memory continuous adjoint (the reference's
+        ``odeint_adjoint`` training path, diffusion.py:620-629); stats are
+        returned as None in that mode.
         """
         z = base_samples * self.sde.prior_scale
+
+        if adjoint:
+            from ..ops.integrate.adjoint import odeint_adjoint
+
+            def func(t, x, params):
+                m = dataclasses.replace(self, params=params)
+                return m.ode_drift(t, x, conditional)
+
+            ys = odeint_adjoint(
+                func,
+                z,
+                [1.0, float(self.sde.epsilon)],
+                self.params,
+                rtol=rtol,
+                atol=atol,
+                method=method,
+                options=options,
+            )
+            return jax.tree_util.tree_map(lambda a: a[-1], ys), None
 
         if self._fused_available():
             from ..kernels.fused_mlp import fused_drift
@@ -191,7 +222,8 @@ class ScoreModel:
             def rhs(t, x):
                 c0, c1 = self._fused_coeffs(t)
                 return fused_drift(
-                    self.params, self.net, t, x, conditional, c0=c0, c1=c1
+                    self.params, self.net, t, x, conditional, c0=c0, c1=c1,
+                    compute_dtype=self.kernel_compute_dtype,
                 )
 
         else:
@@ -247,13 +279,42 @@ class ScoreModel:
         rtol: float = 1e-5,
         method: str = "dopri5",
         options: Optional[dict] = None,
+        adjoint: bool = False,
     ) -> Tuple[jax.Array, jax.Array, SolverStats]:
         """Integrate (x, dlogp) from t=epsilon to t=1 (diffusion.py:642-754).
 
         Returns (x_T, delta_logp, stats) with delta_logp of shape (B,).
+        ``adjoint=True`` gives parameter gradients through the solve
+        (stats None).
         """
         probes = self._make_probes(key, x0_samples)
         est = trace_lib.divergence_fn(self.trace_mode)
+
+        if adjoint:
+            from ..ops.integrate.adjoint import odeint_adjoint
+
+            def func(t, state, params):
+                m = dataclasses.replace(self, params=params)
+                x, _ = state
+
+                def drift_of_x(xx):
+                    return m.ode_drift(t, xx, conditional)
+
+                return est(drift_of_x, x, *probes)
+
+            dlp0 = jnp.zeros((x0_samples.shape[0],), x0_samples.dtype)
+            ys = odeint_adjoint(
+                func,
+                (x0_samples, dlp0),
+                [float(self.sde.epsilon), 1.0],
+                self.params,
+                rtol=rtol,
+                atol=atol,
+                method=method,
+                options=options,
+            )
+            xs, dlps = ys
+            return xs[-1], dlps[-1], None
 
         if self.trace_mode == "hutchinson" and self._fused_available():
             from ..kernels.fused_mlp import fused_drift
@@ -264,6 +325,7 @@ class ScoreModel:
                 x_dot, div = fused_drift(
                     self.params, self.net, t, x, conditional,
                     e=probes[0], c0=c0, c1=c1,
+                    compute_dtype=self.kernel_compute_dtype,
                 )
                 return (x_dot, div)
 
@@ -299,6 +361,7 @@ class ScoreModel:
         rtol: float = 1e-4,
         method: str = "dopri5",
         options: Optional[dict] = None,
+        adjoint: bool = False,
     ) -> Tuple[jax.Array, SolverStats]:
         """Exact CNF log-likelihood (diffusion.py:756-815).
 
@@ -315,6 +378,7 @@ class ScoreModel:
             rtol=rtol,
             method=method,
             options=options,
+            adjoint=adjoint,
         )
         lp = dlp + jnp.sum(self.sde.prior_log_prob(xT), axis=1)
         return lp, stats

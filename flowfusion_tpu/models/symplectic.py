@@ -128,22 +128,45 @@ class SymplecticFlowModel:
         shape: Tuple[int, int],
         conditional: Optional[jax.Array] = None,
         num_steps: int = 1,
+        method: str = "euler",
     ) -> jax.Array:
-        """Euler sampler t: 1 -> 0, default ONE step (symplectic.py:165-201).
+        """Sampler t: 1 -> 0, default ONE Euler step (symplectic.py:165-201).
 
         ``shape`` = (batch, n_data_dims); noise is drawn jointly for (q, p).
+
+        ``method='leapfrog'`` uses Stormer--Verlet instead (capability the
+        reference lacks): second-order and exactly volume-preserving, so
+        coarse-step sampling stays consistent with the trace-free log-prob
+        identity.  Needs num_steps >= 1; at num_steps=1 it costs 3 half
+        evaluations vs Euler's 1 full one.
         """
         batch, d = shape
         x = jax.random.normal(key, (batch, 2 * d), jnp.float32)
         cond = self._norm_cond(conditional)
-        ys = odeint_fixed(
-            lambda t, s: self.dynamics(t, s, cond),
-            x,
-            [1.0, 0.0],
-            method="euler",
-            steps_per_interval=num_steps,
-        )
-        q0 = jnp.split(ys[-1], 2, axis=-1)[0]
+
+        if method == "leapfrog":
+            from ..ops.integrate.fixed import leapfrog
+
+            q1, p1 = jnp.split(x, 2, axis=-1)
+
+            def vq(t, p):
+                joint = jnp.concatenate([jnp.zeros_like(p), p], axis=-1)
+                return jnp.split(self.dynamics(t, joint, cond), 2, axis=-1)[0]
+
+            def vp(t, q):
+                joint = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
+                return jnp.split(self.dynamics(t, joint, cond), 2, axis=-1)[1]
+
+            q0, _ = leapfrog(vq, vp, q1, p1, t0=1.0, t1=0.0, steps=num_steps)
+        else:
+            ys = odeint_fixed(
+                lambda t, s: self.dynamics(t, s, cond),
+                x,
+                [1.0, 0.0],
+                method=method,
+                steps_per_interval=num_steps,
+            )
+            q0 = jnp.split(ys[-1], 2, axis=-1)[0]
         return q0 * self.scale + self.shift
 
     def log_prob(

@@ -12,12 +12,14 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Sequence
 
 from .adaptive import SolverStats, odeint_adaptive
+from .adjoint import odeint_adjoint
 from .fixed import FIXED_METHODS, EMResult, euler_maruyama, odeint_fixed
 from .tableaus import ADAPTIVE_TABLEAUS
 
 __all__ = [
     "odeint",
     "odeint_adaptive",
+    "odeint_adjoint",
     "odeint_fixed",
     "euler_maruyama",
     "SolverStats",

@@ -58,6 +58,40 @@ FIXED_METHODS = {
 }
 
 
+def leapfrog(
+    vq_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    vp_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    q0: jax.Array,
+    p0: jax.Array,
+    *,
+    t0: float,
+    t1: float,
+    steps: int,
+):
+    """Stormer--Verlet (leapfrog) integration of a separable Hamiltonian.
+
+    dq/dt = vq(t, p), dp/dt = vp(t, q) — exactly the structure of the
+    symplectic model (models/nets.py SymplecticMLP, Toth+2020-style HGN).
+    Leapfrog is symplectic and second-order: it preserves phase-space
+    volume *exactly* step-by-step (the model's log-prob identity holds even
+    at coarse step counts), unlike the reference's first-order Euler
+    sampler (symplectic.py:191-197).  One kick-drift-kick per step under
+    ``lax.scan``.
+    """
+    dt = (t1 - t0) / steps
+    ts = t0 + dt * jnp.arange(steps, dtype=jnp.float32)
+
+    def body(carry, t):
+        q, p = carry
+        p_half = p + 0.5 * dt * vp_fn(t, q)
+        q_new = q + dt * vq_fn(t + 0.5 * dt, p_half)
+        p_new = p_half + 0.5 * dt * vp_fn(t + dt, q_new)
+        return (q_new, p_new), None
+
+    (q, p), _ = jax.lax.scan(body, (q0, p0), ts)
+    return q, p
+
+
 def odeint_fixed(
     func: Callable[[jax.Array, Any], Any],
     y0: Any,

@@ -107,3 +107,33 @@ def test_loss_finite_and_differentiable():
     assert np.isfinite(float(val))
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+
+
+def test_leapfrog_sampler_runs_and_matches_euler_at_fine_steps():
+    m = _model()
+    x_lf = m.sample(jax.random.PRNGKey(0), (256, 2), num_steps=64, method="leapfrog")
+    x_eu = m.sample(jax.random.PRNGKey(0), (256, 2), num_steps=256, method="euler")
+    # both converge to the same flow at fine steps (same joint noise draw)
+    np.testing.assert_allclose(np.asarray(x_lf), np.asarray(x_eu), atol=0.05)
+
+
+def test_leapfrog_time_reversible():
+    from flowfusion_tpu.ops.integrate.fixed import leapfrog
+
+    m = _model()
+    cond = None
+    q0 = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    p0 = jax.random.normal(jax.random.PRNGKey(2), (16, 2))
+
+    def vq(t, p):
+        joint = jnp.concatenate([jnp.zeros_like(p), p], axis=-1)
+        return jnp.split(m.dynamics(t, joint, cond), 2, axis=-1)[0]
+
+    def vp(t, q):
+        joint = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
+        return jnp.split(m.dynamics(t, joint, cond), 2, axis=-1)[1]
+
+    q1, p1 = leapfrog(vq, vp, q0, p0, t0=0.0, t1=1.0, steps=32)
+    q0b, p0b = leapfrog(vq, vp, q1, p1, t0=1.0, t1=0.0, steps=32)
+    np.testing.assert_allclose(np.asarray(q0b), np.asarray(q0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p0b), np.asarray(p0), atol=1e-4)
