@@ -1,0 +1,133 @@
+"""Conditional population-model demo at scale (Alsing+2024-style workload).
+
+Synthetic stand-in for SPS/SED population posteriors: physical parameters
+theta (6-D) whose conditional distribution p(theta | c) given observables c
+(3-D) is a curved, heteroscedastic family.  Train a conditional diffusion
+model and evaluate batch-sharded conditional densities for 1e6 points —
+BASELINE.json configs[4].
+
+Run:  python examples/demo_conditional_population.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowfusion_tpu.models.population import PopulationModelDiffusion
+from flowfusion_tpu.ops.sde import VPSDE
+from flowfusion_tpu.parallel.sharding import make_mesh, shard_batch
+from flowfusion_tpu.train import fit
+from flowfusion_tpu.utils.data import standardization_stats
+
+THETA_DIM, COND_DIM = 6, 3
+
+
+def synthetic_population(key, n):
+    """theta | c: nonlinearly shifted + scaled Gaussian family."""
+    kc, kz = jax.random.split(key)
+    c = jax.random.uniform(kc, (n, COND_DIM), minval=-1.0, maxval=1.0)
+    mean = jnp.concatenate(
+        [
+            jnp.sin(2 * c),
+            jnp.tanh(c[:, :1] * c[:, 1:2]),
+            c[:, 2:] ** 2,
+            (c[:, :1] + c[:, 2:]) / 2,
+        ],
+        axis=1,
+    )
+    scale = 0.3 + 0.2 * jax.nn.sigmoid(
+        jnp.concatenate([c, -c], axis=1)
+    )
+    z = jax.random.normal(kz, (n, THETA_DIM))
+    return mean + scale * z, c, (mean, scale)
+
+
+def analytic_log_prob(theta, mean, scale):
+    return jnp.sum(
+        -0.5 * ((theta - mean) / scale) ** 2
+        - jnp.log(scale)
+        - 0.5 * jnp.log(2 * jnp.pi),
+        axis=1,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--n-train", type=int, default=200_000)
+    ap.add_argument("--n-eval", type=int, default=1_000_000)
+    args = ap.parse_args()
+    if args.quick:
+        args.n_train, args.n_eval = 8000, 20_000
+
+    key = jax.random.PRNGKey(0)
+    k_data, k_net, k_fit, k_eval = jax.random.split(key, 4)
+
+    theta, c, _ = synthetic_population(k_data, args.n_train)
+    shift, scale = standardization_stats(theta)
+    c_shift, c_scale = standardization_stats(c)
+
+    model = PopulationModelDiffusion.create(
+        k_net,
+        VPSDE(),
+        n_dimensions=THETA_DIM,
+        n_conditionals=COND_DIM,
+        units=(128, 128, 128),
+        shift=shift,
+        scale=scale,
+        conditional_shift=c_shift,
+        conditional_scale=c_scale,
+        no_sigma=True,
+        trace_mode="hutchinson",
+    )
+
+    epochs = 5 if args.quick else 60
+    model, _ = fit(
+        model,
+        k_fit,
+        theta,
+        conditional_train=c,
+        stages=((256, 1e-3), (512, 3e-4)),
+        epochs_per_stage=epochs,
+        log_every=max(1, epochs // 3),
+    )
+
+    # ---- bulk conditional density evaluation, batch-sharded ------------
+    theta_ev, c_ev, (mean_ev, scale_ev) = synthetic_population(
+        jax.random.PRNGKey(9), args.n_eval
+    )
+    mesh = make_mesh()
+
+    def lp_fn(batch):
+        th, cc = batch
+        lp, _ = model.log_prob(
+            th, conditional=cc, key=k_eval, atol=1e-5, rtol=1e-5,
+            volume_corrected=True,
+        )
+        return lp
+
+    jfn = jax.jit(lp_fn)
+    batch = (shard_batch(theta_ev, mesh), shard_batch(c_ev, mesh))
+    lp = jfn(batch)  # compile
+    jax.block_until_ready(lp)
+    t0 = time.time()
+    lp = jfn(batch)
+    jax.block_until_ready(lp)
+    dt = time.time() - t0
+    print(f"conditional log_prob: {args.n_eval:,} evals in {dt:.2f}s "
+          f"= {args.n_eval/dt:,.0f} evals/s over {len(jax.devices())} device(s)")
+
+    truth = analytic_log_prob(theta_ev, mean_ev, scale_ev)
+    bias = float(jnp.mean(lp - truth))
+    rmse = float(jnp.sqrt(jnp.mean((lp - truth - bias) ** 2)))
+    print(f"vs analytic truth: mean offset {bias:+.3f}, scatter {rmse:.3f} nats")
+
+
+if __name__ == "__main__":
+    main()

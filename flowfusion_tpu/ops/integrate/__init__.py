@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Sequence
 
-from .adaptive import SolverStats, odeint_adaptive
+from .adaptive import SolverStats, odeint_adaptive, odeint_per_sample
 from .adjoint import odeint_adjoint
 from .fixed import FIXED_METHODS, EMResult, euler_maruyama, odeint_fixed
 from .tableaus import ADAPTIVE_TABLEAUS
@@ -19,6 +19,7 @@ from .tableaus import ADAPTIVE_TABLEAUS
 __all__ = [
     "odeint",
     "odeint_adaptive",
+    "odeint_per_sample",
     "odeint_adjoint",
     "odeint_fixed",
     "euler_maruyama",

@@ -374,3 +374,38 @@ def odeint_adaptive(
         succeeded=total_steps < cfg.max_num_steps,
     )
     return out_buf, stats
+
+
+def odeint_per_sample(
+    func: Callable[[jax.Array, Any], Any],
+    y0: Any,
+    ts: Sequence[float] | np.ndarray,
+    *,
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    method: str = "dopri5",
+    options: Optional[dict] = None,
+):
+    """Per-sample adaptive stepping: every batch row gets its own step
+    sequence (the "fast mode" of SURVEY.md §7 hard part 4).
+
+    ``func`` must be the usual *batched* RHS (leaves with a leading batch
+    axis); it is evaluated row-wise under ``vmap``, so easy rows finish in
+    few steps instead of being dragged along by the batch-global error
+    norm.  Under vmap the rows advance in lock-step with masking, so the
+    wall-clock win appears when step-count variance is high.  Returns
+    (ys, stats) with per-sample ``SolverStats``.
+    """
+
+    def solve_one(y0_row):
+        def f_single(t, y):
+            y_b = jax.tree_util.tree_map(lambda a: a[None], y)
+            out = func(t, y_b)
+            return jax.tree_util.tree_map(lambda a: a[0], out)
+
+        return odeint_adaptive(
+            f_single, y0_row, ts, rtol=rtol, atol=atol, method=method,
+            options=options,
+        )
+
+    return jax.vmap(solve_one)(y0)

@@ -187,3 +187,22 @@ def test_euler_maruyama_nan_guard():
     )
     assert bool(res.nan_encountered)
     assert np.all(np.isfinite(np.asarray(res.x_mean)))
+
+
+def test_per_sample_stepping_matches_batch_global_values():
+    from flowfusion_tpu.ops.integrate.adaptive import odeint_per_sample
+
+    def rhs(t, state):
+        x, lp = state
+        return (-x, jnp.sum(x, axis=-1))
+
+    x0 = jnp.asarray([[0.1, 0.2], [5.0, -3.0], [0.5, 0.5]])
+    lp0 = jnp.zeros((3,))
+    (xs, lps), stats = odeint_per_sample(
+        rhs, (x0, lp0), [0.0, 1.0], rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(xs[:, -1], np.asarray(x0) * np.exp(-1.0), rtol=1e-5)
+    # per-sample stats: one entry per row
+    assert stats.n_accepted.shape == (3,)
+    # the large-magnitude row must not force extra steps on the easy rows
+    assert int(stats.n_accepted[0]) <= int(stats.n_accepted[1])
