@@ -1,0 +1,254 @@
+"""Pallas TPU kernel: the ENTIRE reverse-SDE Euler--Maruyama loop, fused.
+
+The reference sampler is 100 Python-level iterations of
+net-forward + elementwise update + fresh Gaussian noise
+(/root/reference/flowfusion/diffusion.py:510-563).  The XLA `lax.scan`
+version already removes Python dispatch; this kernel removes the remaining
+HBM traffic: the state tile, every layer activation, and the noise
+generation all live in VMEM across the *whole* step loop.  Per batch tile
+the kernel:
+
+  1. seeds the per-core PRNG from (seed, program_id);
+  2. for each step (unrolled Python loop over a static step count):
+     a. reads the per-step scalars (c0, c1, g*sqrt(dt)) and the per-step
+        effective first-layer bias (time-embedding folded in, see
+        fused_mlp.py) from VMEM;
+     b. runs the score-net layer chain on the MXU;
+     c. draws N(0,1) noise via Box--Muller from pltpu.prng_random_bits;
+     d. x_mean = x + (c0 x + c1 net) dt;  x = x_mean + g sqrt(dt) z.
+  3. writes the final (x_mean, x) tile.
+
+Host-side preparation computes, for the uniform grid t_s = T + s*dt:
+  b1_eff[s]  = b1 + temb(t_s) @ W1_emb
+  coeffs[s]  = (1 + c0(t_s) dt,  c1(t_s) dt,  g(t_s) sqrt(|dt|))
+with c0/c1 the affine reverse-drift scalars (drift = c0 x + c1 net).
+
+RNG note: noise comes from the TPU hardware PRNG, not the jax.random
+stream — sample *distributions* match the lax.scan reference path, exact
+draws do not (tests are statistical; SURVEY.md §7 hard part 5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_mlp import supports_config
+
+__all__ = ["fused_em_sample", "em_prep"]
+
+_TWO_PI = 2.0 * np.pi
+
+
+def _silu(a):
+    return a * jax.nn.sigmoid(a)
+
+
+def _normal_from_bits(shape):
+    """Box--Muller on hardware random bits -> N(0,1) float32 of ``shape``."""
+    bits1 = pltpu.prng_random_bits(shape)
+    bits2 = pltpu.prng_random_bits(shape)
+    # uniforms in (0, 1]: use the top 24 bits for an exact float mantissa
+    u1 = (bits1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+    u2 = (bits2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_TWO_PI * u2)
+
+
+def _kernel(steps: int, n_hidden: int, d_out: int, compute_dtype, hw_rng, refs):
+    """Ref layout: [x0, seed(smem), (noise), coeffs, b_eff_all, w_in,
+    w_h.., b_h.., w_out, b_out] -> [x_mean, x]"""
+    i = 0
+    x_ref = refs[i]; i += 1
+    seed_ref = refs[i]; i += 1  # SMEM (1,)
+    noise_ref = None
+    if not hw_rng:
+        noise_ref = refs[i]; i += 1  # (steps, tile, D) pre-drawn noise
+    coeffs_ref = refs[i]; i += 1  # (steps, 3)  [1 + c0 dt, c1 dt, g sqrt|dt|]
+    b_eff_ref = refs[i]; i += 1  # (steps, H)
+    w_in = refs[i]; i += 1
+    w_hidden, b_hidden = [], []
+    for _ in range(n_hidden - 1):
+        w_hidden.append(refs[i]); i += 1
+        b_hidden.append(refs[i]); i += 1
+    w_out = refs[i]; i += 1
+    b_out = refs[i]; i += 1
+    mean_ref = refs[i]; i += 1
+    out_ref = refs[i]
+
+    if hw_rng:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    def mm(a_, w_):
+        return jnp.dot(
+            a_.astype(compute_dtype), w_[:], preferred_element_type=jnp.float32
+        )
+
+    def net(x, s):
+        a = mm(x, w_in) + b_eff_ref[s, :][None, :]
+        for li in range(n_hidden - 1):
+            a = mm(_silu(a), w_hidden[li]) + b_hidden[li][:]
+        return mm(_silu(a), w_out) + b_out[:]
+
+    def body(s, carry):
+        x, x_mean = carry
+        growth = coeffs_ref[s, 0]
+        c1dt = coeffs_ref[s, 1]
+        gsdt = coeffs_ref[s, 2]
+        drift_term = net(x, s)
+        new_mean = growth * x + c1dt * drift_term
+        if hw_rng:
+            z = _normal_from_bits(x.shape)
+        else:
+            z = noise_ref[s, :, :]
+        new_x = new_mean + gsdt * z
+        return (new_x, new_mean)
+
+    x0 = x_ref[:]
+    x, x_mean = jax.lax.fori_loop(0, steps, body, (x0, x0))
+    mean_ref[:] = x_mean
+    out_ref[:] = x
+
+
+def em_prep(params: dict, cfg, sde, steps: int, no_sigma: bool):
+    """Host-side per-step scalars and effective biases for the kernel."""
+    from ..models.nets import fourier_time_embedding
+
+    dt = -(sde.T - sde.epsilon) / steps
+    ts = sde.T + dt * jnp.arange(steps, dtype=jnp.float32)
+
+    c0 = sde.drift_coefficient(ts)  # (steps,)
+    g2 = sde.diffusion_squared_scalar(ts)
+    c1 = -g2  # reverse drift: f - g^2 s
+    if not no_sigma:
+        c1 = c1 / sde.sigma(ts)
+    coeffs = jnp.stack(
+        [1.0 + c0 * dt, c1 * dt, jnp.sqrt(g2) * np.sqrt(abs(dt))], axis=1
+    )  # (steps, 3)
+
+    E = cfg.embedding_dimensions
+    temb = fourier_time_embedding(ts, params["W"])  # (steps, E)
+    w1 = params["layers"][0]["w"]
+    b_eff_all = params["layers"][0]["b"][None, :] + temb @ w1[:E]  # (steps, H)
+    return coeffs, b_eff_all
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "n_hidden", "d_out", "tile", "interpret", "compute_dtype"),
+)
+def _fused_em_impl(
+    x0, seed, noise, coeffs, b_eff_all, w_in, hidden_flat, w_out, b_out,
+    *, steps, n_hidden, d_out, tile, interpret, compute_dtype,
+):
+    B, D = x0.shape
+    H = w_in.shape[1]
+    grid = (B // tile,)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    hw_rng = noise is None
+    in_specs = [
+        pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+    ]
+    operands = [x0, seed]
+    if not hw_rng:
+        in_specs.append(
+            pl.BlockSpec((steps, tile, D), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(noise)
+    in_specs += [wspec(coeffs.shape), wspec(b_eff_all.shape), wspec(w_in.shape)]
+    operands += [coeffs, b_eff_all, w_in]
+    for arr in hidden_flat:
+        in_specs.append(wspec(arr.shape))
+        operands.append(arr)
+    in_specs += [wspec(w_out.shape), wspec(b_out.shape)]
+    operands += [w_out, b_out]
+
+    kernel = lambda *refs: _kernel(
+        steps, n_hidden, d_out, jnp.dtype(compute_dtype), hw_rng, refs
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=B * steps * 2 * H * (D + (n_hidden - 1) * H + d_out),
+            bytes_accessed=B * D * 4 * 3,
+            transcendentals=B * steps * (H * n_hidden + 2 * D),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out
+
+
+def fused_em_sample(
+    params: dict,
+    cfg,
+    sde,
+    x0: jax.Array,
+    seed,
+    steps: int = 100,
+    no_sigma: bool = False,
+    tile: int = 512,
+    interpret: Optional[bool] = None,
+    compute_dtype: str = "float32",
+) -> Tuple[jax.Array, jax.Array]:
+    """Run the fused EM loop from prior samples ``x0``; returns (x_mean, x).
+
+    Unconditional models only (a conditional variant would stream the
+    conditional tile alongside x).  ``seed`` is an int32 scalar; each batch
+    tile derives an independent hardware-PRNG stream.
+    """
+    if not supports_config(cfg.units):
+        raise ValueError(f"fused EM kernel does not support units={cfg.units}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    B, D = x0.shape
+    tile = min(tile, B)
+    pad = (-B) % tile
+    if pad:
+        x0 = jnp.pad(x0, ((0, pad), (0, 0)))
+
+    coeffs, b_eff_all = em_prep(params, cfg, sde, steps, no_sigma)
+    E = cfg.embedding_dimensions
+    layers = params["layers"]
+    wdt = jnp.dtype(compute_dtype)
+    w_in = layers[0]["w"][E : E + D].astype(wdt)
+    hidden_flat = []
+    for l in layers[1:-1]:
+        hidden_flat.append(l["w"].astype(wdt))
+        hidden_flat.append(l["b"][None, :])
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    # Non-TPU backends: the interpreter stubs the hardware PRNG, so draw the
+    # noise with jax.random and stream it through the kernel instead.
+    noise = None
+    if interpret:
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed), (steps,) + x0.shape, jnp.float32
+        )
+
+    x_mean, x = _fused_em_impl(
+        x0, seed_arr, noise, coeffs, b_eff_all, w_in, tuple(hidden_flat),
+        layers[-1]["w"].astype(wdt), layers[-1]["b"][None, :],
+        steps=steps, n_hidden=len(layers) - 1, d_out=D, tile=tile,
+        interpret=interpret, compute_dtype=compute_dtype,
+    )
+    return x_mean[:B], x[:B]

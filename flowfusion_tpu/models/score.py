@@ -175,6 +175,39 @@ class ScoreModel:
             epsilon=self.sde.epsilon,
         )
 
+    def sample_sde_fused(
+        self,
+        key: jax.Array,
+        shape: Tuple[int, ...],
+        steps: int = 100,
+        compute_dtype: Optional[str] = None,
+    ) -> EMResult:
+        """Fully-fused EM sampler: the whole step loop in ONE Pallas kernel.
+
+        Fastest sampling path (kernels/em_sampler.py): state and
+        activations never leave VMEM between steps; noise comes from the
+        TPU hardware PRNG (seeded from ``key``), so draws differ from
+        ``sample_sde``'s jax.random stream while the sampled *distribution*
+        is identical.  Unconditional models with stock MLP configs only.
+        """
+        from ..kernels.em_sampler import fused_em_sample
+
+        k_prior, k_seed = jax.random.split(key)
+        x0 = self.sde.prior_sample(k_prior, shape)
+        seed = jax.random.randint(k_seed, (), 0, 2**31 - 1, jnp.int32)
+        x_mean, x = fused_em_sample(
+            self.params,
+            self.net,
+            self.sde,
+            x0,
+            seed,
+            steps=steps,
+            no_sigma=self.no_sigma,
+            compute_dtype=compute_dtype or self.kernel_compute_dtype,
+        )
+        nan = ~(jnp.all(jnp.isfinite(x_mean)) & jnp.all(jnp.isfinite(x)))
+        return EMResult(x_mean=x_mean, x=x, nan_encountered=nan)
+
     def sample_ode_from_base(
         self,
         base_samples: jax.Array,
