@@ -1,0 +1,166 @@
+"""Benchmark suite: every headline workload, plain vs fused vs bf16.
+
+Prints a table (one row per configuration) and writes
+``benchmarks/results.json``.  The single-line driver metric lives in
+``bench.py``; this suite is for humans tuning the framework.
+
+Workloads (BASELINE.md / BASELINE.json configs):
+  * probability-flow log-prob, hutchinson & (off-TPU) exact/hutchpp/xtrace
+  * Euler--Maruyama sampling (scan path and fused-kernel path)
+  * probability-flow ODE sampling
+  * DSM train step throughput
+
+Usage:  python benchmarks/bench_suite.py [--batch 50000] [--steps 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, iters=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=50_000)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--train-steps", type=int, default=200)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    if args.quick:
+        args.batch, args.steps, args.train_steps = 4096, 20, 20
+
+    from bench import build_trained_model
+
+    on_tpu = jax.default_backend() == "tpu"
+    model, x, _ = build_trained_model(jax.random.PRNGKey(0), steps=args.train_steps)
+    x = x[: args.batch]
+    n = x.shape[0]
+    results = {}
+
+    def record(name, seconds, per_what=n):
+        rate = per_what / seconds
+        results[name] = {"seconds": round(seconds, 4), "rate": round(rate, 1)}
+        print(f"{name:44s} {seconds:8.3f}s   {rate:>14,.0f}/s")
+
+    # --- log-prob -----------------------------------------------------
+    def lp(m):
+        return jax.jit(
+            lambda mm, xx, k: mm.log_prob(xx, key=k, atol=1e-5, rtol=1e-5, options=None)[0]
+        )
+
+    configs = [
+        ("logprob/hutchinson/plain-f32", dict(trace_mode="hutchinson", use_fused_kernel=False)),
+        ("logprob/hutchinson/fused-f32", dict(trace_mode="hutchinson", use_fused_kernel=True)),
+        (
+            "logprob/hutchinson/fused-bf16",
+            dict(trace_mode="hutchinson", use_fused_kernel=True, kernel_compute_dtype="bfloat16"),
+        ),
+    ]
+    if not on_tpu:
+        # exact trace crashes the remote TPU AOT compiler (see memory notes);
+        # run it off-TPU only.
+        configs.insert(0, ("logprob/exact/plain-f32", dict(use_fused_kernel=False)))
+        configs.append(("logprob/hutchpp/plain-f32", dict(trace_mode="hutchpp", hpp_rank=1, hpp_vecs=1, use_fused_kernel=False)))
+        configs.append(("logprob/xtrace/plain-f32", dict(trace_mode="xtrace", xt_vecs=2, use_fused_kernel=False)))
+
+    for name, kw in configs:
+        m = dataclasses.replace(model, **kw)
+        f = lp(m)
+        keys = iter(jax.random.split(jax.random.PRNGKey(42), 16))
+        f(m, x, next(keys))  # compile
+        best = float("inf")
+        for _ in range(3):
+            k = next(keys)
+            t0 = time.perf_counter()
+            out = f(m, x, k)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        record(name, best)
+
+    # --- EM sampling --------------------------------------------------
+    em_scan = jax.jit(
+        lambda mm, k: mm.sample_sde(k, (n, 2), steps=args.steps).x_mean
+    )
+    m_plain = dataclasses.replace(model, use_fused_kernel=False)
+    best, _ = timeit(em_scan, m_plain, jax.random.PRNGKey(0))
+    record(f"em-sample/{args.steps}steps/scan", best)
+
+    em_fused = jax.jit(
+        lambda mm, k: mm.sample_sde_fused(k, (n, 2), steps=args.steps).x_mean
+    )
+    try:
+        best, _ = timeit(em_fused, model, jax.random.PRNGKey(0))
+        record(f"em-sample/{args.steps}steps/fused-kernel", best)
+        m_bf16 = dataclasses.replace(model, kernel_compute_dtype="bfloat16")
+        best, _ = timeit(em_fused, m_bf16, jax.random.PRNGKey(0))
+        record(f"em-sample/{args.steps}steps/fused-bf16", best)
+    except Exception as e:
+        print(f"fused EM unavailable: {type(e).__name__}: {e}")
+
+    # --- ODE sampling -------------------------------------------------
+    base = jax.random.normal(jax.random.PRNGKey(5), (n, 2))
+    ode = jax.jit(lambda mm, z: mm.sample_ode_from_base(z, atol=1e-4, rtol=1e-4)[0])
+    best, _ = timeit(ode, m_plain, base)
+    record("ode-sample/plain", best)
+
+    # --- train step ---------------------------------------------------
+    import optax
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(model.params)
+    bs = 256
+
+    @jax.jit
+    def train_step(params, opt_state, key, xb):
+        def loss_fn(p):
+            m = dataclasses.replace(model, params=p)
+            return m.loss_fn(key, xb)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    xb = x[:bs]
+    params, opt_state, _ = train_step(model.params, opt_state, jax.random.PRNGKey(1), xb)
+    jax.block_until_ready(params)
+    t0 = time.perf_counter()
+    iters = 50
+    for i in range(iters):
+        params, opt_state, loss = train_step(
+            params, opt_state, jax.random.PRNGKey(i), xb
+        )
+    jax.block_until_ready(loss)
+    record(f"train-step/bs{bs}", (time.perf_counter() - t0) / iters, per_what=1)
+
+    out_path = os.path.join(os.path.dirname(__file__), "results.json")
+    with open(out_path, "w") as f:
+        json.dump(
+            {"backend": jax.default_backend(), "batch": n, "results": results}, f, indent=2
+        )
+    print(f"\nwritten: {out_path}")
+
+
+if __name__ == "__main__":
+    main()

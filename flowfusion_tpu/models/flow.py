@@ -197,12 +197,7 @@ class ODEFlow:
         ``x`` must already be standardized (same contract as the reference).
         ``adjoint=True`` differentiates through the solve (stats None).
         """
-        if self.trace_mode == "exact":
-            probes = ()
-        else:
-            if key is None:
-                raise ValueError("stochastic trace modes need a PRNG key")
-            probes = (trace_lib.rademacher(key, x.shape, x.dtype),)
+        probes = trace_lib.make_probes(self.trace_mode, key, x)
         est = trace_lib.divergence_fn(self.trace_mode)
 
         lj0 = jnp.zeros((x.shape[0],), x.dtype)

@@ -280,28 +280,10 @@ class ScoreModel:
     # ------------------------------------------------------------------
     def _make_probes(self, key: Optional[jax.Array], x: jax.Array):
         """Sample trace probes once per solve (diffusion.py:697-721)."""
-        batch = x.shape[0]
-        D = x.reshape(batch, -1).shape[1]
-        if self.trace_mode == "exact":
-            return ()
-        if key is None:
-            raise ValueError(
-                f"trace_mode={self.trace_mode!r} needs a PRNG key for its probes"
-            )
-        if self.trace_mode == "hutchinson":
-            return (trace_lib.rademacher(key, x.shape, x.dtype),)
-        if self.trace_mode == "hutchpp":
-            r = min(self.hpp_rank, D)
-            m = max(1, self.hpp_vecs)
-            ks, kg = jax.random.split(key)
-            return (
-                trace_lib.rademacher(ks, (r, batch, D), x.dtype),
-                trace_lib.rademacher(kg, (m, batch, D), x.dtype),
-            )
-        if self.trace_mode == "xtrace":
-            m = min(max(1, self.xt_vecs), D)
-            return (trace_lib.rademacher(key, (m, batch, D), x.dtype),)
-        raise ValueError(f"unknown trace_mode {self.trace_mode!r}")
+        return trace_lib.make_probes(
+            self.trace_mode, key, x,
+            hpp_rank=self.hpp_rank, hpp_vecs=self.hpp_vecs, xt_vecs=self.xt_vecs,
+        )
 
     def solve_odes_forward(
         self,

@@ -41,6 +41,7 @@ __all__ = [
     "hutchpp_divergence",
     "xtrace_divergence",
     "divergence_fn",
+    "make_probes",
 ]
 
 
@@ -162,6 +163,42 @@ def xtrace_divergence(
 
     trace_ests = trace_H[:, None] - SHS + WS * SR - TX + XHX  # (B, k)
     return x_dot, jnp.mean(trace_ests, axis=1)
+
+
+def make_probes(
+    mode: str,
+    key,
+    x: jax.Array,
+    hpp_rank: int = 1,
+    hpp_vecs: int = 1,
+    xt_vecs: int = 1,
+):
+    """Sample the probe set an estimator needs, once per solve.
+
+    Mirrors the reference's per-solve probe setup (diffusion.py:697-721):
+    'exact' -> (); 'hutchinson' -> (e,); 'hutchpp' -> (S, G);
+    'xtrace' -> (O,).  Raises if a stochastic mode is given no key.
+    """
+    if mode == "exact":
+        return ()
+    if key is None:
+        raise ValueError(f"trace mode {mode!r} needs a PRNG key for its probes")
+    batch = x.shape[0]
+    D = x.reshape(batch, -1).shape[1]
+    if mode == "hutchinson":
+        return (rademacher(key, x.shape, x.dtype),)
+    if mode == "hutchpp":
+        r = min(hpp_rank, D)
+        m = max(1, hpp_vecs)
+        ks, kg = jax.random.split(key)
+        return (
+            rademacher(ks, (r, batch, D), x.dtype),
+            rademacher(kg, (m, batch, D), x.dtype),
+        )
+    if mode == "xtrace":
+        m = min(max(1, xt_vecs), D)
+        return (rademacher(key, (m, batch, D), x.dtype),)
+    raise ValueError(f"unknown trace mode {mode!r}")
 
 
 def divergence_fn(mode: str):
