@@ -22,7 +22,12 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+_HERE = (
+    os.path.dirname(os.path.abspath(__file__))
+    if "__file__" in globals()
+    else os.path.join(os.getcwd(), "benchmarks")
+)
+sys.path.insert(0, os.path.join(_HERE, ".."))
 
 import jax
 import jax.numpy as jnp
@@ -154,7 +159,7 @@ def main():
     jax.block_until_ready(loss)
     record(f"train-step/bs{bs}", (time.perf_counter() - t0) / iters, per_what=1)
 
-    out_path = os.path.join(os.path.dirname(__file__), "results.json")
+    out_path = os.path.join(_HERE, "results.json")
     with open(out_path, "w") as f:
         json.dump(
             {"backend": jax.default_backend(), "batch": n, "results": results}, f, indent=2
