@@ -297,6 +297,86 @@ def fused_drift(
     return out[:B]
 
 
+def fused_velocity(
+    params: dict,
+    cfg,
+    t: jax.Array,
+    x: jax.Array,
+    conditional: Optional[jax.Array] = None,
+    e: Optional[jax.Array] = None,
+    tile: int = 1024,
+    interpret: Optional[bool] = None,
+    compute_dtype: str = "float32",
+):
+    """Fused flow-matching velocity net v(x, t[, c]) (+ Hutchinson tangent).
+
+    The flow nets take raw scalar time as an input *feature* appended after
+    x (models/nets.py VelocityMLPConfig; reference flow.py:110-118), so for
+    a batch-global solver time the t-column folds into a first-layer bias:
+      b_eff = b1 + t * W1[t_row]   with W1 rows ordered [x | t | cond].
+    Everything else reuses the score-net kernel with (c0, c1) = (0, 1).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    D = cfg.target_dimension
+    if not supports_config(cfg.hidden_units):
+        raise ValueError(f"fused kernel does not support units={cfg.hidden_units}")
+
+    t = jnp.asarray(t, jnp.float32).reshape(())
+    layers = params["layers"]
+    w1 = layers[0]["w"]  # (D + 1 + C, H), rows [x | t | cond]
+    b_eff = layers[0]["b"] + t * w1[D]
+    w_in_x = w1[:D]
+    if conditional is not None:
+        x_in = jnp.concatenate([x, conditional], axis=-1)
+        w_in = jnp.concatenate([w_in_x, w1[D + 1 :]], axis=0)
+    else:
+        x_in = x
+        w_in = w_in_x
+
+    B = x_in.shape[0]
+    tile = min(tile, B)
+    pad = (-B) % tile
+    if pad:
+        x_in = jnp.pad(x_in, ((0, pad), (0, 0)))
+    with_tangent = e is not None
+    e_in = None
+    if with_tangent:
+        e_in = e
+        if conditional is not None:
+            e_in = jnp.pad(e, ((0, 0), (0, conditional.shape[-1])))
+        if pad:
+            e_in = jnp.pad(e_in, ((0, pad), (0, 0)))
+
+    wdt = jnp.dtype(compute_dtype)
+    hidden_flat = []
+    for l in layers[1:-1]:
+        hidden_flat.append(l["w"].astype(wdt))
+        hidden_flat.append(l["b"][None, :])
+    c0c1 = jnp.asarray([[0.0, 1.0]], jnp.float32)
+
+    out = _fused_drift_impl(
+        x_in,
+        e_in,
+        w_in.astype(wdt),
+        b_eff[None, :],
+        tuple(hidden_flat),
+        layers[-1]["w"].astype(wdt),
+        layers[-1]["b"][None, :],
+        c0c1,
+        n_hidden=len(layers) - 1,
+        with_tangent=with_tangent,
+        d_out=D,
+        tile=tile,
+        interpret=interpret,
+        compute_dtype=compute_dtype,
+    )
+    if with_tangent:
+        v, div = out
+        return v[:B], div[:B, 0]
+    return out[:B]
+
+
 def fused_drift_reference(params, cfg, t, x, conditional=None, e=None, c0=0.0, c1=1.0):
     """Pure-XLA reference implementation (same math) for testing."""
     from ..models.nets import apply_score_mlp

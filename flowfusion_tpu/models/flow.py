@@ -65,6 +65,26 @@ class ODEFlow:
     conditional_scale: Optional[jax.Array]
     net: VelocityMLPConfig = dataclasses.field(metadata=dict(static=True))
     trace_mode: str = dataclasses.field(default="exact", metadata=dict(static=True))
+    # Fused Pallas velocity kernel (kernels/fused_mlp.fused_velocity):
+    # None = auto on TPU for stock configs; used for sampling and for
+    # hutchinson-mode likelihood solves.
+    use_fused_kernel: Optional[bool] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    kernel_compute_dtype: str = dataclasses.field(
+        default="float32", metadata=dict(static=True)
+    )
+
+    def _fused_available(self) -> bool:
+        from ..kernels.fused_mlp import supports_config
+
+        if self.use_fused_kernel is not None:
+            return self.use_fused_kernel
+        return (
+            isinstance(self.net, VelocityMLPConfig)
+            and supports_config(self.net.hidden_units)
+            and jax.default_backend() == "tpu"
+        )
 
     @classmethod
     def create(
@@ -79,6 +99,8 @@ class ODEFlow:
         conditional_shift=None,
         conditional_scale=None,
         trace_mode: str = "exact",
+        use_fused_kernel: Optional[bool] = None,
+        kernel_compute_dtype: str = "float32",
     ) -> "ODEFlow":
         from .nets import init_velocity_mlp
 
@@ -104,6 +126,8 @@ class ODEFlow:
             conditional_scale=jnp.asarray(conditional_scale, jnp.float32) if conditional_scale is not None else co,
             net=net,
             trace_mode=trace_mode,
+            use_fused_kernel=use_fused_kernel,
+            kernel_compute_dtype=kernel_compute_dtype,
         )
 
     # ------------------------------------------------------------------
@@ -169,8 +193,19 @@ class ODEFlow:
             x0 = jax.tree_util.tree_map(lambda a: a[-1], ys)
             return x0 * self.target_scale + self.target_shift, None
 
+        if self._fused_available():
+            from ..kernels.fused_mlp import fused_velocity
+
+            cond_n = self._norm_cond(conditional)
+            rhs = lambda t, x: fused_velocity(
+                self.params, self.net, t, x, cond_n,
+                compute_dtype=self.kernel_compute_dtype,
+            )
+        else:
+            rhs = lambda t, x: self.dynamics(t, x, conditional)
+
         ys, stats = odeint(
-            lambda t, x: self.dynamics(t, x, conditional),
+            rhs,
             xT,
             [1.0, 0.0],
             rtol=rtol,
@@ -217,11 +252,25 @@ class ODEFlow:
             )
             return xs[-1], ljs[-1], None
 
-        def rhs(t, state):
-            xx, _ = state
-            v_of_x = lambda q: self.dynamics(t, q, conditional)
-            v, div = est(v_of_x, xx, *probes)
-            return (v, div)
+        if self.trace_mode == "hutchinson" and self._fused_available():
+            from ..kernels.fused_mlp import fused_velocity
+
+            cond_n = self._norm_cond(conditional)
+
+            def rhs(t, state):
+                xx, _ = state
+                return fused_velocity(
+                    self.params, self.net, t, xx, cond_n, e=probes[0],
+                    compute_dtype=self.kernel_compute_dtype,
+                )
+
+        else:
+
+            def rhs(t, state):
+                xx, _ = state
+                v_of_x = lambda q: self.dynamics(t, q, conditional)
+                v, div = est(v_of_x, xx, *probes)
+                return (v, div)
 
         (xs, ljs), stats = odeint(
             rhs,

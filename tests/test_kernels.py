@@ -233,3 +233,51 @@ def test_model_sample_sde_fused_entrypoint():
     res = m.sample_sde_fused(jax.random.PRNGKey(0), (64, 2), steps=10)
     assert res.x_mean.shape == (64, 2)
     assert np.all(np.isfinite(np.asarray(res.x_mean)))
+
+
+def test_fused_velocity_matches_flow_dynamics():
+    from flowfusion_tpu.kernels.fused_mlp import fused_velocity
+    from flowfusion_tpu.models.flow import ODEFlow
+
+    flow = ODEFlow.create(
+        jax.random.PRNGKey(0), target_dimension=2, conditional_dimension=2,
+        hidden_units=(128, 128),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (48, 2))
+    c = jax.random.normal(jax.random.PRNGKey(2), (48, 2))
+    t = jnp.asarray(0.42)
+    v_ref = flow.dynamics(t, x, c)
+    v_fused = fused_velocity(
+        flow.params, flow.net, t, x, flow._norm_cond(c), interpret=INTERPRET
+    )
+    np.testing.assert_allclose(np.asarray(v_fused), np.asarray(v_ref), atol=2e-5)
+
+    e = jnp.sign(jax.random.normal(jax.random.PRNGKey(3), (48, 2)))
+    v_fused2, div = fused_velocity(
+        flow.params, flow.net, t, x, flow._norm_cond(c), e=e, interpret=INTERPRET
+    )
+    v_jvp, je = jax.jvp(lambda q: flow.dynamics(t, q, c), (x,), (e,))
+    np.testing.assert_allclose(np.asarray(v_fused2), np.asarray(v_jvp), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(div), np.sum(np.asarray(je) * np.asarray(e), -1),
+        rtol=1e-4, atol=2e-4,
+    )
+
+
+def test_flow_fused_logprob_matches_plain():
+    import dataclasses
+
+    from flowfusion_tpu.models.flow import ODEFlow
+
+    flow = ODEFlow.create(
+        jax.random.PRNGKey(0), target_dimension=2, hidden_units=(128,),
+        trace_mode="hutchinson",
+    )
+    flow_plain = dataclasses.replace(flow, use_fused_kernel=False)
+    flow_fused = dataclasses.replace(flow, use_fused_kernel=True)
+    x = jax.random.normal(jax.random.PRNGKey(4), (32, 2))
+    k = jax.random.PRNGKey(5)
+    lp_p, st_p = flow_plain.log_prob(x, key=k, atol=1e-4, rtol=1e-4)
+    lp_f, st_f = flow_fused.log_prob(x, key=k, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_p), rtol=1e-4, atol=1e-3)
+    assert int(st_p.n_accepted) == int(st_f.n_accepted)
