@@ -96,30 +96,59 @@ def _kernel(n_hidden: int, with_tangent: bool, d_out: int, compute_dtype, refs):
             a_.astype(compute_dtype), w_, preferred_element_type=jnp.float32
         )
 
+    def in_proj(v):
+        """(T, D_in) @ (D_in, H) with tiny D_in: an MXU pass at K=D_in
+        wastes a whole systolic load, so for narrow inputs accumulate
+        rank-1 outer products on the VPU instead."""
+        d_in = v.shape[-1]
+        if d_in > 8:
+            return mm(v, w_in[:])
+        acc = v[:, 0:1] * w_in[0, :][None, :]
+        for j in range(1, d_in):
+            acc = acc + v[:, j : j + 1] * w_in[j, :][None, :]
+        return acc
+
+    def out_proj(h_):
+        """(T, H) @ (H, d_out) with tiny d_out: VPU multiply + row reduce
+        per output column instead of an N=d_out MXU pass."""
+        if d_out > 8:
+            return mm(h_, w_out[:])
+        cols = [
+            jnp.sum(h_ * w_out[:, j][None, :], axis=-1, keepdims=True)
+            for j in range(d_out)
+        ]
+        return jnp.concatenate(cols, axis=-1)
+
+    # One sigmoid per layer, shared by the forward activation and the
+    # tangent derivative (the transcendental is the expensive VPU op).
+    def act_pair(a_):
+        s = jax.nn.sigmoid(a_)
+        return a_ * s, s * (1.0 + a_ * (1.0 - s))
+
     x = x_ref[:]
-    a = mm(x, w_in[:]) + b_eff[:]
+    a = in_proj(x) + b_eff[:]
     if with_tangent:
         e = e_ref[:]
-        ta = mm(e, w_in[:])
+        ta = in_proj(e)
 
     for li in range(n_hidden - 1):
-        h = _silu(a)
+        h, dh = act_pair(a)
         if with_tangent:
-            ta = _dsilu(a) * ta
+            ta = dh * ta
         a_next = mm(h, w_hidden[li][:]) + b_hidden[li][:]
         if with_tangent:
             ta = mm(ta, w_hidden[li][:])
         a = a_next
 
-    h = _silu(a)
-    out = mm(h, w_out[:]) + b_out[:]
+    h, dh = act_pair(a)
+    out = out_proj(h) + b_out[:]
     # The kernel input may be [x | cond]; the drift's linear term and the
     # divergence only involve the first d_out (state) columns.
     drift_ref[:] = c0 * x[:, :d_out] + c1 * out
 
     if with_tangent:
-        th = _dsilu(a) * ta
-        tout = mm(th, w_out[:])
+        th = dh * ta
+        tout = out_proj(th)
         div_ref[:, 0] = c0 * jnp.float32(d_out) + c1 * jnp.sum(
             tout * e[:, :d_out], axis=-1
         )
@@ -211,7 +240,7 @@ def fused_drift(
     e: Optional[jax.Array] = None,
     c0: jax.Array = 0.0,
     c1: jax.Array = 1.0,
-    tile: int = 1024,
+    tile: int = 4096,
     interpret: Optional[bool] = None,
     compute_dtype: str = "float32",
 ):
@@ -304,7 +333,7 @@ def fused_velocity(
     x: jax.Array,
     conditional: Optional[jax.Array] = None,
     e: Optional[jax.Array] = None,
-    tile: int = 1024,
+    tile: int = 4096,
     interpret: Optional[bool] = None,
     compute_dtype: str = "float32",
 ):

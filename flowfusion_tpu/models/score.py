@@ -367,6 +367,70 @@ class ScoreModel:
         )
         return xs[-1], dlps[-1], stats
 
+    def log_prob_per_sample(
+        self,
+        x0_samples: jax.Array,
+        conditional: Optional[jax.Array] = None,
+        key: Optional[jax.Array] = None,
+        atol: float = 1e-4,
+        rtol: float = 1e-4,
+        method: str = "dopri5",
+        options: Optional[dict] = None,
+    ) -> Tuple[jax.Array, SolverStats]:
+        """log_prob with per-sample adaptive stepping (fast mode).
+
+        Each row gets its own dopri5 step sequence instead of the
+        reference's batch-global stepping (ops.integrate.odeint_per_sample)
+        — same estimator, different discretization error profile.  Returns
+        (lp (B,), per-sample SolverStats).
+        """
+        from ..ops.integrate import odeint_per_sample
+
+        if self.trace_mode not in ("exact", "hutchinson"):
+            raise NotImplementedError(
+                "per-sample stepping supports trace_mode 'exact' and "
+                "'hutchinson' (sketch-based estimators are batch-coupled)"
+            )
+        if options is None:
+            options = {"min_step": 1e-6}
+
+        # Batch-shaped auxiliaries (probe, conditional) ride along in the
+        # vmapped state with zero dynamics so each row's closure sees only
+        # its own slice.
+        probes = self._make_probes(key, x0_samples)
+        e = probes[0] if probes else jnp.zeros_like(x0_samples)
+        cond = (
+            conditional
+            if conditional is not None
+            else jnp.zeros((x0_samples.shape[0], 0), x0_samples.dtype)
+        )
+        has_cond = conditional is not None
+
+        def rhs_aug(t, state):
+            x, _, e_, c_ = state
+            c_in = c_ if has_cond else None
+            f = lambda xx: self.ode_drift(t, xx, c_in)
+            if self.trace_mode == "hutchinson":
+                x_dot, div = trace_lib.hutchinson_divergence(f, x, e_)
+            else:
+                x_dot, div = trace_lib.exact_divergence(f, x)
+            return (x_dot, div, jnp.zeros_like(e_), jnp.zeros_like(c_))
+
+        dlp0 = jnp.zeros((x0_samples.shape[0],), x0_samples.dtype)
+        (xs, dlps, _, _), stats = odeint_per_sample(
+            rhs_aug,
+            (x0_samples, dlp0, e, cond),
+            [float(self.sde.epsilon), 1.0],
+            rtol=rtol,
+            atol=atol,
+            method=method,
+            options=options,
+        )
+        xT = xs[:, -1]
+        dlp = dlps[:, -1]
+        lp = dlp + jnp.sum(self.sde.prior_log_prob(xT), axis=1)
+        return lp, stats
+
     def log_prob(
         self,
         x0_samples: jax.Array,

@@ -58,8 +58,12 @@ def _rms(x: jax.Array) -> jax.Array:
 
 
 def _mixed_rms_norm(tree: Any) -> jax.Array:
-    """max over pytree leaves of per-leaf RMS — torchdiffeq's tuple norm."""
-    leaves = jax.tree_util.tree_leaves(tree)
+    """max over pytree leaves of per-leaf RMS — torchdiffeq's tuple norm.
+
+    Zero-size leaves (e.g. an empty auxiliary state component) are skipped
+    — the mean of an empty array is NaN and would poison the norm.
+    """
+    leaves = [l for l in jax.tree_util.tree_leaves(tree) if jnp.size(l) > 0]
     return jnp.max(jnp.stack([_rms(l) for l in leaves]))
 
 

@@ -159,3 +159,28 @@ def test_dsm_loss_minimized_by_true_score():
         m = ScoreModel(params={}, net=Perturbed(sde=sde, gain=gain), no_sigma=True, sde=sde)
         losses.append(float(m.loss_fn(key, x)))
     assert losses[1] < losses[0] and losses[1] < losses[2]
+
+
+def test_log_prob_per_sample_close_to_batch_global():
+    sde = VPSDE()
+    m = _analytic_model(sde, s0=0.8)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(8, 2)) * 0.8, jnp.float32)
+    lp_global, _ = m.log_prob(x, atol=1e-6, rtol=1e-6)
+    lp_per, stats = m.log_prob_per_sample(x, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lp_per), np.asarray(lp_global), atol=2e-3)
+    assert stats.n_accepted.shape == (8,)
+
+
+def test_log_prob_per_sample_hutchinson_conditional():
+    cfg = ScoreMLPConfig(n_dimensions=2, n_conditionals=1, units=(32,))
+    m = ScoreModel(
+        params=init_score_mlp(jax.random.PRNGKey(0), cfg), net=cfg, sde=VPSDE(),
+        trace_mode="hutchinson",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 2))
+    c = jnp.linspace(-1, 1, 6)[:, None]
+    lp, stats = m.log_prob_per_sample(x, conditional=c, key=jax.random.PRNGKey(2))
+    lp_g, _ = m.log_prob(x, conditional=c, key=jax.random.PRNGKey(2))
+    assert lp.shape == (6,)
+    # same probes, different stepping: values should be near
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_g), atol=5e-2)
