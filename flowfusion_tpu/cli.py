@@ -1,0 +1,212 @@
+"""Command-line interface: train, sample, and evaluate densities.
+
+The reference has no CLI (workflows live in notebooks); this provides the
+production entry points:
+
+    python -m flowfusion_tpu train   --data x.f32 --dim 2 --out ckpt.npz
+    python -m flowfusion_tpu sample  --ckpt ckpt.npz --n 50000 --out s.npy
+    python -m flowfusion_tpu logprob --ckpt ckpt.npz --data x.f32 --out lp.npy
+
+Data files are row-major float32 binaries (``utils.native_loader.write_f32``)
+or .npy arrays.  Checkpoints are self-contained .npz pytrees
+(``utils.checkpoint``): architecture hyper-parameters are stored alongside
+so ``sample``/``logprob`` need no flags repeated.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_array(path: str, dim: int | None = None) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    raw = np.fromfile(path, np.float32)
+    if dim is None:
+        raise SystemExit("--dim is required for raw .f32 files")
+    return raw.reshape(-1, dim)
+
+
+def _build_model(key, args):
+    from .models.population import PopulationModelDiffusion
+    from .ops import sde as sde_lib
+
+    sde_cls = {"vesde": sde_lib.VESDE, "vpsde": sde_lib.VPSDE, "subvpsde": sde_lib.SUBVPSDE}[
+        args.sde
+    ]
+    return PopulationModelDiffusion.create(
+        key,
+        sde_cls(),
+        n_dimensions=args.dim,
+        n_conditionals=args.cond_dim,
+        units=tuple(args.units),
+        no_sigma=args.no_sigma,
+        trace_mode=args.trace,
+    )
+
+
+def _meta_path(ckpt: str) -> str:
+    return ckpt + ".meta.json"
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .train import fit
+    from .utils import checkpoint as ckpt_lib
+    from .utils.data import standardization_stats
+
+    data = _load_array(args.data, args.dim + args.cond_dim)
+    x = jnp.asarray(data[:, : args.dim])
+    cond = jnp.asarray(data[:, args.dim :]) if args.cond_dim else None
+
+    key = jax.random.PRNGKey(args.seed)
+    k_net, k_fit = jax.random.split(key)
+    model = _build_model(k_net, args)
+
+    import dataclasses
+
+    shift, scale = standardization_stats(x)
+    model = dataclasses.replace(model, shift=shift, scale=scale)
+    if cond is not None:
+        c_shift, c_scale = standardization_stats(cond)
+        model = dataclasses.replace(
+            model, conditional_shift=c_shift, conditional_scale=c_scale
+        )
+
+    stages = tuple(
+        (int(b), float(l))
+        for b, l in (s.split(":") for s in args.stages.split(","))
+    )
+    model, results = fit(
+        model,
+        k_fit,
+        x,
+        conditional_train=cond,
+        stages=stages,
+        epochs_per_stage=args.epochs,
+        log_every=max(1, args.epochs // 5),
+    )
+    ckpt_lib.save_npz(args.out, model)
+    with open(_meta_path(args.out), "w") as f:
+        json.dump(
+            {
+                "dim": args.dim,
+                "cond_dim": args.cond_dim,
+                "units": list(args.units),
+                "sde": args.sde,
+                "no_sigma": args.no_sigma,
+                "trace": args.trace,
+                "final_train_loss": float(results[-1].train_losses[-1]),
+            },
+            f,
+        )
+    print(f"saved {args.out} (final loss {results[-1].train_losses[-1]:.4f})")
+
+
+def _restore(args):
+    import jax
+
+    from .utils import checkpoint as ckpt_lib
+
+    with open(_meta_path(args.ckpt)) as f:
+        meta = json.load(f)
+    ns = argparse.Namespace(
+        dim=meta["dim"],
+        cond_dim=meta["cond_dim"],
+        units=meta["units"],
+        sde=meta["sde"],
+        no_sigma=meta["no_sigma"],
+        trace=getattr(args, "trace", None) or meta["trace"],
+    )
+    template = _build_model(jax.random.PRNGKey(0), ns)
+    return ckpt_lib.load_npz(args.ckpt, template), meta
+
+
+def cmd_sample(args):
+    import jax
+
+    model, meta = _restore(args)
+    key = jax.random.PRNGKey(args.seed)
+    if args.method == "sde":
+        out = model.sample_sde(key, (args.n, meta["dim"]), steps=args.steps)
+    else:
+        import jax.numpy as jnp
+
+        base = jax.random.normal(key, (args.n, meta["dim"]))
+        out, _ = model.forward(base)
+    np.save(args.out, np.asarray(out))
+    print(f"saved {args.out} shape {(args.n, meta['dim'])}")
+
+
+def cmd_logprob(args):
+    import jax
+    import jax.numpy as jnp
+
+    model, meta = _restore(args)
+    x = jnp.asarray(_load_array(args.data, meta["dim"] + meta["cond_dim"]))
+    cond = x[:, meta["dim"] :] if meta["cond_dim"] else None
+    x = x[:, : meta["dim"]]
+    lp, stats = model.log_prob(
+        x,
+        conditional=cond,
+        key=jax.random.PRNGKey(args.seed),
+        atol=args.tol,
+        rtol=args.tol,
+        volume_corrected=args.volume_corrected,
+    )
+    np.save(args.out, np.asarray(lp))
+    print(
+        f"saved {args.out}; sum={float(jnp.sum(lp)):.2f} "
+        f"rhs_evals={int(stats.n_func_evals)} ok={bool(stats.succeeded)}"
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="flowfusion_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train", help="train a (conditional) diffusion model")
+    pt.add_argument("--data", required=True, help=".f32 or .npy, columns [x | cond]")
+    pt.add_argument("--dim", type=int, required=True)
+    pt.add_argument("--cond-dim", type=int, default=0)
+    pt.add_argument("--units", type=int, nargs="+", default=[128, 128, 128])
+    pt.add_argument("--sde", choices=["vesde", "vpsde", "subvpsde"], default="vesde")
+    pt.add_argument("--no-sigma", action="store_true")
+    pt.add_argument("--trace", choices=["exact", "hutchinson", "hutchpp", "xtrace"], default="exact")
+    pt.add_argument("--stages", default="32:1e-3,64:1e-4,128:1e-5,256:1e-6")
+    pt.add_argument("--epochs", type=int, default=250)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--out", required=True)
+    pt.set_defaults(fn=cmd_train)
+
+    ps = sub.add_parser("sample", help="draw samples from a checkpoint")
+    ps.add_argument("--ckpt", required=True)
+    ps.add_argument("--n", type=int, default=50_000)
+    ps.add_argument("--method", choices=["sde", "ode"], default="sde")
+    ps.add_argument("--steps", type=int, default=100)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--out", required=True)
+    ps.set_defaults(fn=cmd_sample)
+
+    pl = sub.add_parser("logprob", help="evaluate log densities")
+    pl.add_argument("--ckpt", required=True)
+    pl.add_argument("--data", required=True)
+    pl.add_argument("--tol", type=float, default=1e-5)
+    pl.add_argument("--trace", default=None)
+    pl.add_argument("--volume-corrected", action="store_true")
+    pl.add_argument("--seed", type=int, default=0)
+    pl.add_argument("--out", required=True)
+    pl.set_defaults(fn=cmd_logprob)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -240,11 +240,14 @@ def fused_drift(
     e: Optional[jax.Array] = None,
     c0: jax.Array = 0.0,
     c1: jax.Array = 1.0,
-    tile: int = 4096,
+    tile: Optional[int] = None,
     interpret: Optional[bool] = None,
     compute_dtype: str = "float32",
 ):
     """Fused drift = c0*x + c1*net(t, x[, cond]) and optional divergence.
+
+    ``tile`` default is VMEM-budgeted: the tangent path keeps roughly twice
+    the live (tile, H) activations, so it gets half the tile.
 
     ``params``/``cfg`` are a ScoreMLP parameter pytree and config
     (models/nets.py).  ``t`` must be a scalar (batch-global solver time).
@@ -281,12 +284,14 @@ def fused_drift(
         x_in = x
         w_in = w_in_x
 
+    with_tangent = e is not None
+    if tile is None:
+        tile = 1536 if with_tangent else 4096
     B = x_in.shape[0]
     tile = min(tile, B)
     pad = _round_up(B, tile) - B
     if pad:
         x_in = jnp.pad(x_in, ((0, pad), (0, 0)))
-    with_tangent = e is not None
     e_in = None
     if with_tangent:
         e_in = e
@@ -333,7 +338,7 @@ def fused_velocity(
     x: jax.Array,
     conditional: Optional[jax.Array] = None,
     e: Optional[jax.Array] = None,
-    tile: int = 4096,
+    tile: Optional[int] = None,
     interpret: Optional[bool] = None,
     compute_dtype: str = "float32",
 ):
@@ -363,12 +368,14 @@ def fused_velocity(
         x_in = x
         w_in = w_in_x
 
+    with_tangent = e is not None
+    if tile is None:
+        tile = 1536 if with_tangent else 4096
     B = x_in.shape[0]
     tile = min(tile, B)
     pad = (-B) % tile
     if pad:
         x_in = jnp.pad(x_in, ((0, pad), (0, 0)))
-    with_tangent = e is not None
     e_in = None
     if with_tangent:
         e_in = e
