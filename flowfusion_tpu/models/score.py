@@ -175,6 +175,36 @@ class ScoreModel:
             epsilon=self.sde.epsilon,
         )
 
+    def sample_dpm(
+        self,
+        base_samples: jax.Array,
+        conditional: Optional[jax.Array] = None,
+        steps: int = 12,
+        order: int = 2,
+    ) -> jax.Array:
+        """Fast deterministic sampling with DPM-Solver (beyond-reference).
+
+        Exponential integrator on the uniform log-SNR grid
+        (ops/integrate/dpm.py): matches probability-flow dopri5 samples to
+        solver accuracy in an order of magnitude fewer network
+        evaluations (order 2: 2*steps evals vs dopri5's ~6 per accepted
+        step).  ``base_samples`` ~ N(0,1), as in ``sample_ode_from_base``.
+        """
+        from ..ops.integrate.dpm import dpm_solver_sample
+
+        x_T = base_samples * self.sde.prior_scale
+
+        def eps_fn(t, x):
+            # noise prediction: eps = -eta(t) * score
+            eta = self.sde.marginal_prob_scalars(t)[1]
+            eta = jnp.reshape(eta, (-1,) + (1,) * (x.ndim - 1))
+            return -eta * self.score(t, x, conditional)
+
+        return dpm_solver_sample(
+            eps_fn, self.sde, x_T, steps=steps, order=order,
+            t_start=1.0, t_end=float(self.sde.epsilon),
+        )
+
     def sample_sde_fused(
         self,
         key: jax.Array,

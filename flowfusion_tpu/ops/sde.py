@@ -99,6 +99,16 @@ class SDE:
         """Std of the N(0, s^2) base distribution."""
         return 1.0
 
+    # --- log-SNR parametrization (exponential integrators) ---------------
+    def log_snr(self, t: jax.Array) -> jax.Array:
+        """lambda(t) = log(nu(t) / eta(t)) — the DPM-Solver half-log-SNR."""
+        nu, eta = self.marginal_prob_scalars(t)
+        return jnp.log(nu) - jnp.log(eta)
+
+    def t_of_log_snr(self, lam: jax.Array) -> jax.Array:
+        """Inverse of ``log_snr`` (defined per family)."""
+        raise NotImplementedError
+
     def prior_log_prob(self, x: jax.Array) -> jax.Array:
         """Elementwise log N(x | 0, prior_scale^2)."""
         s = self.prior_scale
@@ -147,6 +157,15 @@ class VESDE(SDE):
         t = jnp.asarray(t, jnp.float32)
         return jnp.ones_like(t), self.sigma(t)
 
+    def t_of_log_snr(self, lam: jax.Array) -> jax.Array:
+        # lambda = -log sigma(t)  =>  t = T log(e^-lam / sigma_min) / log(r)
+        sigma = jnp.exp(-lam)
+        return (
+            self.T
+            * jnp.log(sigma / self.sigma_min)
+            / math.log(self.sigma_max / self.sigma_min)
+        )
+
     @property
     def prior_scale(self) -> float:
         return self.sigma_max
@@ -194,6 +213,14 @@ class VPSDE(SDE):
         std = jnp.sqrt(-jnp.expm1(-log_coeff))
         return jnp.exp(-0.5 * log_coeff), std
 
+    def t_of_log_snr(self, lam: jax.Array) -> jax.Array:
+        # lambda = -0.5 log(e^{B} - 1)  =>  B = log1p(e^{-2 lambda});
+        # B(t) = (bmax-bmin) t^2 / (2T) + bmin t  solved for t >= 0.
+        B = jnp.log1p(jnp.exp(-2.0 * lam))
+        a = 0.5 * (self.beta_max - self.beta_min) / self.T
+        b = self.beta_min
+        return (-b + jnp.sqrt(b**2 + 4.0 * a * B)) / (2.0 * a)
+
 
 @dataclasses.dataclass(frozen=True)
 class SUBVPSDE(VPSDE):
@@ -221,3 +248,13 @@ class SUBVPSDE(VPSDE):
         log_coeff = self._int_beta(t)
         std = -jnp.expm1(-log_coeff)
         return jnp.exp(-0.5 * log_coeff), std
+
+    def t_of_log_snr(self, lam: jax.Array) -> jax.Array:
+        # eta = 1 - e^{-B}: with u = e^{-B/2}, e^lam = u / (1 - u^2)
+        #  =>  u = (sqrt(1 + 4 e^{2 lam}) - 1) / (2 e^lam),  B = -2 log u.
+        r = jnp.exp(lam)
+        u = (jnp.sqrt(1.0 + 4.0 * r**2) - 1.0) / (2.0 * r)
+        B = -2.0 * jnp.log(u)
+        a = 0.5 * (self.beta_max - self.beta_min) / self.T
+        b = self.beta_min
+        return (-b + jnp.sqrt(b**2 + 4.0 * a * B)) / (2.0 * a)
