@@ -63,10 +63,17 @@ def supports_config(units: Sequence[int]) -> bool:
     )
 
 
-def _kernel(n_hidden: int, with_tangent: bool, d_out: int, compute_dtype, refs):
+def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, refs):
     """Kernel body.  Ref layout:
     [x, (e), w_in, b_eff, w_h1.., b_h1.., w_out, b_out, c0c1] -> [drift,(div)]
+
+    ``mode``: 'forward' (drift only), 'hutchinson' (one probe tangent
+    chain), or 'exact' (d_out basis tangent chains; the basis tangent
+    through the input projection is just row d of w_in, so the exact
+    divergence costs d_out extra hidden chains and no probe input).
     """
+    with_tangent = mode == "hutchinson"
+    with_div = mode != "forward"
     i = 0
     x_ref = refs[i]; i += 1
     e_ref = None
@@ -83,7 +90,7 @@ def _kernel(n_hidden: int, with_tangent: bool, d_out: int, compute_dtype, refs):
     b_out = refs[i]; i += 1
     c_ref = refs[i]; i += 1  # SMEM (1, 2): c0, c1
     drift_ref = refs[i]; i += 1
-    div_ref = refs[i] if with_tangent else None
+    div_ref = refs[i] if with_div else None
 
     c0 = c_ref[0, 0]
     c1 = c_ref[0, 1]
@@ -129,16 +136,22 @@ def _kernel(n_hidden: int, with_tangent: bool, d_out: int, compute_dtype, refs):
     a = in_proj(x) + b_eff[:]
     if with_tangent:
         e = e_ref[:]
-        ta = in_proj(e)
+        tangents = [in_proj(e)]
+    elif mode == "exact":
+        # basis tangent e_d -> in_proj(e_d) = w_in row d, broadcast over T
+        tangents = [
+            jnp.broadcast_to(
+                w_in[d, :][None, :].astype(jnp.float32), a.shape
+            )
+            for d in range(d_out)
+        ]
+    else:
+        tangents = []
 
     for li in range(n_hidden - 1):
         h, dh = act_pair(a)
-        if with_tangent:
-            ta = dh * ta
-        a_next = mm(h, w_hidden[li][:]) + b_hidden[li][:]
-        if with_tangent:
-            ta = mm(ta, w_hidden[li][:])
-        a = a_next
+        tangents = [mm(dh * ta, w_hidden[li][:]) for ta in tangents]
+        a = mm(h, w_hidden[li][:]) + b_hidden[li][:]
 
     h, dh = act_pair(a)
     out = out_proj(h) + b_out[:]
@@ -147,17 +160,22 @@ def _kernel(n_hidden: int, with_tangent: bool, d_out: int, compute_dtype, refs):
     drift_ref[:] = c0 * x[:, :d_out] + c1 * out
 
     if with_tangent:
-        th = dh * ta
-        tout = out_proj(th)
+        tout = out_proj(dh * tangents[0])
         div_ref[:, 0] = c0 * jnp.float32(d_out) + c1 * jnp.sum(
             tout * e[:, :d_out], axis=-1
         )
+    elif mode == "exact":
+        acc = jnp.zeros((x.shape[0],), jnp.float32)
+        for d in range(d_out):
+            tout = out_proj(dh * tangents[d])
+            acc = acc + tout[:, d]
+        div_ref[:, 0] = c0 * jnp.float32(d_out) + c1 * acc
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_hidden", "with_tangent", "d_out", "tile", "interpret", "compute_dtype"
+        "n_hidden", "mode", "d_out", "tile", "interpret", "compute_dtype"
     ),
 )
 def _fused_drift_impl(
@@ -171,12 +189,14 @@ def _fused_drift_impl(
     c0c1,
     *,
     n_hidden: int,
-    with_tangent: bool,
+    mode: str,
     d_out: int,
     tile: int,
     interpret: bool,
     compute_dtype: str,
 ):
+    with_tangent = mode == "hutchinson"
+    with_div = mode != "forward"
     B, D = x.shape  # D = state dims (+ conditional dims when folded in)
     H = w_in.shape[1]
     grid = (B // tile,)
@@ -206,15 +226,16 @@ def _fused_drift_impl(
     out_specs = [
         pl.BlockSpec((tile, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ]
-    if with_tangent:
+    if with_div:
         out_shape.append(jax.ShapeDtypeStruct((B, 1), jnp.float32))
         out_specs.append(
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
 
     cd = jnp.dtype(compute_dtype)
-    kernel = lambda *refs: _kernel(n_hidden, with_tangent, d_out, cd, refs)
-    flops_per_row = 2 * H * (D + (n_hidden - 1) * H + d_out) * (2 if with_tangent else 1)
+    kernel = lambda *refs: _kernel(n_hidden, mode, d_out, cd, refs)
+    n_chains = 1 + (1 if with_tangent else (d_out if mode == "exact" else 0))
+    flops_per_row = 2 * H * (D + (n_hidden - 1) * H + d_out) * n_chains
     result = pl.pallas_call(
         kernel,
         grid=grid,
@@ -238,6 +259,7 @@ def fused_drift(
     x: jax.Array,
     conditional: Optional[jax.Array] = None,
     e: Optional[jax.Array] = None,
+    exact_divergence: bool = False,
     c0: jax.Array = 0.0,
     c1: jax.Array = 1.0,
     tile: Optional[int] = None,
@@ -245,6 +267,10 @@ def fused_drift(
     compute_dtype: str = "float32",
 ):
     """Fused drift = c0*x + c1*net(t, x[, cond]) and optional divergence.
+
+    Divergence modes: pass ``e`` for the Hutchinson estimate, or
+    ``exact_divergence=True`` for the exact trace via d_out basis-tangent
+    chains (no probe; d_out extra hidden chains of compute).
 
     ``tile`` default is VMEM-budgeted: the tangent path keeps roughly twice
     the live (tile, H) activations, so it gets half the tile.
@@ -284,9 +310,17 @@ def fused_drift(
         x_in = x
         w_in = w_in_x
 
-    with_tangent = e is not None
+    if e is not None and exact_divergence:
+        raise ValueError("pass a probe e OR exact_divergence, not both")
+    mode = "hutchinson" if e is not None else ("exact" if exact_divergence else "forward")
+    with_tangent = mode == "hutchinson"
     if tile is None:
-        tile = 1536 if with_tangent else 4096
+        if mode == "forward":
+            tile = 4096
+        elif mode == "hutchinson":
+            tile = 1536
+        else:  # exact: 1 forward + d_out tangent chains of live activations
+            tile = max(256, (3072 // (1 + D)) // 256 * 256)
     B = x_in.shape[0]
     tile = min(tile, B)
     pad = _round_up(B, tile) - B
@@ -319,13 +353,13 @@ def fused_drift(
         layers[-1]["b"][None, :],
         c0c1,
         n_hidden=n_hidden,
-        with_tangent=with_tangent,
+        mode=mode,
         d_out=D,
         tile=tile,
         interpret=interpret,
         compute_dtype=compute_dtype,
     )
-    if with_tangent:
+    if mode != "forward":
         drift, div = out
         return drift[:B], div[:B, 0]
     return out[:B]
@@ -401,7 +435,7 @@ def fused_velocity(
         layers[-1]["b"][None, :],
         c0c1,
         n_hidden=len(layers) - 1,
-        with_tangent=with_tangent,
+        mode="hutchinson" if with_tangent else "forward",
         d_out=D,
         tile=tile,
         interpret=interpret,

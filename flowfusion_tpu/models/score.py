@@ -361,7 +361,7 @@ class ScoreModel:
             xs, dlps = ys
             return xs[-1], dlps[-1], None
 
-        if self.trace_mode == "hutchinson" and self._fused_available():
+        if self.trace_mode in ("hutchinson", "exact") and self._fused_available():
             from ..kernels.fused_mlp import fused_drift
 
             def rhs(t, state):
@@ -369,7 +369,9 @@ class ScoreModel:
                 c0, c1 = self._fused_coeffs(t)
                 x_dot, div = fused_drift(
                     self.params, self.net, t, x, conditional,
-                    e=probes[0], c0=c0, c1=c1,
+                    e=probes[0] if self.trace_mode == "hutchinson" else None,
+                    exact_divergence=self.trace_mode == "exact",
+                    c0=c0, c1=c1,
                     compute_dtype=self.kernel_compute_dtype,
                 )
                 return (x_dot, div)

@@ -281,3 +281,45 @@ def test_flow_fused_logprob_matches_plain():
     lp_f, st_f = flow_fused.log_prob(x, key=k, atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_p), rtol=1e-4, atol=1e-3)
     assert int(st_p.n_accepted) == int(st_f.n_accepted)
+
+
+def test_fused_exact_divergence_matches_reference():
+    cfg, params = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(9), (48, 2))
+    t = jnp.asarray(0.6)
+    drift, div = fused_drift(
+        params, cfg, t, x, exact_divergence=True, c0=-0.2, c1=1.1,
+        tile=48, interpret=INTERPRET,
+    )
+    from flowfusion_tpu.models.nets import apply_score_mlp
+    from flowfusion_tpu.ops.trace import exact_divergence
+
+    def net(xx):
+        return apply_score_mlp(cfg, params, jnp.full((48,), 0.6), xx)
+
+    out, div_net = exact_divergence(net, x)
+    np.testing.assert_allclose(
+        np.asarray(drift), -0.2 * np.asarray(x) + 1.1 * np.asarray(out), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(div), -0.2 * 2 + 1.1 * np.asarray(div_net), rtol=1e-4, atol=2e-4
+    )
+
+
+def test_fused_exact_logprob_path_matches_unfused():
+    import dataclasses
+
+    from flowfusion_tpu.models.score import ScoreModel
+    from flowfusion_tpu.ops.sde import VPSDE
+
+    cfg, params = _setup(units=(128,))
+    m_plain = ScoreModel(
+        params=params, net=cfg, sde=VPSDE(), trace_mode="exact",
+        use_fused_kernel=False,
+    )
+    m_fused = dataclasses.replace(m_plain, use_fused_kernel=True)
+    x = jax.random.normal(jax.random.PRNGKey(11), (32, 2))
+    lp_p, st_p = m_plain.log_prob(x, atol=1e-4, rtol=1e-4)
+    lp_f, st_f = m_fused.log_prob(x, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_p), rtol=1e-4, atol=1e-3)
+    assert int(st_p.n_accepted) == int(st_f.n_accepted)
