@@ -41,15 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_drift", "fused_drift_reference", "supports_config"]
 
 
-def _silu(a):
-    return a * jax.nn.sigmoid(a)
-
-
-def _dsilu(a):
-    s = jax.nn.sigmoid(a)
-    return s * (1.0 + a * (1.0 - s))
-
-
 def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
