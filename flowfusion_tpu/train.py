@@ -129,21 +129,35 @@ def fit(
     loss_fn: LossFn = _default_loss,
     optimizer: str = "adam",
     log_every: Optional[int] = None,
+    ema_decay: Optional[float] = None,
 ) -> Tuple[Any, list]:
     """Staged training loop (notebook parity: fresh optimizer per stage).
 
     Each epoch is ONE jitted ``lax.scan`` over the shuffled minibatches —
     no per-step Python dispatch.  Returns (trained_model, [StageResult...]).
+
+    ``ema_decay`` (e.g. 0.999) maintains an exponential moving average of
+    the model and returns the EMA weights as the trained model — the
+    standard variance-reduction trick for score models (a capability the
+    reference's notebook loops lack).  Validation losses are evaluated on
+    the EMA model when enabled.
     """
     n = x_train.shape[0]
     results = []
+    # The epoch step donates its carry for buffer reuse; copy the caller's
+    # model (and the EMA tree) so donation never deletes the caller's arrays.
+    copy_tree = lambda t: jax.tree_util.tree_map(
+        lambda a: jnp.array(a, copy=True), t
+    )
+    model = copy_tree(model)
+    ema = copy_tree(model) if ema_decay else None
 
     for batch_size, lr in stages:
         tx = make_optimizer(lr, model, optimizer=optimizer)
         steps_per_epoch = n // batch_size
         has_cond = conditional_train is not None
 
-        def epoch_fn(state, epoch_key, x_all, cond_all):
+        def epoch_fn(state, ema_model, epoch_key, x_all, cond_all):
             kperm, kscan = jax.random.split(epoch_key)
             perm = jax.random.permutation(kperm, n)[: steps_per_epoch * batch_size]
             xb = x_all[perm].reshape(steps_per_epoch, batch_size, -1)
@@ -153,7 +167,8 @@ def fit(
                 else None
             )
 
-            def body(state, inp):
+            def body(carry, inp):
+                state, ema_m = carry
                 if has_cond:
                     k, bx, bcond = inp
                 else:
@@ -165,14 +180,20 @@ def fit(
                 loss, grads = jax.value_and_grad(loss_of_model)(state.model)
                 updates, opt_state = tx.update(grads, state.opt_state, state.model)
                 new_model = optax.apply_updates(state.model, updates)
-                return TrainState(new_model, opt_state, state.step + 1), loss
+                if ema_decay:
+                    ema_m = jax.tree_util.tree_map(
+                        lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                        ema_m,
+                        new_model,
+                    )
+                return (TrainState(new_model, opt_state, state.step + 1), ema_m), loss
 
             keys = jax.random.split(kscan, steps_per_epoch)
             xs = (keys, xb, cb) if has_cond else (keys, xb)
-            state, losses = jax.lax.scan(body, state, xs)
-            return state, jnp.mean(losses)
+            (state, ema_model), losses = jax.lax.scan(body, (state, ema_model), xs)
+            return state, ema_model, jnp.mean(losses)
 
-        epoch_jit = jax.jit(epoch_fn, donate_argnums=(0,))
+        epoch_jit = jax.jit(epoch_fn, donate_argnums=(0, 1))
         val_loss_jit = (
             jax.jit(lambda m, k: loss_fn(m, k, x_val, conditional_val))
             if x_val is not None
@@ -184,9 +205,13 @@ def fit(
         tl, vl = [], []
         for e in range(epochs_per_stage):
             key, ke, kv = jax.random.split(key, 3)
-            state, loss = epoch_jit(state, ke, x_train, conditional_train)
+            state, ema, loss = epoch_jit(state, ema, ke, x_train, conditional_train)
             tl.append(float(loss))
-            vl.append(float(val_loss_jit(state.model, kv)) if val_loss_jit else np.nan)
+            if val_loss_jit:
+                val_model = ema if ema_decay else state.model
+                vl.append(float(val_loss_jit(val_model, kv)))
+            else:
+                vl.append(np.nan)
             if log_every and (e + 1) % log_every == 0:
                 print(
                     f"[bs={batch_size} lr={lr:.0e}] epoch {e+1}/{epochs_per_stage}"
@@ -196,4 +221,4 @@ def fit(
         results.append(
             StageResult(batch_size, lr, np.asarray(tl), np.asarray(vl))
         )
-    return model, results
+    return (ema if ema_decay else model), results

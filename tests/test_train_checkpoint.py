@@ -148,3 +148,24 @@ def test_make_optimizer_zeroes_frozen_updates():
             assert float(jnp.max(jnp.abs(u))) == 0.0, name
         else:
             assert float(jnp.max(jnp.abs(u))) > 0.0, name
+
+
+def test_fit_with_ema_returns_smoothed_model():
+    m = _model()
+    x = DEMO_GMM.sample(jax.random.PRNGKey(1), 1024)
+    m_ema, _ = fit(
+        m, jax.random.PRNGKey(2), x, stages=((128, 1e-3),), epochs_per_stage=3,
+        ema_decay=0.9,
+    )
+    m_raw, _ = fit(
+        m, jax.random.PRNGKey(2), x, stages=((128, 1e-3),), epochs_per_stage=3,
+    )
+    # same seed, same steps: EMA weights differ from raw weights but both
+    # differ from the init
+    a = np.concatenate([np.ravel(l) for l in jax.tree_util.tree_leaves(m_ema.score_model.params)])
+    b = np.concatenate([np.ravel(l) for l in jax.tree_util.tree_leaves(m_raw.score_model.params)])
+    c = np.concatenate([np.ravel(l) for l in jax.tree_util.tree_leaves(m.score_model.params)])
+    assert not np.allclose(a, b)
+    assert not np.allclose(a, c)
+    # EMA is between init and final raw weights (smoothing)
+    assert np.linalg.norm(a - c) < np.linalg.norm(b - c) + 1e-3
