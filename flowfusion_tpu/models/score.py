@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..ops import losses as losses_lib
 from ..ops import trace as trace_lib
 from ..ops.integrate import EMResult, SolverStats, euler_maruyama, odeint
-from ..ops.sde import SDE, VESDE
+from ..ops.sde import SDE
 from .nets import ScoreMLPConfig
 
 __all__ = ["ScoreModel"]

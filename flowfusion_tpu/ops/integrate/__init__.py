@@ -9,7 +9,7 @@ solvers (euler, midpoint, heun3, rk4) by method name, mirroring the
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Optional
 
 from .adaptive import SolverStats, odeint_adaptive, odeint_per_sample
 from .adjoint import odeint_adjoint

@@ -19,7 +19,7 @@ from __future__ import annotations
 import io
 import json
 import os
-import zipfile
+
 from typing import Any
 
 import jax

@@ -11,7 +11,7 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np
