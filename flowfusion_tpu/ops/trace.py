@@ -125,6 +125,30 @@ def hutchpp_divergence(
     return x_dot, trace_lr + trace_res / float(m)
 
 
+def _tri_inv_upper(R: jax.Array) -> jax.Array:
+    """Batched inverse of small upper-triangular matrices (B, k, k).
+
+    Unrolled back-substitution over the static (small) k — pure
+    elementwise arithmetic, so it lowers cleanly on TPU where
+    ``solve_triangular`` inside a solver loop faults the runtime.
+    """
+    k = R.shape[-1]
+    cols = []
+    for j in range(k):
+        xcol = [None] * k  # column j of inv(R): entries (B,)
+        for i in range(k - 1, -1, -1):
+            if i > j:
+                xcol[i] = jnp.zeros(R.shape[0], R.dtype)
+                continue
+            rhs = jnp.float32(1.0 if i == j else 0.0)
+            acc = rhs
+            for m in range(i + 1, j + 1):
+                acc = acc - R[:, i, m] * xcol[m]
+            xcol[i] = acc / R[:, i, i]
+        cols.append(jnp.stack(xcol, axis=1))  # (B, k)
+    return jnp.stack(cols, axis=2)  # (B, k, k)
+
+
 def xtrace_divergence(
     f: Callable[[jax.Array], jax.Array], x: jax.Array, O: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
@@ -147,8 +171,7 @@ def xtrace_divergence(
     W = jnp.einsum("bdk,mbd->bkm", Q, O)
     T = jnp.einsum("bdk,mbd->bkm", AQ, O)
 
-    eye = jnp.broadcast_to(jnp.eye(k, dtype=x.dtype), (R.shape[0], k, k))
-    S_t = jax.scipy.linalg.solve_triangular(R, eye, lower=False)  # (B, k, k)
+    S_t = _tri_inv_upper(R)  # (B, k, k) == solve_triangular(R, I)
     S_t = S_t / jnp.linalg.norm(S_t, axis=-1, keepdims=True)
     S = jnp.transpose(S_t, (0, 2, 1))  # (B, m, k)
 
