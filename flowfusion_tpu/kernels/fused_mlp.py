@@ -54,7 +54,20 @@ def supports_config(units: Sequence[int]) -> bool:
     )
 
 
-def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, refs):
+
+def _grid_plan(B: int, tile: int, max_sub: int = 16):
+    """(tile, n_sub, padded_B): pack up to ``max_sub`` compute sub-tiles
+    into each grid step (amortizes per-grid-step overhead) while keeping
+    padding small."""
+    tile = min(tile, B)
+    n_tiles = -(-B // tile)
+    grid_steps = -(-n_tiles // max_sub)
+    n_sub = -(-n_tiles // grid_steps)
+    padded = grid_steps * n_sub * tile
+    return tile, n_sub, padded
+
+
+def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile, refs):
     """Kernel body.  Ref layout:
     [x, (e), w_in, b_eff, w_h1.., b_h1.., w_out, b_out, c0c1] -> [drift,(div)]
 
@@ -62,6 +75,11 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, refs):
     chain), or 'exact' (d_out basis tangent chains; the basis tangent
     through the input projection is just row d of w_in, so the exact
     divergence costs d_out extra hidden chains and no probe input).
+
+    Each grid step owns a (n_sub * subtile, D) block and loops over its
+    ``subtile``-row chunks internally — per-grid-step fixed overhead
+    (~10 us of window/semaphore bookkeeping on this hardware) would
+    otherwise dominate for large batches of tiny-D states.
     """
     with_tangent = mode == "hutchinson"
     with_div = mode != "forward"
@@ -123,50 +141,55 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, refs):
         s = jax.nn.sigmoid(a_)
         return a_ * s, s * (1.0 + a_ * (1.0 - s))
 
-    x = x_ref[:]
-    a = in_proj(x) + b_eff[:]
-    if with_tangent:
-        e = e_ref[:]
-        tangents = [in_proj(e)]
-    elif mode == "exact":
-        # basis tangent e_d -> in_proj(e_d) = w_in row d, broadcast over T
-        tangents = [
-            jnp.broadcast_to(
-                w_in[d, :][None, :].astype(jnp.float32), a.shape
-            )
-            for d in range(d_out)
-        ]
-    else:
-        tangents = []
+    def compute_chunk(ci, _):
+        sl = pl.ds(ci * subtile, subtile)
+        x = x_ref[sl, :]
+        a = in_proj(x) + b_eff[:]
+        if with_tangent:
+            e = e_ref[sl, :]
+            tangents = [in_proj(e)]
+        elif mode == "exact":
+            # basis tangent e_d -> in_proj(e_d) = w_in row d, broadcast
+            tangents = [
+                jnp.broadcast_to(
+                    w_in[d, :][None, :].astype(jnp.float32), a.shape
+                )
+                for d in range(d_out)
+            ]
+        else:
+            tangents = []
 
-    for li in range(n_hidden - 1):
+        for li in range(n_hidden - 1):
+            h, dh = act_pair(a)
+            tangents = [mm(dh * ta, w_hidden[li][:]) for ta in tangents]
+            a = mm(h, w_hidden[li][:]) + b_hidden[li][:]
+
         h, dh = act_pair(a)
-        tangents = [mm(dh * ta, w_hidden[li][:]) for ta in tangents]
-        a = mm(h, w_hidden[li][:]) + b_hidden[li][:]
+        out = out_proj(h) + b_out[:]
+        # Kernel input may be [x | cond]; the drift's linear term and the
+        # divergence only involve the first d_out (state) columns.
+        drift_ref[sl, :] = c0 * x[:, :d_out] + c1 * out
 
-    h, dh = act_pair(a)
-    out = out_proj(h) + b_out[:]
-    # The kernel input may be [x | cond]; the drift's linear term and the
-    # divergence only involve the first d_out (state) columns.
-    drift_ref[:] = c0 * x[:, :d_out] + c1 * out
+        if with_tangent:
+            tout = out_proj(dh * tangents[0])
+            div_ref[sl, 0] = c0 * jnp.float32(d_out) + c1 * jnp.sum(
+                tout * e[:, :d_out], axis=-1
+            )
+        elif mode == "exact":
+            acc = jnp.zeros((subtile,), jnp.float32)
+            for d in range(d_out):
+                tout = out_proj(dh * tangents[d])
+                acc = acc + tout[:, d]
+            div_ref[sl, 0] = c0 * jnp.float32(d_out) + c1 * acc
+        return 0
 
-    if with_tangent:
-        tout = out_proj(dh * tangents[0])
-        div_ref[:, 0] = c0 * jnp.float32(d_out) + c1 * jnp.sum(
-            tout * e[:, :d_out], axis=-1
-        )
-    elif mode == "exact":
-        acc = jnp.zeros((x.shape[0],), jnp.float32)
-        for d in range(d_out):
-            tout = out_proj(dh * tangents[d])
-            acc = acc + tout[:, d]
-        div_ref[:, 0] = c0 * jnp.float32(d_out) + c1 * acc
+    jax.lax.fori_loop(0, n_sub, compute_chunk, 0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_hidden", "mode", "d_out", "tile", "interpret", "compute_dtype"
+        "n_hidden", "mode", "d_out", "tile", "n_sub", "interpret", "compute_dtype"
     ),
 )
 def _fused_drift_impl(
@@ -183,6 +206,7 @@ def _fused_drift_impl(
     mode: str,
     d_out: int,
     tile: int,
+    n_sub: int,
     interpret: bool,
     compute_dtype: str,
 ):
@@ -190,10 +214,11 @@ def _fused_drift_impl(
     with_div = mode != "forward"
     B, D = x.shape  # D = state dims (+ conditional dims when folded in)
     H = w_in.shape[1]
-    grid = (B // tile,)
+    block = tile * n_sub  # rows owned per grid step (B is padded to this)
+    grid = (B // block,)
 
     def batch_spec():
-        return pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((block, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     def weight_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -215,16 +240,16 @@ def _fused_drift_impl(
 
     out_shape = [jax.ShapeDtypeStruct((B, d_out), jnp.float32)]
     out_specs = [
-        pl.BlockSpec((tile, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((block, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ]
     if with_div:
         out_shape.append(jax.ShapeDtypeStruct((B, 1), jnp.float32))
         out_specs.append(
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
 
     cd = jnp.dtype(compute_dtype)
-    kernel = lambda *refs: _kernel(n_hidden, mode, d_out, cd, refs)
+    kernel = lambda *refs: _kernel(n_hidden, mode, d_out, cd, n_sub, tile, refs)
     n_chains = 1 + (1 if with_tangent else (d_out if mode == "exact" else 0))
     flops_per_row = 2 * H * (D + (n_hidden - 1) * H + d_out) * n_chains
     result = pl.pallas_call(
@@ -313,8 +338,8 @@ def fused_drift(
         else:  # exact: 1 forward + d_out tangent chains of live activations
             tile = max(256, (3072 // (1 + D)) // 256 * 256)
     B = x_in.shape[0]
-    tile = min(tile, B)
-    pad = _round_up(B, tile) - B
+    tile, n_sub, padded = _grid_plan(B, tile)
+    pad = padded - B
     if pad:
         x_in = jnp.pad(x_in, ((0, pad), (0, 0)))
     e_in = None
@@ -347,6 +372,7 @@ def fused_drift(
         mode=mode,
         d_out=D,
         tile=tile,
+        n_sub=n_sub,
         interpret=interpret,
         compute_dtype=compute_dtype,
     )
@@ -397,8 +423,8 @@ def fused_velocity(
     if tile is None:
         tile = 1536 if with_tangent else 4096
     B = x_in.shape[0]
-    tile = min(tile, B)
-    pad = (-B) % tile
+    tile, n_sub, padded = _grid_plan(B, tile)
+    pad = padded - B
     if pad:
         x_in = jnp.pad(x_in, ((0, pad), (0, 0)))
     e_in = None
@@ -429,6 +455,7 @@ def fused_velocity(
         mode="hutchinson" if with_tangent else "forward",
         d_out=D,
         tile=tile,
+        n_sub=n_sub,
         interpret=interpret,
         compute_dtype=compute_dtype,
     )
