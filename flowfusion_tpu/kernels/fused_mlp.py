@@ -69,40 +69,44 @@ def _grid_plan(B: int, tile: int, max_sub: int = 16):
 
 def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile, refs):
     """Kernel body.  Ref layout:
-    [x, (e), w_in, b_eff, w_h1.., b_h1.., w_out, b_out, c0c1] -> [drift,(div)]
+    [xT, (eT), w_in, b_eff, w_h1.., b_h1.., w_out, b_out, c0c1]
+      -> [driftT, (div)]
 
     ``mode``: 'forward' (drift only), 'hutchinson' (one probe tangent
     chain), or 'exact' (d_out basis tangent chains; the basis tangent
     through the input projection is just row d of w_in, so the exact
     divergence costs d_out extra hidden chains and no probe input).
 
-    Each grid step owns a (n_sub * subtile, D) block and loops over its
-    ``subtile``-row chunks internally — per-grid-step fixed overhead
-    (~10 us of window/semaphore bookkeeping on this hardware) would
-    otherwise dominate for large batches of tiny-D states.
+    Layout: the batch lives in the LANE dimension — x arrives transposed
+    as (D_in, block) and drift leaves as (d_out, block).  A (block, 2)
+    VMEM buffer would be lane-padded to 128 (64x memory waste, the VMEM
+    OOM of the naive layout); (2, block) pads sublanes 2->8 only.  Each
+    grid step owns ``n_sub`` sub-tiles of ``subtile`` columns and loops
+    over them in-kernel, amortizing per-grid-step overhead.
     """
     with_tangent = mode == "hutchinson"
     with_div = mode != "forward"
     i = 0
-    x_ref = refs[i]; i += 1
+    x_ref = refs[i]; i += 1  # (D_in, block)
     e_ref = None
     if with_tangent:
         e_ref = refs[i]; i += 1
-    w_in = refs[i]; i += 1
-    b_eff = refs[i]; i += 1
+    w_in = refs[i]; i += 1  # (D_in, H)
+    b_eff = refs[i]; i += 1  # (1, H)
     w_hidden = []
     b_hidden = []
     for _ in range(n_hidden - 1):
         w_hidden.append(refs[i]); i += 1
         b_hidden.append(refs[i]); i += 1
-    w_out = refs[i]; i += 1
-    b_out = refs[i]; i += 1
+    w_out = refs[i]; i += 1  # (H, d_out)
+    b_out = refs[i]; i += 1  # (1, d_out)
     c_ref = refs[i]; i += 1  # SMEM (1, 2): c0, c1
-    drift_ref = refs[i]; i += 1
-    div_ref = refs[i] if with_div else None
+    drift_ref = refs[i]; i += 1  # (d_out, block)
+    div_ref = refs[i] if with_div else None  # (1, block)
 
     c0 = c_ref[0, 0]
     c1 = c_ref[0, 1]
+    d_in = x_ref.shape[0]
 
     # Matmul operands are cast to compute_dtype (bf16 fast mode runs the
     # MXU at full rate; f32 'parity' mode keeps the 1e-5 density contract);
@@ -112,28 +116,15 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
             a_.astype(compute_dtype), w_, preferred_element_type=jnp.float32
         )
 
-    def in_proj(v):
-        """(T, D_in) @ (D_in, H) with tiny D_in: an MXU pass at K=D_in
-        wastes a whole systolic load, so for narrow inputs accumulate
-        rank-1 outer products on the VPU instead."""
-        d_in = v.shape[-1]
-        if d_in > 8:
-            return mm(v, w_in[:])
-        acc = v[:, 0:1] * w_in[0, :][None, :]
-        for j in range(1, d_in):
-            acc = acc + v[:, j : j + 1] * w_in[j, :][None, :]
-        return acc
+    def in_proj(cols):
+        """sum_j cols[j] (subtile,1) * w_in[j] (1,H) -> (subtile, H).
 
-    def out_proj(h_):
-        """(T, H) @ (H, d_out) with tiny d_out: VPU multiply + row reduce
-        per output column instead of an N=d_out MXU pass."""
-        if d_out > 8:
-            return mm(h_, w_out[:])
-        cols = [
-            jnp.sum(h_ * w_out[:, j][None, :], axis=-1, keepdims=True)
-            for j in range(d_out)
-        ]
-        return jnp.concatenate(cols, axis=-1)
+        Rank-1 VPU accumulation: a K=D_in MXU pass would waste a whole
+        systolic load for tiny D_in."""
+        acc = cols[0] * w_in[0, :][None, :]
+        for j in range(1, len(cols)):
+            acc = acc + cols[j] * w_in[j, :][None, :]
+        return acc
 
     # One sigmoid per layer, shared by the forward activation and the
     # tangent derivative (the transcendental is the expensive VPU op).
@@ -143,11 +134,12 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
 
     def compute_chunk(ci, _):
         sl = pl.ds(ci * subtile, subtile)
-        x = x_ref[sl, :]
-        a = in_proj(x) + b_eff[:]
+        # columns of x as (subtile, 1) sublane vectors
+        xcols = [x_ref[j, sl][:, None] for j in range(d_in)]
+        a = in_proj(xcols) + b_eff[:]
         if with_tangent:
-            e = e_ref[sl, :]
-            tangents = [in_proj(e)]
+            ecols = [e_ref[j, sl][:, None] for j in range(d_in)]
+            tangents = [in_proj(ecols)]
         elif mode == "exact":
             # basis tangent e_d -> in_proj(e_d) = w_in row d, broadcast
             tangents = [
@@ -165,22 +157,29 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
             a = mm(h, w_hidden[li][:]) + b_hidden[li][:]
 
         h, dh = act_pair(a)
-        out = out_proj(h) + b_out[:]
-        # Kernel input may be [x | cond]; the drift's linear term and the
-        # divergence only involve the first d_out (state) columns.
-        drift_ref[sl, :] = c0 * x[:, :d_out] + c1 * out
+
+        def out_col(h_, j):
+            # (subtile,) = row-reduction against output column j (tiny
+            # d_out: N=d_out MXU pass would be wasted)
+            return jnp.sum(h_ * w_out[:, j][None, :], axis=-1)
+
+        # drift rows: c0 * x_j + c1 * (net_j + b_out_j)
+        for j in range(d_out):
+            drift_ref[j, sl] = c0 * x_ref[j, sl] + c1 * (
+                out_col(h, j) + b_out[0, j]
+            )
 
         if with_tangent:
-            tout = out_proj(dh * tangents[0])
-            div_ref[sl, 0] = c0 * jnp.float32(d_out) + c1 * jnp.sum(
-                tout * e[:, :d_out], axis=-1
-            )
+            th = dh * tangents[0]
+            acc = jnp.zeros((subtile,), jnp.float32)
+            for j in range(d_out):
+                acc = acc + out_col(th, j) * e_ref[j, sl]
+            div_ref[0, sl] = c0 * jnp.float32(d_out) + c1 * acc
         elif mode == "exact":
             acc = jnp.zeros((subtile,), jnp.float32)
             for d in range(d_out):
-                tout = out_proj(dh * tangents[d])
-                acc = acc + tout[:, d]
-            div_ref[sl, 0] = c0 * jnp.float32(d_out) + c1 * acc
+                acc = acc + out_col(dh * tangents[d], d)
+            div_ref[0, sl] = c0 * jnp.float32(d_out) + c1 * acc
         return 0
 
     jax.lax.fori_loop(0, n_sub, compute_chunk, 0)
@@ -212,21 +211,21 @@ def _fused_drift_impl(
 ):
     with_tangent = mode == "hutchinson"
     with_div = mode != "forward"
-    B, D = x.shape  # D = state dims (+ conditional dims when folded in)
+    D, B = x.shape  # transposed: feature rows, batch in lanes
     H = w_in.shape[1]
-    block = tile * n_sub  # rows owned per grid step (B is padded to this)
+    block = tile * n_sub  # columns owned per grid step (B padded to this)
     grid = (B // block,)
 
-    def batch_spec():
-        return pl.BlockSpec((block, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    def batch_spec(rows):
+        return pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     def weight_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
-    in_specs = [batch_spec()]
+    in_specs = [batch_spec(D)]
     operands = [x]
     if with_tangent:
-        in_specs.append(batch_spec())
+        in_specs.append(batch_spec(D))
         operands.append(e)
     in_specs += [weight_spec(w_in.shape), weight_spec(b_eff.shape)]
     operands += [w_in, b_eff]
@@ -238,15 +237,11 @@ def _fused_drift_impl(
     in_specs.append(pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM))
     operands.append(c0c1)
 
-    out_shape = [jax.ShapeDtypeStruct((B, d_out), jnp.float32)]
-    out_specs = [
-        pl.BlockSpec((block, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    ]
+    out_shape = [jax.ShapeDtypeStruct((d_out, B), jnp.float32)]
+    out_specs = [batch_spec(d_out)]
     if with_div:
-        out_shape.append(jax.ShapeDtypeStruct((B, 1), jnp.float32))
-        out_specs.append(
-            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        )
+        out_shape.append(jax.ShapeDtypeStruct((1, B), jnp.float32))
+        out_specs.append(batch_spec(1))
 
     cd = jnp.dtype(compute_dtype)
     kernel = lambda *refs: _kernel(n_hidden, mode, d_out, cd, n_sub, tile, refs)
@@ -360,8 +355,8 @@ def fused_drift(
     ).reshape(1, 2)
 
     out = _fused_drift_impl(
-        x_in,
-        e_in,
+        x_in.T,
+        None if e_in is None else e_in.T,
         w_in.astype(wdt),
         b_eff[None, :],
         tuple(hidden_flat),
@@ -377,9 +372,9 @@ def fused_drift(
         compute_dtype=compute_dtype,
     )
     if mode != "forward":
-        drift, div = out
-        return drift[:B], div[:B, 0]
-    return out[:B]
+        driftT, div = out
+        return driftT.T[:B], div[0, :B]
+    return out.T[:B]
 
 
 def fused_velocity(
@@ -443,8 +438,8 @@ def fused_velocity(
     c0c1 = jnp.asarray([[0.0, 1.0]], jnp.float32)
 
     out = _fused_drift_impl(
-        x_in,
-        e_in,
+        x_in.T,
+        None if e_in is None else e_in.T,
         w_in.astype(wdt),
         b_eff[None, :],
         tuple(hidden_flat),
@@ -460,9 +455,9 @@ def fused_velocity(
         compute_dtype=compute_dtype,
     )
     if with_tangent:
-        v, div = out
-        return v[:B], div[:B, 0]
-    return out[:B]
+        vT, div = out
+        return vT.T[:B], div[0, :B]
+    return out.T[:B]
 
 
 def fused_drift_reference(params, cfg, t, x, conditional=None, e=None, c0=0.0, c1=1.0):
