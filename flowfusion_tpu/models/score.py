@@ -86,6 +86,9 @@ class ScoreModel:
         return (
             isinstance(self.net, ScoreMLPConfig)
             and supports_config(self.net.units)
+            # the kernel's VPU rank-1 edge projections scale linearly in
+            # the feature count; beyond ~16 the MXU/XLA path wins
+            and self.net.n_dimensions + self.net.n_conditionals <= 16
             and jax.default_backend() == "tpu"
         )
 
