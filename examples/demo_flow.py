@@ -48,15 +48,16 @@ def main():
     def fm_loss(model, k, xb, cond):
         return model.flow_matching_loss(k, xb, cond)
 
-    epochs = 10 if args.quick else 250
+    if args.quick:
+        stages, epochs = ((32, 1e-3), (64, 1e-4)), 10
+    else:
+        stages, epochs = ((32, 1e-3), (64, 1e-4), (128, 1e-5), (256, 1e-6)), 250
     flow, _ = fit(
         flow,
         k_fit,
         x_train,
         x_val=x_val,
-        stages=((32, 1e-3), (64, 1e-4)) if args.quick else None or (
-            (32, 1e-3), (64, 1e-4), (128, 1e-5), (256, 1e-6)
-        ),
+        stages=stages,
         epochs_per_stage=epochs,
         loss_fn=fm_loss,
         log_every=max(1, epochs // 5),

@@ -1,5 +1,5 @@
 """Utilities: data, checkpointing, torch-checkpoint conversion, diagnostics."""
 
-from . import checkpoint, convert, data
+from . import checkpoint, convert, data, diagnostics, stats
 
-__all__ = ["checkpoint", "convert", "data"]
+__all__ = ["checkpoint", "convert", "data", "diagnostics", "stats"]
