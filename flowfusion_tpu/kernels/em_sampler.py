@@ -61,15 +61,23 @@ def _normal_from_bits(shape):
     return r * jnp.cos(_TWO_PI * u2)
 
 
-def _kernel(steps: int, n_hidden: int, d_out: int, compute_dtype, hw_rng, refs):
-    """Ref layout: [x0, seed(smem), (noise), coeffs, b_eff_all, w_in,
-    w_h.., b_h.., w_out, b_out] -> [x_mean, x]"""
+def _kernel(steps: int, n_hidden: int, d_out: int, compute_dtype, hw_rng, with_cond, refs):
+    """Ref layout: [x0, seed(smem), (noise), (cond_proj), coeffs,
+    b_eff_all, w_in, w_h.., b_h.., w_out, b_out] -> [x_mean, x]
+
+    ``cond_proj`` is the per-sample, step-independent first-layer
+    contribution of the conditional (cond_std @ W1_cond), precomputed
+    host-side — conditioning costs one VMEM block and one add per step.
+    """
     i = 0
     x_ref = refs[i]; i += 1
     seed_ref = refs[i]; i += 1  # SMEM (1,)
     noise_ref = None
     if not hw_rng:
         noise_ref = refs[i]; i += 1  # (steps, tile, D) pre-drawn noise
+    cond_ref = None
+    if with_cond:
+        cond_ref = refs[i]; i += 1  # (tile, H)
     coeffs_ref = refs[i]; i += 1  # (steps, 3)  [1 + c0 dt, c1 dt, g sqrt|dt|]
     b_eff_ref = refs[i]; i += 1  # (steps, H)
     w_in = refs[i]; i += 1
@@ -92,6 +100,8 @@ def _kernel(steps: int, n_hidden: int, d_out: int, compute_dtype, hw_rng, refs):
 
     def net(x, s):
         a = mm(x, w_in) + b_eff_ref[s, :][None, :]
+        if with_cond:
+            a = a + cond_ref[:]
         for li in range(n_hidden - 1):
             a = mm(_silu(a), w_hidden[li]) + b_hidden[li][:]
         return mm(_silu(a), w_out) + b_out[:]
@@ -144,7 +154,7 @@ def em_prep(params: dict, cfg, sde, steps: int, no_sigma: bool):
     static_argnames=("steps", "n_hidden", "d_out", "tile", "interpret", "compute_dtype"),
 )
 def _fused_em_impl(
-    x0, seed, noise, coeffs, b_eff_all, w_in, hidden_flat, w_out, b_out,
+    x0, seed, noise, cond_proj, coeffs, b_eff_all, w_in, hidden_flat, w_out, b_out,
     *, steps, n_hidden, d_out, tile, interpret, compute_dtype,
 ):
     B, D = x0.shape
@@ -165,6 +175,12 @@ def _fused_em_impl(
             pl.BlockSpec((steps, tile, D), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
         )
         operands.append(noise)
+    with_cond = cond_proj is not None
+    if with_cond:
+        in_specs.append(
+            pl.BlockSpec((tile, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(cond_proj)
     in_specs += [wspec(coeffs.shape), wspec(b_eff_all.shape), wspec(w_in.shape)]
     operands += [coeffs, b_eff_all, w_in]
     for arr in hidden_flat:
@@ -174,7 +190,7 @@ def _fused_em_impl(
     operands += [w_out, b_out]
 
     kernel = lambda *refs: _kernel(
-        steps, n_hidden, d_out, jnp.dtype(compute_dtype), hw_rng, refs
+        steps, n_hidden, d_out, jnp.dtype(compute_dtype), hw_rng, with_cond, refs
     )
     out = pl.pallas_call(
         kernel,
@@ -204,6 +220,7 @@ def fused_em_sample(
     sde,
     x0: jax.Array,
     seed,
+    conditional: Optional[jax.Array] = None,
     steps: int = 100,
     no_sigma: bool = False,
     tile: int = 512,
@@ -212,9 +229,10 @@ def fused_em_sample(
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the fused EM loop from prior samples ``x0``; returns (x_mean, x).
 
-    Unconditional models only (a conditional variant would stream the
-    conditional tile alongside x).  ``seed`` is an int32 scalar; each batch
-    tile derives an independent hardware-PRNG stream.
+    ``conditional`` (already standardized) is folded into a precomputed
+    first-layer contribution — conditioning is one add per step in-kernel.
+    ``seed`` is an int32 scalar; each batch tile derives an independent
+    hardware-PRNG stream.
     """
     if not supports_config(cfg.units):
         raise ValueError(f"fused EM kernel does not support units={cfg.units}")
@@ -232,6 +250,12 @@ def fused_em_sample(
     layers = params["layers"]
     wdt = jnp.dtype(compute_dtype)
     w_in = layers[0]["w"][E : E + D].astype(wdt)
+    cond_proj = None
+    if conditional is not None:
+        w_cond = layers[0]["w"][E + D :]
+        cond_proj = conditional @ w_cond  # (B, H), step-independent
+        if pad:
+            cond_proj = jnp.pad(cond_proj, ((0, pad), (0, 0)))
     hidden_flat = []
     for l in layers[1:-1]:
         hidden_flat.append(l["w"].astype(wdt))
@@ -246,7 +270,7 @@ def fused_em_sample(
         )
 
     x_mean, x = _fused_em_impl(
-        x0, seed_arr, noise, coeffs, b_eff_all, w_in, tuple(hidden_flat),
+        x0, seed_arr, noise, cond_proj, coeffs, b_eff_all, w_in, tuple(hidden_flat),
         layers[-1]["w"].astype(wdt), layers[-1]["b"][None, :],
         steps=steps, n_hidden=len(layers) - 1, d_out=D, tile=tile,
         interpret=interpret, compute_dtype=compute_dtype,

@@ -212,6 +212,7 @@ class ScoreModel:
         self,
         key: jax.Array,
         shape: Tuple[int, ...],
+        conditional: Optional[jax.Array] = None,
         steps: int = 100,
         compute_dtype: Optional[str] = None,
     ) -> EMResult:
@@ -221,7 +222,8 @@ class ScoreModel:
         activations never leave VMEM between steps; noise comes from the
         TPU hardware PRNG (seeded from ``key``), so draws differ from
         ``sample_sde``'s jax.random stream while the sampled *distribution*
-        is identical.  Unconditional models with stock MLP configs only.
+        is identical.  Conditioning costs one precomputed first-layer
+        contribution (step-independent) streamed per tile.
         """
         from ..kernels.em_sampler import fused_em_sample
 
@@ -234,6 +236,7 @@ class ScoreModel:
             self.sde,
             x0,
             seed,
+            conditional=conditional,
             steps=steps,
             no_sigma=self.no_sigma,
             compute_dtype=compute_dtype or self.kernel_compute_dtype,

@@ -162,7 +162,7 @@ def test_fused_em_sampler_matches_scan_with_shared_noise():
         hidden_flat.append(l["w"])
         hidden_flat.append(l["b"][None, :])
     xm_k, x_k = es._fused_em_impl(
-        x0, jnp.asarray([0], jnp.int32), noise, coeffs, b_eff, w_in,
+        x0, jnp.asarray([0], jnp.int32), noise, None, coeffs, b_eff, w_in,
         tuple(hidden_flat), layers[-1]["w"], layers[-1]["b"][None, :],
         steps=steps, n_hidden=len(layers) - 1, d_out=2, tile=n,
         interpret=True, compute_dtype="float32",
@@ -323,3 +323,45 @@ def test_fused_exact_logprob_path_matches_unfused():
     lp_f, st_f = m_fused.log_prob(x, atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_p), rtol=1e-4, atol=1e-3)
     assert int(st_p.n_accepted) == int(st_f.n_accepted)
+
+
+def test_fused_em_conditional_matches_scan_with_shared_noise():
+    from flowfusion_tpu.kernels import em_sampler as es
+    from flowfusion_tpu.models.nets import apply_score_mlp
+    from flowfusion_tpu.ops.sde import VPSDE
+
+    cfg, params = _setup(n_cond=2, units=(128,))
+    sde = VPSDE()
+    steps, n = 5, 32
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (n, 2))
+    cond = jax.random.normal(jax.random.PRNGKey(4), (n, 2))
+    noise = jax.random.normal(jax.random.PRNGKey(3), (steps, n, 2))
+
+    coeffs, b_eff = es.em_prep(params, cfg, sde, steps, no_sigma=False)
+    E = cfg.embedding_dimensions
+    layers = params["layers"]
+    w_in = layers[0]["w"][E : E + 2]
+    cond_proj = cond @ layers[0]["w"][E + 2 :]
+    hidden_flat = []
+    for l in layers[1:-1]:
+        hidden_flat.append(l["w"])
+        hidden_flat.append(l["b"][None, :])
+    xm_k, x_k = es._fused_em_impl(
+        x0, jnp.asarray([0], jnp.int32), noise, cond_proj, coeffs, b_eff, w_in,
+        tuple(hidden_flat), layers[-1]["w"], layers[-1]["b"][None, :],
+        steps=steps, n_hidden=len(layers) - 1, d_out=2, tile=n,
+        interpret=True, compute_dtype="float32",
+    )
+
+    x = x0
+    for s_ in range(steps):
+        t = sde.T + s_ * (-(sde.T - sde.epsilon) / steps)
+        tb = jnp.full((n,), t)
+        net_out = apply_score_mlp(cfg, params, tb, x, cond)
+        g2 = sde.diffusion_squared_scalar(jnp.asarray(t))
+        c0 = sde.drift_coefficient(jnp.asarray(t))
+        c1 = -g2 / sde.sigma(jnp.asarray(t))
+        dt = -(sde.T - sde.epsilon) / steps
+        xm = (1 + c0 * dt) * x + c1 * dt * net_out
+        x = xm + jnp.sqrt(g2) * np.sqrt(abs(dt)) * noise[s_]
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x), rtol=2e-4, atol=1e-4)
