@@ -34,16 +34,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=3):
-    out = fn(*args)
+def _sync(out):
+    """Force a real device sync: on this sandbox's remote-TPU relay,
+    block_until_ready alone can return before execution and identical
+    dispatches may be served from a cache — fetch one element to be sure."""
     jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).ravel()[:1]
+    return out
+
+
+def timeit(fn, *argsets, iters=3):
+    """fn is called with argsets[i] per iteration — every iteration MUST
+    get distinct arguments (see _sync)."""
+    _sync(fn(*argsets[0]))
     best = float("inf")
     for i in range(iters):
+        args = argsets[min(i + 1, len(argsets) - 1)]
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
-    return best, out
+    return best
 
 
 def main():
@@ -83,9 +94,13 @@ def main():
             dict(trace_mode="hutchinson", use_fused_kernel=True, kernel_compute_dtype="bfloat16"),
         ),
     ]
-    if not on_tpu:
-        # exact trace crashes the remote TPU AOT compiler (see memory notes);
-        # run it off-TPU only.
+    if on_tpu:
+        # exact trace on TPU runs through the fused basis-tangent kernel
+        # (the pure-XLA exact graph crashes this platform's AOT compiler)
+        configs.insert(0, ("logprob/exact/fused", dict(use_fused_kernel=True)))
+        configs.append(("logprob/hutchpp/plain-f32", dict(trace_mode="hutchpp", hpp_rank=1, hpp_vecs=1, use_fused_kernel=False)))
+        # xtrace: known TPU runtime fault on this sandbox (BENCHMARKS.md)
+    else:
         configs.insert(0, ("logprob/exact/plain-f32", dict(use_fused_kernel=False)))
         configs.append(("logprob/hutchpp/plain-f32", dict(trace_mode="hutchpp", hpp_rank=1, hpp_vecs=1, use_fused_kernel=False)))
         configs.append(("logprob/xtrace/plain-f32", dict(trace_mode="xtrace", xt_vecs=2, use_fused_kernel=False)))
@@ -94,40 +109,42 @@ def main():
         m = dataclasses.replace(model, **kw)
         f = lp(m)
         keys = iter(jax.random.split(jax.random.PRNGKey(42), 16))
-        f(m, x, next(keys))  # compile
+        _sync(f(m, x, next(keys)))  # compile
         best = float("inf")
         for _ in range(3):
             k = next(keys)
             t0 = time.perf_counter()
-            out = f(m, x, k)
-            jax.block_until_ready(out)
+            _sync(f(m, x, k))
             best = min(best, time.perf_counter() - t0)
         record(name, best)
 
     # --- EM sampling --------------------------------------------------
+    keysets = lambda: [(jax.random.PRNGKey(1000 + i),) for i in range(4)]
     em_scan = jax.jit(
         lambda mm, k: mm.sample_sde(k, (n, 2), steps=args.steps).x_mean
     )
     m_plain = dataclasses.replace(model, use_fused_kernel=False)
-    best, _ = timeit(em_scan, m_plain, jax.random.PRNGKey(0))
+    best = timeit(lambda k: em_scan(m_plain, k), *keysets())
     record(f"em-sample/{args.steps}steps/scan", best)
 
     em_fused = jax.jit(
         lambda mm, k: mm.sample_sde_fused(k, (n, 2), steps=args.steps).x_mean
     )
     try:
-        best, _ = timeit(em_fused, model, jax.random.PRNGKey(0))
+        best = timeit(lambda k: em_fused(model, k), *keysets())
         record(f"em-sample/{args.steps}steps/fused-kernel", best)
         m_bf16 = dataclasses.replace(model, kernel_compute_dtype="bfloat16")
-        best, _ = timeit(em_fused, m_bf16, jax.random.PRNGKey(0))
+        best = timeit(lambda k: em_fused(m_bf16, k), *keysets())
         record(f"em-sample/{args.steps}steps/fused-bf16", best)
     except Exception as e:
         print(f"fused EM unavailable: {type(e).__name__}: {e}")
 
     # --- ODE sampling -------------------------------------------------
-    base = jax.random.normal(jax.random.PRNGKey(5), (n, 2))
-    ode = jax.jit(lambda mm, z: mm.sample_ode_from_base(z, atol=1e-4, rtol=1e-4)[0])
-    best, _ = timeit(ode, m_plain, base)
+    bases = [
+        (jax.random.normal(jax.random.PRNGKey(5 + i), (n, 2)),) for i in range(4)
+    ]
+    ode = jax.jit(lambda z: m_plain.sample_ode_from_base(z, atol=1e-4, rtol=1e-4)[0])
+    best = timeit(ode, *bases)
     record("ode-sample/plain", best)
 
     # --- train step ---------------------------------------------------
@@ -156,7 +173,7 @@ def main():
         params, opt_state, loss = train_step(
             params, opt_state, jax.random.PRNGKey(i), xb
         )
-    jax.block_until_ready(loss)
+    _sync(loss)
     record(f"train-step/bs{bs}", (time.perf_counter() - t0) / iters, per_what=1)
 
     out_path = os.path.join(_HERE, "results.json")

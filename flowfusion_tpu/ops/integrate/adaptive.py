@@ -375,7 +375,9 @@ def odeint_adaptive(
         n_func_evals=carry.nfe,
         n_accepted=carry.n_acc,
         n_rejected=carry.n_rej,
-        succeeded=total_steps < cfg.max_num_steps,
+        # success = the integration actually reached the final output time
+        # (robust to finishing on exactly the last permitted step)
+        succeeded=carry.t1 >= ts_j[-1],
     )
     return out_buf, stats
 
