@@ -133,6 +133,16 @@ def _tri_inv_upper(R: jax.Array) -> jax.Array:
     ``solve_triangular`` inside a solver loop faults the runtime.
     """
     k = R.shape[-1]
+    # Guard near-singular diagonals (degenerate probe sketches): clamp to
+    # a scale-relative floor so a bad draw yields a bounded (if noisy)
+    # estimate instead of NaN poisoning the whole solve.
+    scale = jnp.max(jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1)), axis=-1)
+    floor = jnp.maximum(scale * 1e-6, 1e-30)[:, None]
+
+    def safe_diag(i):
+        d = R[:, i, i]
+        return jnp.where(jnp.abs(d) < floor[:, 0], jnp.sign(d) * floor[:, 0] + (d == 0) * floor[:, 0], d)
+
     cols = []
     for j in range(k):
         xcol = [None] * k  # column j of inv(R): entries (B,)
@@ -144,7 +154,7 @@ def _tri_inv_upper(R: jax.Array) -> jax.Array:
             acc = rhs
             for m in range(i + 1, j + 1):
                 acc = acc - R[:, i, m] * xcol[m]
-            xcol[i] = acc / R[:, i, i]
+            xcol[i] = acc / safe_diag(i)
         cols.append(jnp.stack(xcol, axis=1))  # (B, k)
     return jnp.stack(cols, axis=2)  # (B, k, k)
 
@@ -220,7 +230,15 @@ def make_probes(
         )
     if mode == "xtrace":
         m = min(max(1, xt_vecs), D)
-        return (rademacher(key, (m, batch, D), x.dtype),)
+        # Sphere-distributed probes (Epperly+ 2023 use normalized test
+        # vectors), scaled so E[e e^T] = I.  The reference's Rademacher
+        # probes (diffusion.py:721) are fragile in low dimension: with
+        # D = 2, m = 2 HALF the samples draw (anti)parallel probe pairs,
+        # making the QR sketch singular -> NaN estimates; a continuous
+        # distribution has collision probability zero.
+        g = jax.random.normal(key, (m, batch, D), x.dtype)
+        u = g / jnp.linalg.norm(g, axis=-1, keepdims=True)
+        return (u * jnp.sqrt(jnp.asarray(D, x.dtype)),)
     raise ValueError(f"unknown trace mode {mode!r}")
 
 
