@@ -99,7 +99,7 @@ def main():
         # (the pure-XLA exact graph crashes this platform's AOT compiler)
         configs.insert(0, ("logprob/exact/fused", dict(use_fused_kernel=True)))
         configs.append(("logprob/hutchpp/plain-f32", dict(trace_mode="hutchpp", hpp_rank=1, hpp_vecs=1, use_fused_kernel=False)))
-        # xtrace: known TPU runtime fault on this sandbox (BENCHMARKS.md)
+        configs.append(("logprob/xtrace/plain-f32", dict(trace_mode="xtrace", xt_vecs=2, use_fused_kernel=False)))
     else:
         configs.insert(0, ("logprob/exact/plain-f32", dict(use_fused_kernel=False)))
         configs.append(("logprob/hutchpp/plain-f32", dict(trace_mode="hutchpp", hpp_rank=1, hpp_vecs=1, use_fused_kernel=False)))
