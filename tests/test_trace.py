@@ -135,3 +135,21 @@ def test_estimators_jit_and_return_xdot(estimator):
         x_dot, div = jax.jit(lambda xx: xtrace_divergence(f, xx, O))(x)
     np.testing.assert_allclose(x_dot, f(x), rtol=1e-5)
     assert div.shape == (B,)
+
+
+def test_xtrace_probes_never_degenerate_low_dim():
+    """Regression: D=2, m=2 Rademacher probes are (anti)parallel for half
+    the batch -> singular sketches -> NaN.  Sphere probes (make_probes)
+    must keep every estimate finite."""
+    from flowfusion_tpu.ops.trace import make_probes
+
+    A = _make_A(jax.random.PRNGKey(30))[:2, :2]
+    x = jax.random.normal(jax.random.PRNGKey(31), (256, 2))
+    f = lambda xx: xx @ A.T
+    (O,) = make_probes("xtrace", jax.random.PRNGKey(32), x, xt_vecs=2)
+    _, div = xtrace_divergence(f, x, O)
+    assert np.all(np.isfinite(np.asarray(div)))
+    # still unbiased-ish in aggregate
+    np.testing.assert_allclose(
+        float(jnp.mean(div)), float(jnp.trace(A)), atol=0.2
+    )
