@@ -329,11 +329,15 @@ def fused_drift(
         if mode == "forward":
             tile = 4096
         elif mode == "hutchinson":
-            tile = 1536
+            tile = 1024
         else:  # exact: 1 forward + d_out tangent chains of live activations
             tile = max(256, (3072 // (1 + D)) // 256 * 256)
     B = x_in.shape[0]
-    tile, n_sub, padded = _grid_plan(B, tile)
+    # Tangent modes keep 2+ activation chains plus double-buffered in/out
+    # blocks live: halve the per-grid-step packing to stay inside VMEM.
+    tile, n_sub, padded = _grid_plan(
+        B, tile, max_sub=16 if mode == "forward" else 8
+    )
     pad = padded - B
     if pad:
         x_in = jnp.pad(x_in, ((0, pad), (0, 0)))
