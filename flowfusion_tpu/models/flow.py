@@ -83,7 +83,7 @@ class ODEFlow:
         return (
             isinstance(self.net, VelocityMLPConfig)
             and supports_config(self.net.hidden_units)
-            and self.net.target_dimension + self.net.conditional_dimension <= 16
+            and self.net.target_dimension + self.net.conditional_dimension <= 4
             and jax.default_backend() == "tpu"
         )
 

@@ -87,8 +87,9 @@ class ScoreModel:
             isinstance(self.net, ScoreMLPConfig)
             and supports_config(self.net.units)
             # the kernel's VPU rank-1 edge projections scale linearly in
-            # the feature count; beyond ~16 the MXU/XLA path wins
-            and self.net.n_dimensions + self.net.n_conditionals <= 16
+            # the feature count; measured crossover vs plain XLA is ~4
+            # features (at 9 features plain is 2.5x faster at 1M batch)
+            and self.net.n_dimensions + self.net.n_conditionals <= 4
             and jax.default_backend() == "tpu"
         )
 
