@@ -49,8 +49,17 @@ def odeint(
             func, y0, ts, rtol=rtol, atol=atol, method=method, options=options
         )
     if method in FIXED_METHODS:
+        import numpy as _np
+
         opts = dict(options or {})
-        steps = int(opts.pop("steps_per_interval", opts.pop("steps", 1)))
+        if "step_size" in opts:
+            # torchdiffeq-style: uniform step size; converted to per-interval
+            # sub-steps (ceil, so the effective step is never larger).
+            h = float(opts.pop("step_size"))
+            spans = _np.abs(_np.diff(_np.asarray(ts, float)))
+            steps = max(1, int(_np.ceil(float(_np.max(spans)) / h)))
+        else:
+            steps = int(opts.pop("steps_per_interval", opts.pop("steps", 1)))
         if opts:
             raise ValueError(f"unknown fixed-step options: {sorted(opts)}")
         return (

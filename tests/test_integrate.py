@@ -206,3 +206,12 @@ def test_per_sample_stepping_matches_batch_global_values():
     assert stats.n_accepted.shape == (3,)
     # the large-magnitude row must not force extra steps on the easy rows
     assert int(stats.n_accepted[0]) <= int(stats.n_accepted[1])
+
+
+def test_fixed_step_size_option():
+    """torchdiffeq-style options={'step_size': h} for fixed methods."""
+    ys, _ = odeint(
+        lambda t, y: -y, jnp.ones(1), [0.0, 1.0], method="rk4",
+        options={"step_size": 0.05},
+    )
+    np.testing.assert_allclose(ys[-1], np.exp(-1.0), rtol=1e-6)
