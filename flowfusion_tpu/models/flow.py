@@ -76,15 +76,15 @@ class ODEFlow:
     )
 
     def _fused_available(self) -> bool:
+        """Opt-in only: plain XLA measured faster for the flow paths, and
+        (unlike the diffusion exact-trace graph) the flow module's exact
+        divergence compiles fine on TPU — there is no required-kernel case."""
         from ..kernels.fused_mlp import supports_config
 
-        if self.use_fused_kernel is not None:
-            return self.use_fused_kernel
-        return (
+        return bool(self.use_fused_kernel) and (
             isinstance(self.net, VelocityMLPConfig)
             and supports_config(self.net.hidden_units)
-            and self.net.target_dimension + self.net.conditional_dimension <= 4
-            and jax.default_backend() == "tpu"
+            and self.net.target_dimension + self.net.conditional_dimension <= 16
         )
 
     @classmethod

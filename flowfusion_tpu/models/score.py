@@ -78,18 +78,32 @@ class ScoreModel:
     # ------------------------------------------------------------------
     # fused-kernel plumbing
     # ------------------------------------------------------------------
-    def _fused_available(self) -> bool:
+    def _fused_supported(self) -> bool:
         from ..kernels.fused_mlp import supports_config
 
-        if self.use_fused_kernel is not None:
-            return self.use_fused_kernel
         return (
             isinstance(self.net, ScoreMLPConfig)
             and supports_config(self.net.units)
             # the kernel's VPU rank-1 edge projections scale linearly in
-            # the feature count; measured crossover vs plain XLA is ~4
-            # features (at 9 features plain is 2.5x faster at 1M batch)
-            and self.net.n_dimensions + self.net.n_conditionals <= 4
+            # the feature count
+            and self.net.n_dimensions + self.net.n_conditionals <= 16
+        )
+
+    def _fused_available(self, for_exact: bool = False) -> bool:
+        """Dispatch policy for the fused Pallas RHS.
+
+        Measured on v5e: plain XLA is the faster path for forward and
+        Hutchinson solves at every size tried, so auto (None) only selects
+        the kernel where it is *required* — exact-trace solves on TPU,
+        where the pure-XLA exact graph crashes this platform's compiler.
+        ``use_fused_kernel=True`` forces it everywhere (it is within ~15%
+        of plain and compiles much faster).
+        """
+        if self.use_fused_kernel is not None:
+            return self.use_fused_kernel and self._fused_supported()
+        return (
+            for_exact
+            and self._fused_supported()
             and jax.default_backend() == "tpu"
         )
 
@@ -368,7 +382,9 @@ class ScoreModel:
             xs, dlps = ys
             return xs[-1], dlps[-1], None
 
-        if self.trace_mode in ("hutchinson", "exact") and self._fused_available():
+        if self.trace_mode in ("hutchinson", "exact") and self._fused_available(
+            for_exact=self.trace_mode == "exact"
+        ):
             from ..kernels.fused_mlp import fused_drift
 
             def rhs(t, state):
