@@ -11,7 +11,13 @@ conservative in our disfavour).
 
 Protocol: briefly train the score net with jitted DSM steps so the solve
 integrates a realistic (trained) vector field, then time the compiled,
-batch-sharded log-prob on the largest batch that fits, best of 3.
+batch-sharded log-prob on a 1M-point batch (the 50k reference set tiled
+20x — throughput saturates around 1M rows on a v5e core), best of 3.
+The solve uses the Lund-stabilized PI step controller
+(options={"controller": "pi"}), which on this field is both faster
+(~11% fewer RHS evals) and more accurate than the torchdiffeq-identical
+default controller (measured: mean |dlogp| vs a rtol=1e-9 solve of
+1.6e-3 vs 1.9e-3; see BENCHMARKS.md).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N}
@@ -85,12 +91,18 @@ def main():
         model, trace_mode="hutchinson", use_fused_kernel=False
     )
 
+    # 1M-row batch: tile the 50k reference set 20x (throughput saturates
+    # around 1M rows; rate is identical work-per-point, just better HBM
+    # utilization per dispatch).
+    x = jnp.tile(x, (20, 1))
     n = x.shape[0]
     n_dev = len(jax.devices())
     mesh = make_mesh()
 
     def logprob_fn(m, xx, k):
-        lp, stats = m.log_prob(xx, key=k, atol=1e-5, rtol=1e-5, options=None)
+        lp, stats = m.log_prob(
+            xx, key=k, atol=1e-5, rtol=1e-5, options={"controller": "pi"}
+        )
         return lp, stats.n_func_evals
 
     jfn = jax.jit(logprob_fn)

@@ -204,6 +204,43 @@ def _optimal_step_size(last_step, error_ratio, safety, ifactor, dfactor, order):
     return jnp.where(error_ratio == 0.0, last_step * ifactor, last_step * factor)
 
 
+def _pi_step_size(
+    last_step,
+    error_ratio,
+    prev_ratio,
+    prev_rejected,
+    accept,
+    safety,
+    ifactor,
+    dfactor,
+    order,
+    beta,
+):
+    """Lund-stabilized PI controller (Hairer, Norsett & Wanner II.4, the
+    ``beta`` option of the classic DOPRI5 code).
+
+    Growth factor ``safety * prev_ratio**beta / ratio**(1/order - 0.75*beta)``
+    instead of the pure-I ``safety / ratio**(1/order)``: the integral memory
+    damps the grow/reject oscillation of the I controller, typically cutting
+    rejected steps by 2-4x on smooth fields at no accuracy cost (the accept
+    test itself is unchanged, so the solution still meets tolerance).  After
+    a rejection the next accepted step is not allowed to grow.  Opt-in via
+    ``options={"controller": "pi"}`` — the default controller stays
+    torchdiffeq-identical for step-sequence parity.
+    """
+    expo1 = 1.0 / order - 0.75 * beta
+    fac11 = error_ratio**expo1
+    # Accepted: PI factor, capped at 1 when recovering from a rejection.
+    grow_cap = jnp.where(prev_rejected, 1.0, ifactor)
+    f_acc = jnp.clip(safety * prev_ratio**beta / fac11, dfactor, grow_cap)
+    # Rejected: plain shrink, never grow.
+    f_rej = jnp.clip(safety / fac11, dfactor, 1.0)
+    factor = jnp.where(accept, f_acc, f_rej)
+    factor = jnp.where(jnp.isfinite(factor), factor, dfactor)
+    factor = jnp.where(error_ratio == 0.0, grow_cap, factor)
+    return last_step * factor
+
+
 @dataclasses.dataclass(frozen=True)
 class _AdaptiveOptions:
     rtol: float
@@ -214,6 +251,8 @@ class _AdaptiveOptions:
     min_step: float = 0.0
     max_step: float = float("inf")
     max_num_steps: int = 2**14
+    controller: str = "i"  # "i" (torchdiffeq-identical) | "pi" (Lund-stabilized)
+    beta: float = 0.04  # PI stabilization weight (Hairer's DOPRI5 default)
 
 
 class _RKCarry(NamedTuple):
@@ -226,6 +265,8 @@ class _RKCarry(NamedTuple):
     nfe: jax.Array
     n_acc: jax.Array
     n_rej: jax.Array
+    prev_ratio: jax.Array  # last accepted error ratio (PI controller memory)
+    prev_rejected: jax.Array  # whether the last attempt was rejected
 
 
 def odeint_adaptive(
@@ -257,7 +298,11 @@ def odeint_adaptive(
         min_step=float(opts.pop("min_step", 0.0)),
         max_step=float(opts.pop("max_step", float("inf"))),
         max_num_steps=int(opts.pop("max_num_steps", 2**14)),
+        controller=str(opts.pop("controller", "i")),
+        beta=float(opts.pop("beta", 0.04)),
     )
+    if cfg.controller not in ("i", "pi"):
+        raise ValueError(f"unknown controller {cfg.controller!r}; use 'i' or 'pi'")
     if opts:
         raise ValueError(f"unknown solver options: {sorted(opts)}")
 
@@ -299,6 +344,8 @@ def odeint_adaptive(
         nfe=jnp.asarray(2, jnp.int32),  # f0 + the probe eval in init-step
         n_acc=jnp.asarray(0, jnp.int32),
         n_rej=jnp.asarray(0, jnp.int32),
+        prev_ratio=jnp.asarray(1e-4, jnp.float32),  # Hairer's FACOLD init
+        prev_rejected=jnp.asarray(False),
     )
 
     evals_per_step = tab.n_stages - 1 if tab.is_fsal else tab.n_stages
@@ -325,9 +372,15 @@ def odeint_adaptive(
             )
             new_coeffs = _interp_fit(c.y, y1, y_mid, c.f, f1, dt)
 
-        dt_next = _optimal_step_size(
-            dt, ratio, cfg.safety, cfg.ifactor, cfg.dfactor, tab.order
-        )
+        if cfg.controller == "pi":
+            dt_next = _pi_step_size(
+                dt, ratio, c.prev_ratio, c.prev_rejected, accept,
+                cfg.safety, cfg.ifactor, cfg.dfactor, tab.order, cfg.beta,
+            )
+        else:
+            dt_next = _optimal_step_size(
+                dt, ratio, cfg.safety, cfg.ifactor, cfg.dfactor, tab.order
+            )
         return _RKCarry(
             t0=jnp.where(accept, c.t1, c.t0),
             t1=jnp.where(accept, c.t1 + dt, c.t1),
@@ -338,6 +391,11 @@ def odeint_adaptive(
             nfe=c.nfe + evals_per_step,
             n_acc=c.n_acc + accept.astype(jnp.int32),
             n_rej=c.n_rej + (~accept).astype(jnp.int32),
+            prev_ratio=jnp.where(
+                accept, jnp.maximum(ratio, 1e-4).astype(jnp.float32),
+                c.prev_ratio,
+            ),
+            prev_rejected=~accept,
         )
 
     n_out = len(ts)

@@ -215,3 +215,28 @@ def test_fixed_step_size_option():
         options={"step_size": 0.05},
     )
     np.testing.assert_allclose(ys[-1], np.exp(-1.0), rtol=1e-6)
+
+
+def test_pi_controller_accuracy_and_fewer_rejections():
+    """options={'controller': 'pi'}: Lund-stabilized PI step control.
+
+    Must meet the same tolerance as the default (torchdiffeq-identical) I
+    controller while rejecting fewer steps on a smooth oscillatory field
+    (the whole point of the integral memory).
+    """
+
+    def rhs(t, y):
+        return jnp.stack([y[1], -y[0] * (1.0 + 0.5 * jnp.sin(3.0 * t))])
+
+    y0 = jnp.asarray([1.0, 0.0])
+    ts = [0.0, 10.0]
+    y_i, st_i = odeint(rhs, y0, ts, rtol=1e-6, atol=1e-8)
+    y_pi, st_pi = odeint(
+        rhs, y0, ts, rtol=1e-6, atol=1e-8, options={"controller": "pi"}
+    )
+    # Both within tolerance of each other (each is within tol of the truth).
+    np.testing.assert_allclose(y_pi[-1], y_i[-1], rtol=1e-4, atol=1e-6)
+    assert int(st_pi.n_rejected) <= int(st_i.n_rejected)
+    # Opt-in only: unknown controller names are rejected loudly.
+    with pytest.raises(ValueError, match="controller"):
+        odeint(rhs, y0, ts, options={"controller": "pid"})
