@@ -84,11 +84,11 @@ def main():
 
     key = jax.random.PRNGKey(0)
     model, x, _ = build_trained_model(key)
-    # Fastest verified TPU config at rtol=1e-5: the plain XLA RHS (the
-    # fused kernel currently ties it on throughput but costs extra solver
-    # steps in bf16 mode; see BENCHMARKS.md).
+    # Fastest verified TPU config at rtol=1e-5: the V4 fused Pallas RHS
+    # with HIGHEST-precision matmuls — ~1.8x plain XLA at identical step
+    # counts and mean |dlogp| ~6e-6 vs the plain path (BENCHMARKS.md).
     model = dataclasses.replace(
-        model, trace_mode="hutchinson", use_fused_kernel=False
+        model, trace_mode="hutchinson", use_fused_kernel=True
     )
 
     # 1M-row batch: tile the 50k reference set 20x (throughput saturates

@@ -68,21 +68,26 @@ def _grid_plan(B: int, tile: int, max_sub: int = 16):
 
 
 def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile, refs):
-    """Kernel body.  Ref layout:
-    [xT, (eT), w_in, b_eff, w_h1.., b_h1.., w_out, b_out, c0c1]
+    """Kernel body.  Ref layout (all weights arrive pre-TRANSPOSED):
+    [xT, (eT), w_inT, b_eff, w_h1T.., b_h1.., w_outT, b_out, c0c1]
       -> [driftT, (div)]
 
     ``mode``: 'forward' (drift only), 'hutchinson' (one probe tangent
     chain), or 'exact' (d_out basis tangent chains; the basis tangent
-    through the input projection is just row d of w_in, so the exact
+    through the input projection is just column d of w_inT, so the exact
     divergence costs d_out extra hidden chains and no probe input).
 
-    Layout: the batch lives in the LANE dimension — x arrives transposed
-    as (D_in, block) and drift leaves as (d_out, block).  A (block, 2)
-    VMEM buffer would be lane-padded to 128 (64x memory waste, the VMEM
-    OOM of the naive layout); (2, block) pads sublanes 2->8 only.  Each
-    grid step owns ``n_sub`` sub-tiles of ``subtile`` columns and loops
-    over them in-kernel, amortizing per-grid-step overhead.
+    Layout (V4): the batch lives in the LANE dimension *through the whole
+    chain* — x arrives as (D_in, block), every activation is (H, subtile),
+    and drift leaves as (d_out, block).  Weights are pre-transposed so each
+    hidden layer is the MXU-native ``(H, H) @ (H, subtile)`` and biases are
+    (H, 1) lane-broadcasts.  V3 kept activations batch-major (subtile, H),
+    which forced a lane->sublane relayout per input column and a cross-lane
+    reduction per output column in every chunk; those VPU relayouts — not
+    the MXU — dominated its 8.5 ns/row profile (bf16 matmuls changed
+    nothing).  V4 has no relayouts at all.  Each grid step owns ``n_sub``
+    sub-tiles of ``subtile`` columns and loops over them in-kernel,
+    amortizing per-grid-step overhead.
     """
     with_tangent = mode == "hutchinson"
     with_div = mode != "forward"
@@ -91,15 +96,15 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
     e_ref = None
     if with_tangent:
         e_ref = refs[i]; i += 1
-    w_in = refs[i]; i += 1  # (D_in, H)
-    b_eff = refs[i]; i += 1  # (1, H)
+    w_in = refs[i]; i += 1  # (H, D_in)  [transposed]
+    b_eff = refs[i]; i += 1  # (H, 1)
     w_hidden = []
     b_hidden = []
     for _ in range(n_hidden - 1):
-        w_hidden.append(refs[i]); i += 1
-        b_hidden.append(refs[i]); i += 1
-    w_out = refs[i]; i += 1  # (H, d_out)
-    b_out = refs[i]; i += 1  # (1, d_out)
+        w_hidden.append(refs[i]); i += 1  # (H, H) [transposed]
+        b_hidden.append(refs[i]); i += 1  # (H, 1)
+    w_out = refs[i]; i += 1  # (d_out, H)  [transposed]
+    b_out = refs[i]; i += 1  # (d_out, 1)
     c_ref = refs[i]; i += 1  # SMEM (1, 2): c0, c1
     drift_ref = refs[i]; i += 1  # (d_out, block)
     div_ref = refs[i] if with_div else None  # (1, block)
@@ -110,20 +115,32 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
 
     # Matmul operands are cast to compute_dtype (bf16 fast mode runs the
     # MXU at full rate; f32 'parity' mode keeps the 1e-5 density contract);
-    # accumulation and all elementwise math stay f32.
-    def mm(a_, w_):
+    # accumulation and all elementwise math stay f32.  NB: inside Pallas the
+    # default dot precision is a single bf16 MXU pass even for f32 operands
+    # (~1e-3 relative error — enough to inflate solver step counts); the
+    # parity mode must request HIGHEST (bf16x3 passes, XLA's f32 'highest').
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def mm(w_, a_):
         return jnp.dot(
-            a_.astype(compute_dtype), w_, preferred_element_type=jnp.float32
+            w_,
+            a_.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+            precision=prec,
         )
 
-    def in_proj(cols):
-        """sum_j cols[j] (subtile,1) * w_in[j] (1,H) -> (subtile, H).
+    def in_proj(xc):
+        """sum_j w_inT[:, j] (H,1) * xc[j, :] (1,subtile) -> (H, subtile).
 
-        Rank-1 VPU accumulation: a K=D_in MXU pass would waste a whole
-        systolic load for tiny D_in."""
-        acc = cols[0] * w_in[0, :][None, :]
-        for j in range(1, len(cols)):
-            acc = acc + cols[j] * w_in[j, :][None, :]
+        Rank-1 VPU accumulation over natural (1, subtile) row slices — no
+        relayout; a K=D_in MXU pass would waste a systolic load."""
+        acc = w_in[:, 0][:, None] * xc[0:1, :]
+        for j in range(1, d_in):
+            acc = acc + w_in[:, j][:, None] * xc[j : j + 1, :]
         return acc
 
     # One sigmoid per layer, shared by the forward activation and the
@@ -134,17 +151,15 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
 
     def compute_chunk(ci, _):
         sl = pl.ds(ci * subtile, subtile)
-        # columns of x as (subtile, 1) sublane vectors
-        xcols = [x_ref[j, sl][:, None] for j in range(d_in)]
-        a = in_proj(xcols) + b_eff[:]
+        xc = x_ref[:, sl]  # (D_in, subtile) — natural slice, lanes = batch
+        a = in_proj(xc) + b_eff[:]  # (H, subtile)
         if with_tangent:
-            ecols = [e_ref[j, sl][:, None] for j in range(d_in)]
-            tangents = [in_proj(ecols)]
+            tangents = [in_proj(e_ref[:, sl])]
         elif mode == "exact":
-            # basis tangent e_d -> in_proj(e_d) = w_in row d, broadcast
+            # basis tangent e_d -> column d of w_inT, lane-broadcast
             tangents = [
                 jnp.broadcast_to(
-                    w_in[d, :][None, :].astype(jnp.float32), a.shape
+                    w_in[:, d][:, None].astype(jnp.float32), a.shape
                 )
                 for d in range(d_out)
             ]
@@ -153,32 +168,25 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
 
         for li in range(n_hidden - 1):
             h, dh = act_pair(a)
-            tangents = [mm(dh * ta, w_hidden[li][:]) for ta in tangents]
-            a = mm(h, w_hidden[li][:]) + b_hidden[li][:]
+            tangents = [mm(w_hidden[li][:], dh * ta) for ta in tangents]
+            a = mm(w_hidden[li][:], h) + b_hidden[li][:]
 
         h, dh = act_pair(a)
 
-        def out_col(h_, j):
-            # (subtile,) = row-reduction against output column j (tiny
-            # d_out: N=d_out MXU pass would be wasted)
-            return jnp.sum(h_ * w_out[:, j][None, :], axis=-1)
-
-        # drift rows: c0 * x_j + c1 * (net_j + b_out_j)
-        for j in range(d_out):
-            drift_ref[j, sl] = c0 * x_ref[j, sl] + c1 * (
-                out_col(h, j) + b_out[0, j]
-            )
+        # drift rows: c0 * x + c1 * (w_outT h + b_out), one (d_out, H) @
+        # (H, subtile) MXU pass, written directly in output orientation.
+        net = mm(w_out[:], h) + b_out[:]
+        drift_ref[:, sl] = c0 * xc[:d_out, :] + c1 * net
 
         if with_tangent:
-            th = dh * tangents[0]
-            acc = jnp.zeros((subtile,), jnp.float32)
-            for j in range(d_out):
-                acc = acc + out_col(th, j) * e_ref[j, sl]
+            je = mm(w_out[:], dh * tangents[0])  # (d_out, subtile) = J e
+            acc = jnp.sum(je * e_ref[:d_out, sl], axis=0)  # d_out-row reduce
             div_ref[0, sl] = c0 * jnp.float32(d_out) + c1 * acc
         elif mode == "exact":
             acc = jnp.zeros((subtile,), jnp.float32)
             for d in range(d_out):
-                acc = acc + out_col(dh * tangents[d], d)
+                # row d of w_outT against tangent chain d: (1, subtile)
+                acc = acc + mm(w_out[d : d + 1, :], dh * tangents[d])[0]
             div_ref[0, sl] = c0 * jnp.float32(d_out) + c1 * acc
         return 0
 
@@ -212,7 +220,15 @@ def _fused_drift_impl(
     with_tangent = mode == "hutchinson"
     with_div = mode != "forward"
     D, B = x.shape  # transposed: feature rows, batch in lanes
-    H = w_in.shape[1]
+    # V4 kernel orientation: weights transposed, biases as (H, 1) columns
+    # (the transposes trace into the jitted graph once per compile; they
+    # are tiny host-side reshuffles, not per-step work).
+    w_in = w_in.T  # (H, D_in)
+    b_eff = b_eff.T  # (H, 1)
+    hidden_flat = tuple(a.T for a in hidden_flat)  # (H,H) w / (H,1) b
+    w_out = w_out.T  # (d_out, H)
+    b_out = b_out.T  # (d_out, 1)
+    H = w_in.shape[0]
     block = tile * n_sub  # columns owned per grid step (B padded to this)
     grid = (B // block,)
 
