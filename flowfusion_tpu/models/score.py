@@ -104,7 +104,17 @@ class ScoreModel:
         """
         if self.use_fused_kernel is not None:
             return self.use_fused_kernel and self._fused_supported()
-        return self._fused_supported() and jax.default_backend() == "tpu"
+        # Auto is single-device only: under multi-chip jit auto-sharding the
+        # GSPMD partitioner cannot partition a pallas_call, while the plain
+        # XLA path partitions cleanly (the error-norm reductions lower to
+        # psum).  Multi-chip deployments run the kernel per shard via
+        # parallel.sharding.data_parallel_per_shard (shard_map), where
+        # ``use_fused_kernel=True`` is safe and fastest.
+        return (
+            self._fused_supported()
+            and jax.default_backend() == "tpu"
+            and len(jax.devices()) == 1
+        )
 
     def _fused_coeffs(self, t):
         """(c0, c1) with prob-flow drift = c0 x + c1 net(t, x[, c])."""

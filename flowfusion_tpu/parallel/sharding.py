@@ -37,6 +37,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "data_parallel",
+    "data_parallel_per_shard",
     "pad_to_multiple",
 ]
 
@@ -88,6 +89,46 @@ def data_parallel(
         in_shardings=(batch_sharding,),  # prefix-broadcast over the pytree
         donate_argnums=(0,) if donate_batch else (),
     )
+
+    def wrapped(batch):
+        return jfn(shard_batch(batch, mesh))
+
+    return wrapped
+
+
+def data_parallel_per_shard(
+    fn: Callable,
+    mesh: Mesh,
+    out_specs: Any = P("data"),
+) -> Callable:
+    """shard_map ``fn(batch_pytree)`` over 'data': each shard computes
+    independently, with NO cross-shard collectives.
+
+    Differences from ``data_parallel`` (jit auto-sharding), and when to
+    prefer this:
+      * adaptive solves step *per shard* rather than batch-globally (each
+        chip's error norm covers only its rows — strictly finer-grained
+        accept/reject than the reference's batch-global semantics, so
+        accuracy is preserved while easy shards finish sooner);
+      * Pallas kernels are safe inside: the GSPMD partitioner cannot
+        partition a ``pallas_call`` under jit auto-sharding, but under
+        shard_map each device runs the kernel on its local block — this is
+        the deployment path for the fused RHS/EM kernels on a pod slice
+        (set ``use_fused_kernel=True`` on the model);
+      * ``fn`` must return batch-major arrays (shape divisible by the
+        shard count); per-shard scalars (e.g. SolverStats) must be
+        reshaped to (1,)-arrays or dropped — pass ``out_specs`` to
+        override placement.
+
+    Closed-over arrays (model params) are implicitly replicated.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    sm = shard_map(
+        fn, mesh=mesh, in_specs=(P("data"),), out_specs=out_specs,
+        check_rep=False,
+    )
+    jfn = jax.jit(sm)
 
     def wrapped(batch):
         return jfn(shard_batch(batch, mesh))
