@@ -76,15 +76,27 @@ class ODEFlow:
     )
 
     def _fused_available(self) -> bool:
-        """Opt-in only: plain XLA measured faster for the flow paths, and
-        (unlike the diffusion exact-trace graph) the flow module's exact
-        divergence compiles fine on TPU — there is no required-kernel case."""
+        """Auto on TPU single-device jit (like ScoreModel): the V4 fused
+        velocity kernel measured 1.5x plain XLA for forward (sampling) RHS
+        and 1.7x for Hutchinson likelihood solves at 1M rows on v5e.  Auto
+        stays off under multi-device jit (GSPMD cannot partition a
+        pallas_call — use parallel.sharding.data_parallel_per_shard with
+        ``use_fused_kernel=True``) and off-TPU.  Only forward/hutchinson
+        paths exist in the kernel; exact-trace flow solves (the default
+        ``trace_mode``) always use plain XLA, which compiles fine here."""
         from ..kernels.fused_mlp import supports_config
 
-        return bool(self.use_fused_kernel) and (
+        supported = (
             isinstance(self.net, VelocityMLPConfig)
             and supports_config(self.net.hidden_units)
             and self.net.target_dimension + self.net.conditional_dimension <= 16
+        )
+        if self.use_fused_kernel is not None:
+            return bool(self.use_fused_kernel) and supported
+        return (
+            supported
+            and jax.default_backend() == "tpu"
+            and len(jax.devices()) == 1
         )
 
     @classmethod
