@@ -122,11 +122,9 @@ def data_parallel_per_shard(
 
     Closed-over arrays (model params) are implicitly replicated.
     """
-    from jax.experimental.shard_map import shard_map
-
-    sm = shard_map(
+    sm = jax.shard_map(
         fn, mesh=mesh, in_specs=(P("data"),), out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )
     jfn = jax.jit(sm)
 
