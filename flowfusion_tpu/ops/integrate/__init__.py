@@ -1,8 +1,9 @@
 """On-device ODE/SDE integration (the framework's replacement for torchdiffeq).
 
 ``odeint`` is the single entry point: it dispatches to the adaptive embedded
-RK solvers (dopri5, bosh3, fehlberg2, adaptive_heun) or the fixed-grid
-solvers (euler, midpoint, heun3, rk4) by method name, mirroring the
+RK solvers (dopri5, bosh3, fehlberg2, adaptive_heun), the fixed-grid
+solvers (euler, midpoint, heun3, rk4), or the fixed-grid Adams multistep
+solvers (explicit_adams, implicit_adams) by method name, mirroring the
 ``torchdiffeq.odeint`` call signature used throughout the reference
 (diffusion.py:620-639, 733-752; flow.py:286-306, 357-382; symplectic.py:237).
 """
@@ -14,6 +15,7 @@ from typing import Any, Callable, Optional
 from .adaptive import SolverStats, odeint_adaptive, odeint_per_sample
 from .adjoint import odeint_adjoint
 from .fixed import FIXED_METHODS, EMResult, euler_maruyama, odeint_fixed
+from .multistep import MULTISTEP_METHODS, odeint_multistep
 from .tableaus import ADAPTIVE_TABLEAUS
 
 __all__ = [
@@ -22,6 +24,7 @@ __all__ = [
     "odeint_per_sample",
     "odeint_adjoint",
     "odeint_fixed",
+    "odeint_multistep",
     "euler_maruyama",
     "SolverStats",
     "EMResult",
@@ -48,7 +51,7 @@ def odeint(
         return odeint_adaptive(
             func, y0, ts, rtol=rtol, atol=atol, method=method, options=options
         )
-    if method in FIXED_METHODS:
+    if method in FIXED_METHODS or method in MULTISTEP_METHODS:
         import numpy as _np
 
         opts = dict(options or {})
@@ -59,14 +62,22 @@ def odeint(
             spans = _np.abs(_np.diff(_np.asarray(ts, float)))
             steps = max(1, int(_np.ceil(float(_np.max(spans)) / h)))
         else:
-            steps = int(opts.pop("steps_per_interval", opts.pop("steps", 1)))
+            default = 16 if method in MULTISTEP_METHODS else 1
+            steps = int(opts.pop("steps_per_interval", opts.pop("steps", default)))
         if opts:
             raise ValueError(f"unknown fixed-step options: {sorted(opts)}")
+        if method in MULTISTEP_METHODS:
+            return (
+                odeint_multistep(
+                    func, y0, ts, method=method, steps_per_interval=steps
+                ),
+                None,
+            )
         return (
             odeint_fixed(func, y0, ts, method=method, steps_per_interval=steps),
             None,
         )
     raise ValueError(
         f"unknown method {method!r}; adaptive: {sorted(ADAPTIVE_TABLEAUS)}, "
-        f"fixed: {sorted(FIXED_METHODS)}"
+        f"fixed: {sorted(FIXED_METHODS)}, multistep: {sorted(MULTISTEP_METHODS)}"
     )

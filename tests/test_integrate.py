@@ -240,3 +240,75 @@ def test_pi_controller_accuracy_and_fewer_rejections():
     # Opt-in only: unknown controller names are rejected loudly.
     with pytest.raises(ValueError, match="controller"):
         odeint(rhs, y0, ts, options={"controller": "pid"})
+
+
+@pytest.mark.parametrize("method", ["explicit_adams", "implicit_adams"])
+def test_adams_linear_ode_exact(method):
+    """AB4/ABM4 reach reference accuracy on dy/dt = -y (torchdiffeq's
+    explicit_adams/implicit_adams fixed-grid family)."""
+    ys, stats = odeint(
+        lambda t, y: -y, jnp.ones((4, 2)), [0.0, 1.0], method=method,
+        options={"steps": 32},
+    )
+    assert stats is None
+    np.testing.assert_allclose(ys[-1], np.exp(-1.0), rtol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["explicit_adams", "implicit_adams"])
+def test_adams_fourth_order_convergence(method):
+    # Halving dt must cut the error ~2^4 (RK4 startup keeps order 4).
+    errs = []
+    for steps in (8, 16):
+        ys, _ = odeint(
+            lambda t, y: -y, jnp.ones(()), [0.0, 1.0], method=method,
+            options={"steps": steps},
+        )
+        errs.append(abs(float(ys[-1]) - np.exp(-1.0)))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 3.3, (method, errs, rate)
+
+
+def test_adams_backward_and_multiple_outputs():
+    # Decreasing grid + per-interval history restart on a non-uniform grid.
+    ts = [1.0, 0.6, 0.0]
+    ys, _ = odeint(
+        lambda t, y: y, jnp.full((3,), 2.0), ts, method="implicit_adams",
+        options={"steps": 24},
+    )
+    expected = 2.0 * np.exp(np.asarray(ts) - 1.0)
+    np.testing.assert_allclose(ys[:, 0], expected, rtol=1e-5)
+
+
+def test_adams_tuple_state_and_grad():
+    # Augmented (x, logp)-style tuple state; scan path is reverse-differentiable.
+    def rhs(t, state):
+        x, lp = state
+        return (-x, jnp.sum(x, axis=-1))
+
+    x0 = jnp.ones((5, 2))
+    (xs, lps), _ = odeint(
+        rhs, (x0, jnp.zeros((5,))), [0.0, 1.0], method="implicit_adams",
+        options={"steps": 16},
+    )
+    np.testing.assert_allclose(xs[-1], np.exp(-1.0), rtol=1e-5)
+    np.testing.assert_allclose(lps[-1], 2 * (1 - np.exp(-1.0)), rtol=1e-5)
+
+    def loss(y0):
+        ys, _ = odeint(
+            lambda t, y: -y, y0, [0.0, 1.0], method="explicit_adams",
+            options={"steps": 16},
+        )
+        return jnp.sum(ys[-1])
+
+    g = jax.grad(loss)(jnp.ones(2))
+    np.testing.assert_allclose(g, np.exp(-1.0), rtol=1e-4)
+
+
+def test_adams_step_size_option_and_unknown_method():
+    ys, _ = odeint(
+        lambda t, y: -y, jnp.ones(1), [0.0, 1.0], method="explicit_adams",
+        options={"step_size": 0.05},
+    )
+    np.testing.assert_allclose(ys[-1], np.exp(-1.0), rtol=1e-5)
+    with pytest.raises(ValueError, match="multistep"):
+        odeint(lambda t, y: -y, jnp.ones(1), [0.0, 1.0], method="adams_nope")
