@@ -91,7 +91,11 @@ def _tree_select(pred: jax.Array, a: Any, b: Any) -> Any:
 
 
 def _rk_step(func, t0, dt, y0, f0, tab: ButcherTableau):
-    """One embedded RK step.  Returns (y1, f1, err, k_stages)."""
+    """One embedded RK step.  Returns (y1, f1, err, err_low, k_stages).
+
+    ``err_low`` is the secondary (lower-order) error estimate of dual-error
+    methods (DOP853); None otherwise.
+    """
     k = [f0]
     for i, (alpha_i, beta_row) in enumerate(zip(tab.alpha, tab.beta)):
         ti = t0 + alpha_i * dt
@@ -108,7 +112,12 @@ def _rk_step(func, t0, dt, y0, f0, tab: ButcherTableau):
         )
         f1 = func(t0 + dt, y1)
     err = _weighted_sum(k, tab.c_error, dt)
-    return y1, f1, err, k
+    err_low = (
+        _weighted_sum(k, tab.c_error_low, dt)
+        if tab.c_error_low is not None
+        else None
+    )
+    return y1, f1, err, err_low, k
 
 
 def _error_ratio(err, y0, y1, rtol, atol, norm):
@@ -117,6 +126,17 @@ def _error_ratio(err, y0, y1, rtol, atol, norm):
         return e / tol
 
     return norm(jax.tree_util.tree_map(scaled, err, y0, y1))
+
+
+def _error_ratio_dual(err5, err3, y0, y1, rtol, atol, norm):
+    """Hairer's DOP853 stabilized error norm:
+    ``err5^2 / sqrt(err5^2 + 0.01 err3^2)`` on tolerance-scaled estimates —
+    the 3rd-order term damps the 5th-order estimate's optimism on rough
+    fields without changing its asymptotics."""
+    r5 = _error_ratio(err5, y0, y1, rtol, atol, norm)
+    r3 = _error_ratio(err3, y0, y1, rtol, atol, norm)
+    denom = jnp.sqrt(r5 * r5 + 0.01 * r3 * r3)
+    return jnp.where(denom > 0.0, r5 * r5 / denom, 0.0)
 
 
 def _interp_fit(y0, y1, y_mid, f0, f1, dt):
@@ -350,10 +370,26 @@ def odeint_adaptive(
 
     evals_per_step = tab.n_stages - 1 if tab.is_fsal else tab.n_stages
 
-    def attempt_step(c: _RKCarry) -> _RKCarry:
+    def attempt_step(c: _RKCarry, target) -> _RKCarry:
         dt = jnp.clip(c.dt, cfg.min_step, cfg.max_step)
-        y1, f1, err, k = _rk_step(func, c.t1, dt, c.y, c.f, tab)
-        ratio = _error_ratio(err, c.y, y1, cfg.rtol, cfg.atol, norm)
+        if tab.clip_steps:
+            # scipy/Hairer semantics: land exactly on the output time; the
+            # dense interpolant then evaluates at its right endpoint, so
+            # output accuracy is the method's own order (needed when the
+            # method's order exceeds the quartic interpolant's).  The
+            # landing time is assigned (not accumulated) so the loop exit
+            # is exact in f32 — no ulp-sized trailing steps.
+            t_new = jnp.where(c.t1 + dt >= target, target, c.t1 + dt)
+            dt = t_new - c.t1
+        else:
+            t_new = c.t1 + dt
+        y1, f1, err, err_low, k = _rk_step(func, c.t1, dt, c.y, c.f, tab)
+        if err_low is not None:
+            ratio = _error_ratio_dual(
+                err, err_low, c.y, y1, cfg.rtol, cfg.atol, norm
+            )
+        else:
+            ratio = _error_ratio(err, c.y, y1, cfg.rtol, cfg.atol, norm)
         accept = ratio <= 1.0
 
         if tab.c_mid is not None:
@@ -383,7 +419,7 @@ def odeint_adaptive(
             )
         return _RKCarry(
             t0=jnp.where(accept, c.t1, c.t0),
-            t1=jnp.where(accept, c.t1 + dt, c.t1),
+            t1=jnp.where(accept, t_new, c.t1),
             dt=dt_next,
             y=_tree_select(accept, y1, c.y),
             f=_tree_select(accept, f1, c.f),
@@ -418,7 +454,7 @@ def odeint_adaptive(
 
         def body(state):
             c, steps = state
-            return attempt_step(c), steps + 1
+            return attempt_step(c, target), steps + 1
 
         carry, total_steps = jax.lax.while_loop(cond, body, (carry, total_steps))
         # First requested time may coincide with t0 before any step is taken.

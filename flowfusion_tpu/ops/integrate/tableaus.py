@@ -32,6 +32,13 @@ class ButcherTableau:
     c_error: Tuple[float, ...]
     order: int
     c_mid: Optional[Tuple[float, ...]] = None
+    # Secondary (lower-order) error weights: when present the solver uses
+    # Hairer's DOP853 combined norm  err5^2 / sqrt(err5^2 + 0.01 err3^2).
+    c_error_low: Optional[Tuple[float, ...]] = None
+    # Clip steps onto the requested output times (scipy/Hairer semantics)
+    # instead of overshooting + dense interpolation (torchdiffeq semantics).
+    # Required when the method's order exceeds the quartic interpolant's.
+    clip_steps: bool = False
 
     @property
     def n_stages(self) -> int:
@@ -109,9 +116,46 @@ ADAPTIVE_HEUN = ButcherTableau(
     order=2,
 )
 
+def _build_dop853() -> Optional[ButcherTableau]:
+    """Hairer's DOP853 8(5,3) from scipy's published coefficient module.
+
+    The coefficients are the classic Hairer/Norsett/Wanner DOP853 values
+    (scipy.integrate._ivp.dop853_coefficients); loading them from scipy
+    avoids hand-transcribing 100+ long constants.  Formally 13 stages whose
+    final stage is f(t1, y1) — FSAL, so 12 evals per step.  The two error
+    rows (5th and 3rd order) are combined by the solver into Hairer's
+    stabilized norm.  Steps are clipped onto output times (scipy
+    semantics): the framework's quartic dense output is far below this
+    method's order, so overshoot-and-interpolate would cap accuracy at 4.
+    """
+    try:
+        from scipy.integrate._ivp import dop853_coefficients as _d
+    except Exception:  # pragma: no cover - scipy is baked into the env
+        return None
+    n = _d.N_STAGES  # 12
+    alpha = tuple(float(c) for c in _d.C[1:n]) + (1.0,)
+    beta = tuple(
+        tuple(float(a) for a in _d.A[i][:i]) for i in range(1, n)
+    ) + (tuple(float(b) for b in _d.B),)
+    c_sol = tuple(float(b) for b in _d.B) + (0.0,)
+    return ButcherTableau(
+        alpha=alpha,
+        beta=beta,
+        c_sol=c_sol,
+        c_error=tuple(float(e) for e in _d.E5),
+        c_error_low=tuple(float(e) for e in _d.E3),
+        order=8,
+        clip_steps=True,
+    )
+
+
+DOP853 = _build_dop853()
+
 ADAPTIVE_TABLEAUS = {
     "dopri5": DOPRI5,
     "bosh3": BOSH3,
     "fehlberg2": FEHLBERG2,
     "adaptive_heun": ADAPTIVE_HEUN,
 }
+if DOP853 is not None:
+    ADAPTIVE_TABLEAUS["dop853"] = DOP853
