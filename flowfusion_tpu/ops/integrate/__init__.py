@@ -1,7 +1,7 @@
 """On-device ODE/SDE integration (the framework's replacement for torchdiffeq).
 
 ``odeint`` is the single entry point: it dispatches to the adaptive embedded
-RK solvers (dopri5, bosh3, fehlberg2, adaptive_heun), the fixed-grid
+RK solvers (dopri5, bosh3, fehlberg2, adaptive_heun, dop853), the fixed-grid
 solvers (euler, midpoint, heun3, rk4), or the fixed-grid Adams multistep
 solvers (explicit_adams, implicit_adams) by method name, mirroring the
 ``torchdiffeq.odeint`` call signature used throughout the reference
@@ -77,6 +77,11 @@ def odeint(
             odeint_fixed(func, y0, ts, method=method, steps_per_interval=steps),
             None,
         )
+    if method == "dop853":
+        # Registered only when scipy (its coefficient source) is importable.
+        from .tableaus import get_adaptive_tableau
+
+        get_adaptive_tableau(method)  # raises the actionable error
     raise ValueError(
         f"unknown method {method!r}; adaptive: {sorted(ADAPTIVE_TABLEAUS)}, "
         f"fixed: {sorted(FIXED_METHODS)}, multistep: {sorted(MULTISTEP_METHODS)}"

@@ -17,8 +17,10 @@ numerical conventions match torchdiffeq 0.2.x so that densities agree to the
   * Hairer initial-step heuristic (the d0/d1/d2 rule).
   * no clipping of steps onto output times: the solver overshoots and
     evaluates outputs from 4th-order dense interpolation (Shampine midpoint
-    fit for dopri5, cubic Hermite otherwise).
-  * FSAL reuse for dopri5/bosh3.
+    fit for dopri5, cubic Hermite otherwise).  Exception: tableaus with
+    ``clip_steps`` (dop853) land exactly on each output time instead —
+    their order exceeds the interpolant's.
+  * FSAL reuse for dopri5/bosh3/dop853.
 
 Differences from torchdiffeq (deliberate, TPU-motivated):
   * the entire adaptive loop is compiled — no Python dispatch per step;
@@ -39,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .tableaus import ADAPTIVE_TABLEAUS, ButcherTableau
+from .tableaus import ButcherTableau, get_adaptive_tableau
 
 __all__ = ["odeint_adaptive", "SolverStats"]
 
@@ -132,11 +134,17 @@ def _error_ratio_dual(err5, err3, y0, y1, rtol, atol, norm):
     """Hairer's DOP853 stabilized error norm:
     ``err5^2 / sqrt(err5^2 + 0.01 err3^2)`` on tolerance-scaled estimates —
     the 3rd-order term damps the 5th-order estimate's optimism on rough
-    fields without changing its asymptotics."""
+    fields without changing its asymptotics.
+
+    A non-finite estimate (NaN/Inf RHS) must surface as a NaN ratio so the
+    accept test fails and the controller shrinks — ``denom > 0`` alone would
+    route NaN into the 0.0 branch and silently accept the poisoned step."""
     r5 = _error_ratio(err5, y0, y1, rtol, atol, norm)
     r3 = _error_ratio(err3, y0, y1, rtol, atol, norm)
     denom = jnp.sqrt(r5 * r5 + 0.01 * r3 * r3)
-    return jnp.where(denom > 0.0, r5 * r5 / denom, 0.0)
+    safe = jnp.where(denom > 0.0, r5 * r5 / jnp.where(denom > 0.0, denom, 1.0), 0.0)
+    finite = jnp.isfinite(r5) & jnp.isfinite(r3)
+    return jnp.where(finite, safe, jnp.float32(jnp.nan))
 
 
 def _interp_fit(y0, y1, y_mid, f0, f1, dt):
@@ -235,11 +243,12 @@ def _pi_step_size(
     dfactor,
     order,
     beta,
+    beta_scale=0.75,
 ):
     """Lund-stabilized PI controller (Hairer, Norsett & Wanner II.4, the
     ``beta`` option of the classic DOPRI5 code).
 
-    Growth factor ``safety * prev_ratio**beta / ratio**(1/order - 0.75*beta)``
+    Growth factor ``safety * prev_ratio**beta / ratio**(1/order - bs*beta)``
     instead of the pure-I ``safety / ratio**(1/order)``: the integral memory
     damps the grow/reject oscillation of the I controller, typically cutting
     rejected steps by 2-4x on smooth fields at no accuracy cost (the accept
@@ -247,8 +256,12 @@ def _pi_step_size(
     a rejection the next accepted step is not allowed to grow.  Opt-in via
     ``options={"controller": "pi"}`` — the default controller stays
     torchdiffeq-identical for step-sequence parity.
+
+    ``beta_scale`` is the method-specific multiplier on beta in the error
+    exponent: Hairer's DOPRI5 uses 0.75 (with beta default 0.04), his DOP853
+    uses 0.2 (beta default 0.0) — the tableau carries both defaults.
     """
-    expo1 = 1.0 / order - 0.75 * beta
+    expo1 = 1.0 / order - beta_scale * beta
     fac11 = error_ratio**expo1
     # Accepted: PI factor, capped at 1 when recovering from a rejection.
     grow_cap = jnp.where(prev_rejected, 1.0, ifactor)
@@ -272,7 +285,7 @@ class _AdaptiveOptions:
     max_step: float = float("inf")
     max_num_steps: int = 2**14
     controller: str = "i"  # "i" (torchdiffeq-identical) | "pi" (Lund-stabilized)
-    beta: float = 0.04  # PI stabilization weight (Hairer's DOPRI5 default)
+    beta: Optional[float] = None  # PI weight; None -> the method's Hairer default
 
 
 class _RKCarry(NamedTuple):
@@ -307,7 +320,7 @@ def odeint_adaptive(
     ``(ys, stats)`` where ``ys`` is a pytree whose leaves have a leading
     axis of ``len(ts)`` (ys[0] == y0), and ``stats`` is a ``SolverStats``.
     """
-    tab = ADAPTIVE_TABLEAUS[method]
+    tab = get_adaptive_tableau(method)
     opts = dict(options or {})
     cfg = _AdaptiveOptions(
         rtol=float(rtol),
@@ -319,7 +332,7 @@ def odeint_adaptive(
         max_step=float(opts.pop("max_step", float("inf"))),
         max_num_steps=int(opts.pop("max_num_steps", 2**14)),
         controller=str(opts.pop("controller", "i")),
-        beta=float(opts.pop("beta", 0.04)),
+        beta=(lambda b: None if b is None else float(b))(opts.pop("beta", None)),
     )
     if cfg.controller not in ("i", "pi"):
         raise ValueError(f"unknown controller {cfg.controller!r}; use 'i' or 'pi'")
@@ -392,7 +405,13 @@ def odeint_adaptive(
             ratio = _error_ratio(err, c.y, y1, cfg.rtol, cfg.atol, norm)
         accept = ratio <= 1.0
 
-        if tab.c_mid is not None:
+        if tab.clip_steps:
+            # Clipped methods land exactly on the output time and the output
+            # is read straight from the carry — no dense-output fit needed
+            # (the quartic's +/-16..32y terms would reintroduce ~7-ulp f32
+            # cancellation noise at x=1, defeating the point of clipping).
+            new_coeffs = c.coeffs
+        elif tab.c_mid is not None:
             y_mid = jax.tree_util.tree_map(
                 jnp.add, c.y, _weighted_sum(k, tab.c_mid, dt)
             )
@@ -408,14 +427,25 @@ def odeint_adaptive(
             )
             new_coeffs = _interp_fit(c.y, y1, y_mid, c.f, f1, dt)
 
+        beta_eff = cfg.beta if cfg.beta is not None else tab.pi_beta_default
         if cfg.controller == "pi":
             dt_next = _pi_step_size(
                 dt, ratio, c.prev_ratio, c.prev_rejected, accept,
-                cfg.safety, cfg.ifactor, cfg.dfactor, tab.order, cfg.beta,
+                cfg.safety, cfg.ifactor, cfg.dfactor, tab.order, beta_eff,
+                tab.pi_beta_scale,
             )
         else:
             dt_next = _optimal_step_size(
                 dt, ratio, cfg.safety, cfg.ifactor, cfg.dfactor, tab.order
+            )
+        if tab.clip_steps:
+            # A clipped step's error says nothing about the natural step
+            # scale; resuming the next interval from controller(clipped_dt)
+            # would restart from ~ulp sizes after an exact landing.  Keep
+            # the larger of the controller proposal and the pre-clip dt.
+            was_clipped = dt < jnp.clip(c.dt, cfg.min_step, cfg.max_step)
+            dt_next = jnp.where(
+                was_clipped & accept, jnp.maximum(dt_next, c.dt), dt_next
             )
         return _RKCarry(
             t0=jnp.where(accept, c.t1, c.t0),
@@ -457,12 +487,17 @@ def odeint_adaptive(
             return attempt_step(c, target), steps + 1
 
         carry, total_steps = jax.lax.while_loop(cond, body, (carry, total_steps))
-        # First requested time may coincide with t0 before any step is taken.
-        y_at = jax.lax.cond(
-            carry.n_acc + carry.n_rej > 0,
-            lambda: _interp_eval(carry.coeffs, carry.t0, carry.t1, target),
-            lambda: carry.y,
-        )
+        if tab.clip_steps:
+            # The solver landed exactly on ``target`` (by assignment): read
+            # the state straight off the carry at the method's own order.
+            y_at = carry.y
+        else:
+            # First requested time may coincide with t0 before any step.
+            y_at = jax.lax.cond(
+                carry.n_acc + carry.n_rej > 0,
+                lambda: _interp_eval(carry.coeffs, carry.t0, carry.t1, target),
+                lambda: carry.y,
+            )
         out_buf = write_out(out_buf, i, y_at)
 
     stats = SolverStats(

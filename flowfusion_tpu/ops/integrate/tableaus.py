@@ -39,6 +39,11 @@ class ButcherTableau:
     # instead of overshooting + dense interpolation (torchdiffeq semantics).
     # Required when the method's order exceeds the quartic interpolant's.
     clip_steps: bool = False
+    # PI-controller constants of the method's classic Hairer code:
+    # error exponent 1/order - pi_beta_scale * beta.  DOPRI5: scale 0.75,
+    # beta 0.04; DOP853: scale 0.2, beta 0.0.
+    pi_beta_scale: float = 0.75
+    pi_beta_default: float = 0.04
 
     @property
     def n_stages(self) -> int:
@@ -130,7 +135,7 @@ def _build_dop853() -> Optional[ButcherTableau]:
     """
     try:
         from scipy.integrate._ivp import dop853_coefficients as _d
-    except Exception:  # pragma: no cover - scipy is baked into the env
+    except (ImportError, AttributeError):  # scipy absent or module moved
         return None
     n = _d.N_STAGES  # 12
     alpha = tuple(float(c) for c in _d.C[1:n]) + (1.0,)
@@ -146,6 +151,8 @@ def _build_dop853() -> Optional[ButcherTableau]:
         c_error_low=tuple(float(e) for e in _d.E3),
         order=8,
         clip_steps=True,
+        pi_beta_scale=0.2,  # Hairer's DOP853: expo1 = 1/8 - 0.2*beta
+        pi_beta_default=0.0,  # his DOP853 BETA default (DOPRI5's is 0.04)
     )
 
 
@@ -159,3 +166,16 @@ ADAPTIVE_TABLEAUS = {
 }
 if DOP853 is not None:
     ADAPTIVE_TABLEAUS["dop853"] = DOP853
+
+
+def get_adaptive_tableau(method: str) -> ButcherTableau:
+    """Lookup with a loud, actionable error for the scipy-backed method."""
+    tab = ADAPTIVE_TABLEAUS.get(method)
+    if tab is not None:
+        return tab
+    if method == "dop853":
+        raise ValueError(
+            "method 'dop853' requires scipy (its coefficients are loaded "
+            "from scipy.integrate); install scipy or use 'dopri5'"
+        )
+    raise KeyError(method)

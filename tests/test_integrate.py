@@ -371,3 +371,30 @@ def test_dop853_more_accurate_than_dopri5_at_equal_tolerance():
     e5 = abs(float(odeint(rhs, y0, [0.0, 1.0], rtol=1e-4, atol=1e-6)[0][-1][0]) - exact)
     e8 = abs(float(odeint(rhs, y0, [0.0, 1.0], rtol=1e-4, atol=1e-6, method="dop853")[0][-1][0]) - exact)
     assert e8 < 0.6 * e5, (e5, e8)
+
+
+def test_dop853_nan_rhs_is_not_silently_accepted():
+    """A NaN in the dual error norm must reject (shrink), not accept with
+    ratio 0 — regression for the dual-norm NaN routing."""
+    def rhs(t, y):
+        return jnp.where(t > 0.3, jnp.nan, -y)
+
+    ys, st = odeint(
+        rhs, jnp.ones(2), [0.0, 1.0], rtol=1e-6, atol=1e-8, method="dop853",
+        options={"max_num_steps": 200},
+    )
+    assert not bool(st.succeeded)
+    assert int(st.n_rejected) > 0
+
+
+def test_dop853_output_grid_does_not_reset_step_scale():
+    """After an exact landing the next interval resumes from the pre-clip
+    proposal, so a denser output grid costs at most ~one extra step per
+    output point, not a from-scratch regrowth."""
+    rhs = lambda t, y: -y
+    _, st2 = odeint(rhs, jnp.ones(1), [0.0, 1.0], rtol=1e-6, atol=1e-8, method="dop853")
+    ts = list(np.linspace(0.0, 1.0, 11))
+    ys, st11 = odeint(rhs, jnp.ones(1), ts, rtol=1e-6, atol=1e-8, method="dop853")
+    np.testing.assert_allclose(ys[:, 0], np.exp(-np.asarray(ts)), rtol=5e-6)
+    # 9 extra outputs cost at most ~one forced step each
+    assert int(st11.n_accepted) <= int(st2.n_accepted) + 11
