@@ -161,3 +161,41 @@ def test_per_shard_data_parallel_with_fused_kernel():
     np.testing.assert_allclose(
         np.asarray(lp_sharded), np.asarray(lp_global), atol=5e-4
     )
+
+
+def test_initialize_distributed_single_process_noop():
+    from flowfusion_tpu.parallel import initialize_distributed
+
+    # No coordinator configured: must be a harmless no-op returning 0.
+    assert initialize_distributed() == 0
+
+
+def test_global_batch_from_local_single_process():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flowfusion_tpu.parallel import (
+        data_parallel,
+        global_batch_from_local,
+        local_rows,
+        make_mesh,
+    )
+
+    mesh = make_mesh()
+    x_local = np.arange(32, dtype=np.float32).reshape(16, 2)
+    xg = global_batch_from_local(x_local, mesh)
+    assert xg.shape == (16, 2)  # process_count == 1
+    np.testing.assert_array_equal(np.asarray(xg), x_local)
+    start, stop = local_rows(16)
+    assert (start, stop) == (0, 16)
+
+    # The assembled global array must be usable by the sharded entry points.
+    out = data_parallel(lambda b: jnp.sum(b, axis=-1), mesh)(xg)
+    np.testing.assert_allclose(np.asarray(out), x_local.sum(-1))
+
+
+def test_local_rows_single_process_full_range():
+    from flowfusion_tpu.parallel import local_rows
+
+    # One process owns the whole batch (any size divides evenly by 1).
+    assert local_rows(17) == (0, 17)
