@@ -164,12 +164,14 @@ class ScoreModel:
         shape: Tuple[int, ...],
         conditional: Optional[jax.Array] = None,
         steps: int = 100,
+        progress: bool = False,
     ) -> EMResult:
         """Reverse-time Euler--Maruyama sampler (diffusion.py:510-563).
 
         Returns an ``EMResult``; ``.x_mean`` is the reference's return value
         (final denoised mean).  The NaN guard is the ``nan_encountered``
-        flag instead of a printed warning.
+        flag instead of a printed warning; ``progress=True`` restores the
+        reference's per-step tqdm bar (host callback — off for speed).
         """
         k_prior, k_path = jax.random.split(key)
         x0 = self.sde.prior_sample(k_prior, shape)
@@ -200,6 +202,7 @@ class ScoreModel:
             t1=self.sde.epsilon,
             steps=steps,
             epsilon=self.sde.epsilon,
+            progress=progress,
         )
 
     def sample_dpm(

@@ -14,7 +14,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["odeint_fixed", "euler_maruyama", "FIXED_METHODS", "EMResult"]
+__all__ = [
+    "odeint_fixed",
+    "euler_maruyama",
+    "make_progress_callback",
+    "FIXED_METHODS",
+    "EMResult",
+]
 
 
 def _tree_axpy(y, scale, x):
@@ -139,6 +145,42 @@ class EMResult(NamedTuple):
     nan_encountered: jax.Array  # scalar bool diagnostic
 
 
+def _backend_supports_callbacks() -> bool:
+    """Host send/recv (jax.debug.callback) support check.
+
+    The sandbox's axon relay backend reports platform 'tpu' but cannot run
+    host callbacks; it identifies itself in the client platform version."""
+    try:
+        return "axon" not in jax.devices()[0].client.platform_version
+    except Exception:
+        return True
+
+
+def make_progress_callback(total: int, desc: str = "sampling"):
+    """Host-side tqdm ticker for compiled scan loops (the TPU-native
+    equivalent of the reference's per-step tqdm bar, diffusion.py:543).
+
+    Returns a function suitable for ``jax.debug.callback``; the bar is
+    created lazily on the first tick of each run and closed (and the
+    counter reset) when ``total`` ticks arrive, so one compiled program
+    can be executed repeatedly."""
+    state = {"bar": None, "count": 0}
+
+    def tick(_t):
+        import tqdm
+
+        if state["bar"] is None:
+            state["bar"] = tqdm.tqdm(total=total, desc=desc)
+        state["bar"].update(1)
+        state["count"] += 1
+        if state["count"] >= total:
+            state["bar"].close()
+            state["bar"] = None
+            state["count"] = 0
+
+    return tick
+
+
 def euler_maruyama(
     key: jax.Array,
     drift_fn: Callable[[jax.Array, jax.Array], jax.Array],
@@ -149,6 +191,7 @@ def euler_maruyama(
     t1: float,
     steps: int,
     epsilon: float = 0.0,
+    progress: bool = False,
 ) -> EMResult:
     """Euler--Maruyama integration of dx = f dt + g dW from t0 to t1.
 
@@ -158,14 +201,28 @@ def euler_maruyama(
     noise added on the last step), iteration stops (state freezes) if t
     drops below ``epsilon`` or a NaN appears.  The NaN guard is surfaced as
     a returned flag instead of a host-side print (SURVEY.md §5.2).
+
+    ``progress=True`` shows a host-side tqdm bar (one tick per step via
+    ``jax.debug.callback`` — the reference's bar, diffusion.py:543-547);
+    costs a host round-trip per step, so leave it off in benchmarks.
     """
     dt = (t1 - t0) / steps
     sqrt_dt = jnp.sqrt(jnp.abs(dt)).astype(x0.dtype)
     keys = jax.random.split(key, steps)
+    if progress and not _backend_supports_callbacks():
+        # e.g. the axon relay PJRT backend has no host send/recv, so
+        # jax.debug.callback cannot run; degrade to no bar.
+        import warnings
+
+        warnings.warn("progress bars unsupported on this backend; disabled")
+        progress = False
+    tick = make_progress_callback(steps, "sample_sde") if progress else None
 
     def body(carry, inp):
         x, x_mean, t, frozen = carry
         step_key = inp
+        if tick is not None:
+            jax.debug.callback(tick, t)
         # Reference: breaks out when t < epsilon (handles discretization
         # round-off) or when NaNs appear; freezing reproduces that.
         active = (~frozen) & (t >= epsilon)

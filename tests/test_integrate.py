@@ -398,3 +398,19 @@ def test_dop853_output_grid_does_not_reset_step_scale():
     np.testing.assert_allclose(ys[:, 0], np.exp(-np.asarray(ts)), rtol=5e-6)
     # 9 extra outputs cost at most ~one forced step each
     assert int(st11.n_accepted) <= int(st2.n_accepted) + 11
+
+
+def test_euler_maruyama_progress_bar_ticks():
+    """progress=True drives a host tqdm via jax.debug.callback (the
+    reference's sample_sde bar); must work repeatedly on backends with
+    callback support (CPU here) and never alter results."""
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.ones((8, 2))
+    args = dict(t0=1.0, t1=0.0, steps=5)
+    r_quiet = euler_maruyama(key, lambda t, x: -x, lambda t, x: jnp.zeros_like(x), x0, **args)
+    for _ in range(2):  # bar must reset between runs
+        r_bar = euler_maruyama(
+            key, lambda t, x: -x, lambda t, x: jnp.zeros_like(x), x0,
+            progress=True, **args,
+        )
+    np.testing.assert_array_equal(np.asarray(r_bar.x), np.asarray(r_quiet.x))
