@@ -51,12 +51,19 @@ def _silu(a):
 
 
 def _normal_from_bits(shape):
-    """Box--Muller on hardware random bits -> N(0,1) float32 of ``shape``."""
+    """Box--Muller on hardware random bits -> N(0,1) float32 of ``shape``.
+
+    ``prng_random_bits`` yields *int32*; the shift must be LOGICAL — an
+    arithmetic ``>> 8`` keeps the sign bit, making u1 negative (log -> NaN)
+    for half of all draws (caught on real TPU: all-NaN samples).
+    """
     bits1 = pltpu.prng_random_bits(shape)
     bits2 = pltpu.prng_random_bits(shape)
     # uniforms in (0, 1]: use the top 24 bits for an exact float mantissa
-    u1 = (bits1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
-    u2 = (bits2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    top1 = jax.lax.shift_right_logical(bits1, jnp.int32(8))
+    top2 = jax.lax.shift_right_logical(bits2, jnp.int32(8))
+    u1 = top1.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+    u2 = top2.astype(jnp.float32) * (1.0 / (1 << 24))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(_TWO_PI * u2)
 
@@ -93,9 +100,21 @@ def _kernel(steps: int, n_hidden: int, d_out: int, compute_dtype, hw_rng, with_c
     if hw_rng:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
+    # Parity mode (f32 weights) must request HIGHEST: inside Pallas the
+    # default dot precision is a single bf16 MXU pass even for f32 operands
+    # (~1e-3 relative error per matmul; see fused_mlp.py).
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
     def mm(a_, w_):
         return jnp.dot(
-            a_.astype(compute_dtype), w_[:], preferred_element_type=jnp.float32
+            a_.astype(compute_dtype),
+            w_[:],
+            preferred_element_type=jnp.float32,
+            precision=prec,
         )
 
     def net(x, s):

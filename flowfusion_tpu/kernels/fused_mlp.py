@@ -38,7 +38,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_drift", "fused_drift_reference", "supports_config"]
+__all__ = [
+    "fused_drift",
+    "fused_drift_reference",
+    "fused_velocity",
+    "supports_config",
+]
 
 
 def _round_up(n, m):
@@ -318,7 +323,6 @@ def fused_drift(
     E = cfg.embedding_dimensions
     D = cfg.n_dimensions
     layers = params["layers"]
-    n_hidden = len(layers) - 1
     if not supports_config(cfg.units):
         raise ValueError(f"fused kernel does not support units={cfg.units}")
 
@@ -329,25 +333,33 @@ def fused_drift(
     b_eff = layers[0]["b"] + temb @ w1[:E]
     w_in_x = w1[E : E + D]
     if conditional is not None:
-        # fold cond through its own slice; cheap host-side matmul of the
-        # first layer is avoided by concatenating [x|cond] as kernel input.
-        x_in = jnp.concatenate([x, conditional], axis=-1)
+        # fold cond through its own weight slice; the kernel consumes the
+        # concatenated [x|cond] input built in _dispatch.
         w_in = jnp.concatenate([w_in_x, w1[E + D :]], axis=0)
     else:
-        x_in = x
         w_in = w_in_x
 
     if e is not None and exact_divergence:
         raise ValueError("pass a probe e OR exact_divergence, not both")
     mode = "hutchinson" if e is not None else ("exact" if exact_divergence else "forward")
-    with_tangent = mode == "hutchinson"
+    if tile is None and mode == "exact":
+        # exact: 1 forward + d_out tangent chains of live activations
+        tile = max(256, (3072 // (1 + D)) // 256 * 256)
+    return _dispatch(
+        x, e, w_in, b_eff, layers, conditional, mode, D, c0, c1, tile,
+        interpret, compute_dtype,
+    )
+
+
+def _dispatch(
+    x, e, w_in, b_eff, layers, conditional, mode, d_out, c0, c1, tile,
+    interpret, compute_dtype,
+):
+    """Shared host-side tail of the kernel entry points: tiling plan,
+    padding, weight casting/flattening, impl call, un-transpose."""
     if tile is None:
-        if mode == "forward":
-            tile = 4096
-        elif mode == "hutchinson":
-            tile = 1024
-        else:  # exact: 1 forward + d_out tangent chains of live activations
-            tile = max(256, (3072 // (1 + D)) // 256 * 256)
+        tile = 4096 if mode == "forward" else 1024
+    x_in = x if conditional is None else jnp.concatenate([x, conditional], -1)
     B = x_in.shape[0]
     # Tangent modes keep 2+ activation chains plus double-buffered in/out
     # blocks live: halve the per-grid-step packing to stay inside VMEM.
@@ -358,7 +370,7 @@ def fused_drift(
     if pad:
         x_in = jnp.pad(x_in, ((0, pad), (0, 0)))
     e_in = None
-    if with_tangent:
+    if mode == "hutchinson":
         e_in = e
         if conditional is not None:
             e_in = jnp.pad(e, ((0, 0), (0, conditional.shape[-1])))
@@ -383,9 +395,9 @@ def fused_drift(
         layers[-1]["w"].astype(wdt),
         layers[-1]["b"][None, :],
         c0c1,
-        n_hidden=n_hidden,
+        n_hidden=len(layers) - 1,
         mode=mode,
-        d_out=D,
+        d_out=d_out,
         tile=tile,
         n_sub=n_sub,
         interpret=interpret,
@@ -428,56 +440,15 @@ def fused_velocity(
     b_eff = layers[0]["b"] + t * w1[D]
     w_in_x = w1[:D]
     if conditional is not None:
-        x_in = jnp.concatenate([x, conditional], axis=-1)
         w_in = jnp.concatenate([w_in_x, w1[D + 1 :]], axis=0)
     else:
-        x_in = x
         w_in = w_in_x
 
-    with_tangent = e is not None
-    if tile is None:
-        tile = 1536 if with_tangent else 4096
-    B = x_in.shape[0]
-    tile, n_sub, padded = _grid_plan(B, tile)
-    pad = padded - B
-    if pad:
-        x_in = jnp.pad(x_in, ((0, pad), (0, 0)))
-    e_in = None
-    if with_tangent:
-        e_in = e
-        if conditional is not None:
-            e_in = jnp.pad(e, ((0, 0), (0, conditional.shape[-1])))
-        if pad:
-            e_in = jnp.pad(e_in, ((0, pad), (0, 0)))
-
-    wdt = jnp.dtype(compute_dtype)
-    hidden_flat = []
-    for l in layers[1:-1]:
-        hidden_flat.append(l["w"].astype(wdt))
-        hidden_flat.append(l["b"][None, :])
-    c0c1 = jnp.asarray([[0.0, 1.0]], jnp.float32)
-
-    out = _fused_drift_impl(
-        x_in.T,
-        None if e_in is None else e_in.T,
-        w_in.astype(wdt),
-        b_eff[None, :],
-        tuple(hidden_flat),
-        layers[-1]["w"].astype(wdt),
-        layers[-1]["b"][None, :],
-        c0c1,
-        n_hidden=len(layers) - 1,
-        mode="hutchinson" if with_tangent else "forward",
-        d_out=D,
-        tile=tile,
-        n_sub=n_sub,
-        interpret=interpret,
-        compute_dtype=compute_dtype,
+    mode = "hutchinson" if e is not None else "forward"
+    return _dispatch(
+        x, e, w_in, b_eff, layers, conditional, mode, D, 0.0, 1.0, tile,
+        interpret, compute_dtype,
     )
-    if with_tangent:
-        vT, div = out
-        return vT.T[:B], div[0, :B]
-    return out.T[:B]
 
 
 def fused_drift_reference(params, cfg, t, x, conditional=None, e=None, c0=0.0, c1=1.0):

@@ -180,6 +180,12 @@ class PopulationModelDiffusion:
         standardization (SURVEY.md §2.6.5).  ``volume_corrected=True`` adds
         it, yielding a proper density in data units.
         """
+        # Deliberately calls solve_odes_forward directly (like the reference,
+        # diffusion.py:1837) rather than ScoreModel.log_prob: the wrapper's
+        # contract is atol=rtol=1e-5 and NO min_step guard (SURVEY.md §6
+        # numerical-contract table; ScoreModel.log_prob's own defaults are
+        # 1e-4 with min_step=1e-6).  Pass options={"min_step": ...} here to
+        # opt into the guard; max_num_steps already bounds the loop.
         x_std = (x - self.shift) / self.scale
         xT, dlp, stats = self.score_model.solve_odes_forward(
             x_std,

@@ -110,11 +110,29 @@ class ScoreModel:
         # psum).  Multi-chip deployments run the kernel per shard via
         # parallel.sharding.data_parallel_per_shard (shard_map), where
         # ``use_fused_kernel=True`` is safe and fastest.
-        return (
+        auto = (
             self._fused_supported()
             and jax.default_backend() == "tpu"
             and len(jax.devices()) == 1
         )
+        if (
+            for_exact
+            and not auto
+            and self._fused_supported()
+            and jax.default_backend() == "tpu"
+        ):
+            # Exact trace on multi-device TPU: neither auto path works —
+            # the pure-XLA exact graph crashes this platform's compiler,
+            # and jit auto-sharding cannot partition the fused kernel.
+            # Refuse loudly instead of building a compiler-killing graph.
+            raise ValueError(
+                "exact-trace solves on multi-device TPU must run the fused "
+                "kernel per shard: wrap the solve in parallel."
+                "data_parallel_per_shard with use_fused_kernel=True (or set "
+                "use_fused_kernel=False explicitly to force the plain-XLA "
+                "graph if your XLA build compiles it)"
+            )
+        return auto
 
     def _fused_coeffs(self, t):
         """(c0, c1) with prob-flow drift = c0 x + c1 net(t, x[, c])."""

@@ -110,16 +110,15 @@ class SymplecticFlowModel:
         the natural choice (linear interpolant between data-q plus N(0,1)
         noise-p at t=0 and joint N(0,1) at t=1).
         """
-        kq, kz, kt = jax.random.split(key, 3)
+        from ..ops.losses import flow_matching_loss
+
+        kq, k_fm = jax.random.split(key)
         q0 = (x - self.shift) / self.scale
         p0 = jax.random.normal(kq, q0.shape, q0.dtype)
         s0 = jnp.concatenate([q0, p0], axis=-1)
-        sT = jax.random.normal(kz, s0.shape, s0.dtype)
-        t = jax.random.uniform(kt, (s0.shape[0], 1), s0.dtype)
-        st = (1.0 - t) * s0 + t * sT
-        v_hat = sT - s0
-        v = self.dynamics(t[:, 0], st, self._norm_cond(conditional))
-        return jnp.mean((v - v_hat) ** 2)
+        return flow_matching_loss(
+            self.dynamics, k_fm, s0, self._norm_cond(conditional)
+        )
 
     # ------------------------------------------------------------------
     def sample(
