@@ -108,7 +108,7 @@ def hutchpp_divergence(
 
     Y = jnp.transpose(Av(S), (1, 2, 0))  # (B, D, r)
     Y = jax.lax.stop_gradient(Y)
-    Q, _ = jnp.linalg.qr(Y)  # (B, D, k)
+    Q, _ = _batched_thin_qr(Y)  # (B, D, k)
 
     AQ = jnp.transpose(Av(jnp.transpose(Q, (2, 0, 1))), (1, 2, 0))  # (B, D, k)
     AQ = jax.lax.stop_gradient(AQ)
@@ -123,6 +123,64 @@ def hutchpp_divergence(
     trace_res = jnp.einsum("bdm,bdm->b", U, AU)
 
     return x_dot, trace_lr + trace_res / float(m)
+
+
+def _batched_thin_qr(Y: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Thin QR of (B, D, m) stacks with m small and static.
+
+    Modified Gram--Schmidt unrolled over the m columns: pure batched
+    elementwise/reduction arithmetic.  ``jnp.linalg.qr`` on tiny batched
+    matrices lowers to a Householder loop the TPU executes serially per
+    matrix — measured 18x slower end-to-end on the XTrace likelihood solve
+    (benchmarks/results.json logprob/xtrace before/after).  Near-zero
+    column norms (degenerate sketches) are floored like _tri_inv_upper so
+    a bad draw yields a bounded estimate instead of NaN.
+    """
+    B, D, m = Y.shape
+    scale = jnp.sqrt(jnp.sum(Y * Y, axis=(-2, -1)))  # (B,)
+    floor = jnp.maximum(scale * 1e-6, 1e-30)
+    eye = jnp.eye(D, dtype=Y.dtype)
+    q_cols = []
+    r_rows = [[None] * m for _ in range(m)]
+    for j in range(m):
+        v = Y[:, :, j]
+        for i in range(j):
+            r_ij = jnp.sum(q_cols[i] * v, axis=-1)  # (B,)
+            r_rows[i][j] = r_ij
+            v = v - r_ij[:, None] * q_cols[i]
+        r_jj = jnp.sqrt(jnp.sum(v * v, axis=-1))
+        r_rows[j][j] = r_jj
+
+        # Rank-deficient column (e.g. collided Rademacher probes): complete
+        # the basis like Householder QR would — orthogonalize the canonical
+        # basis vectors against the accepted columns and take the one with
+        # the largest residual.  Q stays orthonormal (Hutch++'s full-rank
+        # exactness depends on it); R keeps the ~0 entry, so QR = Y holds.
+        res = jnp.broadcast_to(eye[None], (B, D, D))
+        for i in range(j):
+            proj = jnp.einsum("bcd,bd->bc", res, q_cols[i])
+            res = res - proj[..., None] * q_cols[i][:, None, :]
+        res_norm = jnp.sqrt(jnp.sum(res * res, axis=-1))  # (B, D)
+        best = jnp.argmax(res_norm, axis=-1)
+        q_fb = jnp.take_along_axis(res, best[:, None, None], axis=1)[:, 0]
+        q_fb = q_fb / jnp.maximum(
+            jnp.take_along_axis(res_norm, best[:, None], axis=1), 1e-30
+        )
+        degenerate = (r_jj < floor)[:, None]
+        q_j = jnp.where(
+            degenerate, q_fb, v / jnp.maximum(r_jj, floor)[:, None]
+        )
+        q_cols.append(q_j)
+    zeros = jnp.zeros(Y.shape[0], Y.dtype)
+    R = jnp.stack(
+        [
+            jnp.stack([r_rows[i][j] if j >= i else zeros for j in range(m)], axis=1)
+            for i in range(m)
+        ],
+        axis=1,
+    )  # (B, m, m)
+    Q = jnp.stack(q_cols, axis=2)  # (B, D, m)
+    return Q, R
 
 
 def _tri_inv_upper(R: jax.Array) -> jax.Array:
@@ -171,7 +229,7 @@ def xtrace_divergence(
 
     Y = jnp.transpose(Av(O), (1, 2, 0))  # (B, D, m)
     Y = jax.lax.stop_gradient(Y)
-    Q, R = jnp.linalg.qr(Y)  # (B, D, k), (B, k, m)
+    Q, R = _batched_thin_qr(Y)  # (B, D, k), (B, k, m)
     k = Q.shape[2]
 
     AQ = jnp.transpose(Av(jnp.transpose(Q, (2, 0, 1))), (1, 2, 0))  # (B, D, k)
