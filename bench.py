@@ -112,15 +112,28 @@ def main():
     lp, nfe = jfn(model, x_dev, jax.random.PRNGKey(1))
     jax.block_until_ready(lp)
 
-    # NB: each timing iteration uses a fresh PRNG key so the executions are
-    # distinct (a remote-execution relay may cache identical calls).
+    # NB: each timing iteration uses fresh DATA and a fresh PRNG key so the
+    # executions are distinct — the remote-execution relay caches identical
+    # executable+argument pairs, and has been observed to hit on key-only
+    # variation.  The per-iteration offset is below solver tolerance.
+    variants = [
+        jax.device_put(x + (i + 1) * 1e-6) if n_dev == 1
+        else shard_batch(x + (i + 1) * 1e-6, mesh)
+        for i in range(3)
+    ]
     times = []
-    for i in range(3):
+    for i, xv in enumerate(variants):
         t0 = time.perf_counter()
-        lp, nfe = jfn(model, x_dev, jax.random.PRNGKey(100 + i))
+        lp, nfe = jfn(model, xv, jax.random.PRNGKey(100 + i))
         jax.block_until_ready(lp)
         np.asarray(lp[:1])  # force a host sync through the transfer path
-        times.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        if dt < 0.05:
+            raise RuntimeError(
+                f"iteration {i} took {dt*1e3:.1f} ms for {n} rows — "
+                "implausible; relay cache hit, do not report this number"
+            )
+        times.append(dt)
 
     best = min(times)
     rate = n / best
