@@ -111,11 +111,17 @@ def main():
         keys = iter(jax.random.split(jax.random.PRNGKey(42), 16))
         _sync(f(m, x, next(keys)))  # compile
         best = float("inf")
-        for _ in range(3):
+        for i in range(3):
             k = next(keys)
+            # distinct data per iteration: the relay cache has been observed
+            # to hit on key-only variation (sub-tolerance shift, no effect
+            # on the measured work)
+            xi = x + (i + 1) * 1e-6
             t0 = time.perf_counter()
-            _sync(f(m, x, k))
+            _sync(f(m, xi, k))
             best = min(best, time.perf_counter() - t0)
+        if best * n > 0 and best < 0.02:
+            print(f"WARNING: {name} timed {best*1e3:.1f} ms — possible relay cache hit", file=sys.stderr)
         record(name, best)
 
     # --- EM sampling --------------------------------------------------
