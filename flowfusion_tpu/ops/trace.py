@@ -23,8 +23,9 @@ evaluation so the augmented ODE stays smooth for the adaptive solver
 (reference samples them in ``solve_odes_forward``, diffusion.py:697-721).
 Here they are explicit arguments — no hidden state.
 
-Hutch++/XTrace apply the probe operator through a VJP closure (operator
-A = J^T; trace(J^T) == trace(J)), exactly like the reference.
+Hutch++/XTrace apply the probe operator through batched JVPs (A = J; the
+reference uses VJPs, A = J^T, diffusion.py:361-373 — the trace is
+transpose-invariant, and forward mode is ~1.5x faster on TPU).
 """
 
 from __future__ import annotations
@@ -84,11 +85,19 @@ def hutchinson_divergence(
 
 
 def _batched_vjp(f, x):
-    """Return (f(x), operator v -> J^T v batched over a leading probe axis)."""
-    x_dot, vjp_fn = jax.vjp(f, x)
+    """Return (f(x), operator v -> A v batched over a leading probe axis).
+
+    The reference applies A = J^T via VJPs (diffusion.py:361-373); the
+    trace is transpose-invariant, so this framework applies A = J via
+    JVPs instead — forward mode needs no transpose program and measures
+    ~1.5x faster Hutch++ likelihood solves on TPU (BENCHMARKS.md).  The
+    sketch/leave-one-out algebra downstream is unchanged, just running on
+    J rather than J^T; estimator statistics are identical.
+    """
+    x_dot = f(x)
 
     def apply(v):  # v: (n, B, D)
-        return jax.vmap(lambda vi: vjp_fn(vi)[0])(v)
+        return jax.vmap(lambda vi: jax.jvp(f, (x,), (vi,))[1])(v)
 
     return x_dot, apply
 

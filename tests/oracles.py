@@ -156,15 +156,17 @@ def gmm_log_prob(x):
 def numpy_xtrace(A, x, O):
     """Float64 XTrace (Epperly+2023) with the reference's batched algebra.
 
-    A: (D, D) linear operator applied as J^T v (VJP semantics);
+    A: (D, D) Jacobian of the row-wise linear map f(x) = x A^T; the
+    operator is applied as J v (JVP semantics — the framework applies J
+    rather than the reference's J^T; the trace is transpose-invariant).
     x: (B, D) ignored except for shapes; O: (m, B, D) probes.
     Returns per-sample trace estimates (B,).
     """
     m, B, D = O.shape
-    AT = np.asarray(A, float).T  # VJP operator
+    A = np.asarray(A, float)
 
-    def av(V):  # (n, B, D) -> (n, B, D)
-        return np.einsum("nbd,de->nbe", V, AT.T)
+    def av(V):  # (n, B, D) -> (n, B, D): rows v -> J v = v @ A^T
+        return np.einsum("nbd,ed->nbe", V, A)
 
     Y = np.transpose(av(O), (1, 2, 0))  # (B, D, m)
     Q = np.zeros((B, D, m))
