@@ -9,6 +9,14 @@ Run (any backend):  python examples/demo_diffusion.py [--quick]
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Allow running straight from a source checkout: the package lives one
+# directory up from this script and is not necessarily pip-installed.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import dataclasses
 import time
