@@ -213,9 +213,10 @@ def fit(
             else:
                 vl.append(np.nan)
             if log_every and (e + 1) % log_every == 0:
+                val_part = f" val={vl[-1]:.4f}" if val_loss_jit else ""
                 print(
                     f"[bs={batch_size} lr={lr:.0e}] epoch {e+1}/{epochs_per_stage}"
-                    f" train={tl[-1]:.4f} val={vl[-1]:.4f}"
+                    f" train={tl[-1]:.4f}{val_part}"
                 )
         model = state.model
         results.append(
