@@ -84,8 +84,8 @@ def hutchinson_divergence(
     return x_dot, div
 
 
-def _batched_vjp(f, x):
-    """Return (f(x), operator v -> A v batched over a leading probe axis).
+def _linearized(f, x):
+    """Return (f(x), linear operator v -> J v) sharing one primal trace.
 
     The reference applies A = J^T via VJPs (diffusion.py:361-373); the
     trace is transpose-invariant, so this framework applies A = J via
@@ -93,13 +93,110 @@ def _batched_vjp(f, x):
     ~1.5x faster Hutch++ likelihood solves on TPU (BENCHMARKS.md).  The
     sketch/leave-one-out algebra downstream is unchanged, just running on
     J rather than J^T; estimator statistics are identical.
+    ``jax.linearize`` evaluates the primal once; every probe application
+    reuses the stored residuals (one tangent chain each).
     """
-    x_dot = f(x)
+    return jax.linearize(f, x)
 
-    def apply(v):  # v: (n, B, D)
-        return jax.vmap(lambda vi: jax.jvp(f, (x,), (vi,))[1])(v)
 
-    return x_dot, apply
+# ---------------------------------------------------------------------------
+# Batch-in-lanes sketch algebra.
+#
+# The sketch estimators manipulate per-sample matrices of shape (D, m) with
+# D, m <= ~16 — tiny trailing dimensions.  Arrays laid out (B, D, m) put
+# those tiny dims in the TPU lane/sublane axes (2/128 lane occupancy at
+# D = 2) and every QR/triangular-solve step becomes a padded relayout-bound
+# VPU op; measured ~2.5 ms of a 3.9 ms XTrace RHS eval.  The same lesson as
+# the V4 fused kernel applies: keep the BATCH in the lane dimension.  All
+# algebra below therefore runs on "columns" — (D, B) arrays — and scalar
+# matrix entries — (B,) arrays — with the tiny D/m loops unrolled in
+# Python, so every op XLA sees is a fully-occupied (B,)-vectorized
+# elementwise/reduce op that fuses into a handful of kernels.
+# ---------------------------------------------------------------------------
+
+
+def _qr_cols(cols):
+    """Thin QR of per-sample (D, m) matrices given as m columns of (D, B).
+
+    Modified Gram--Schmidt unrolled over the m columns (``jnp.linalg.qr``
+    on tiny batched matrices lowers to a Householder loop the TPU executes
+    serially per matrix — measured 18x slower end-to-end on the XTrace
+    likelihood solve).  Near-zero column norms (degenerate sketches) are
+    floored, and the degenerate column is replaced by completing the basis
+    the way Householder QR would: orthogonalize the canonical basis
+    vectors against the accepted columns and take the largest residual.
+    Q stays orthonormal (Hutch++'s full-rank exactness depends on it); R
+    keeps the ~0 entry, so QR = Y holds.
+
+    Returns (q_cols, R) with ``q_cols`` a list of m (D, B) arrays and
+    ``R`` an m x m list-of-lists of (B,) entries (zeros below diagonal).
+    """
+    m = len(cols)
+    D, B = cols[0].shape
+    dtype = cols[0].dtype
+    scale = jnp.sqrt(sum(jnp.sum(c * c, axis=0) for c in cols))  # (B,)
+    floor = jnp.maximum(scale * 1e-6, 1e-30)
+    zeros = jnp.zeros(B, dtype)
+    eye = jnp.eye(D, dtype=dtype)
+    q_cols = []
+    R = [[zeros] * m for _ in range(m)]
+    for j in range(m):
+        v = cols[j]
+        for i in range(j):
+            r_ij = jnp.sum(q_cols[i] * v, axis=0)  # (B,)
+            R[i][j] = r_ij
+            v = v - r_ij[None, :] * q_cols[i]
+        r_jj = jnp.sqrt(jnp.sum(v * v, axis=0))
+        R[j][j] = r_jj
+
+        # Basis completion for rank-deficient columns: res[c] is canonical
+        # basis vector e_c orthogonalized against the accepted columns.
+        res = jnp.broadcast_to(eye[:, :, None], (D, D, B))  # (c, d, B)
+        for i in range(j):
+            proj = jnp.sum(res * q_cols[i][None, :, :], axis=1)  # (c, B)
+            res = res - proj[:, None, :] * q_cols[i][None, :, :]
+        res_norm = jnp.sqrt(jnp.sum(res * res, axis=1))  # (c, B)
+        best = jnp.argmax(res_norm, axis=0)  # (B,)
+        q_fb = jnp.take_along_axis(res, best[None, None, :], axis=0)[0]  # (D, B)
+        q_fb = q_fb / jnp.maximum(
+            jnp.take_along_axis(res_norm, best[None, :], axis=0)[0], 1e-30
+        )
+        degenerate = (r_jj < floor)[None, :]
+        q_j = jnp.where(degenerate, q_fb, v / jnp.maximum(r_jj, floor)[None, :])
+        q_cols.append(q_j)
+    return q_cols, R
+
+
+def _tri_inv_entries(R, k):
+    """Entries of inv(R) for upper-triangular R given as (B,) entry grid.
+
+    Unrolled back-substitution over the static (small) k.  Near-singular
+    diagonals (degenerate probe sketches) are clamped to a scale-relative
+    floor so a bad draw yields a bounded (if noisy) estimate instead of
+    NaN poisoning the whole solve.
+    """
+    B = R[0][0].shape[0]
+    dtype = R[0][0].dtype
+    scale = R[0][0] * 0
+    for i in range(k):
+        scale = jnp.maximum(scale, jnp.abs(R[i][i]))
+    floor = jnp.maximum(scale * 1e-6, 1e-30)
+
+    def safe_diag(i):
+        d = R[i][i]
+        return jnp.where(
+            jnp.abs(d) < floor, jnp.sign(d) * floor + (d == 0) * floor, d
+        )
+
+    zeros = jnp.zeros(B, dtype)
+    inv = [[zeros] * k for _ in range(k)]
+    for j in range(k):
+        for i in range(j, -1, -1):
+            acc = jnp.full(B, 1.0 if i == j else 0.0, dtype)
+            for l in range(i + 1, j + 1):
+                acc = acc - R[i][l] * inv[l][j]
+            inv[i][j] = acc / safe_diag(i)
+    return inv
 
 
 def hutchpp_divergence(
@@ -112,24 +209,26 @@ def hutchpp_divergence(
 
     ``S``: (r, B, D) sketch probes, ``G``: (m, B, D) residual probes.
     """
-    m = G.shape[0]
-    x_dot, Av = _batched_vjp(f, x)
+    r, m = S.shape[0], G.shape[0]
+    x_dot, jv = _linearized(f, x)
 
-    Y = jnp.transpose(Av(S), (1, 2, 0))  # (B, D, r)
-    Y = jax.lax.stop_gradient(Y)
-    Q, _ = _batched_thin_qr(Y)  # (B, D, k)
+    sg = jax.lax.stop_gradient
+    # (D, B) columns of the sketch Y = A S.
+    y_cols = [sg(jv(S[i]).T) for i in range(r)]
+    q_cols, _ = _qr_cols(y_cols)  # k = r columns of (D, B)
+    aq_cols = [sg(jv(q.T).T) for q in q_cols]
 
-    AQ = jnp.transpose(Av(jnp.transpose(Q, (2, 0, 1))), (1, 2, 0))  # (B, D, k)
-    AQ = jax.lax.stop_gradient(AQ)
-    trace_lr = jnp.einsum("bdk,bdk->b", Q, AQ)
+    trace_lr = sum(jnp.sum(q * aq, axis=0) for q, aq in zip(q_cols, aq_cols))
 
-    G_perm = jnp.transpose(G, (1, 2, 0))  # (B, D, m)
-    QtG = jnp.einsum("bdk,bdm->bkm", Q, G_perm)
-    U = G_perm - jnp.einsum("bdk,bkm->bdm", Q, QtG)
-
-    AU = jnp.transpose(Av(jnp.transpose(U, (2, 0, 1))), (1, 2, 0))  # (B, D, m)
-    AU = jax.lax.stop_gradient(AU)
-    trace_res = jnp.einsum("bdm,bdm->b", U, AU)
+    g_cols = [G[i].T for i in range(m)]  # (D, B)
+    u_cols = []
+    for g in g_cols:
+        u = g
+        for q in q_cols:
+            u = u - jnp.sum(q * g, axis=0)[None, :] * q
+        u_cols.append(u)
+    au_cols = [sg(jv(u.T).T) for u in u_cols]
+    trace_res = sum(jnp.sum(u * au, axis=0) for u, au in zip(u_cols, au_cols))
 
     return x_dot, trace_lr + trace_res / float(m)
 
@@ -137,93 +236,16 @@ def hutchpp_divergence(
 def _batched_thin_qr(Y: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Thin QR of (B, D, m) stacks with m small and static.
 
-    Modified Gram--Schmidt unrolled over the m columns: pure batched
-    elementwise/reduction arithmetic.  ``jnp.linalg.qr`` on tiny batched
-    matrices lowers to a Householder loop the TPU executes serially per
-    matrix — measured 18x slower end-to-end on the XTrace likelihood solve
-    (benchmarks/results.json logprob/xtrace before/after).  Near-zero
-    column norms (degenerate sketches) are floored like _tri_inv_upper so
-    a bad draw yields a bounded estimate instead of NaN.
+    Compatibility wrapper over ``_qr_cols`` (the batch-in-lanes MGS
+    implementation the estimators use directly).
     """
     B, D, m = Y.shape
-    scale = jnp.sqrt(jnp.sum(Y * Y, axis=(-2, -1)))  # (B,)
-    floor = jnp.maximum(scale * 1e-6, 1e-30)
-    eye = jnp.eye(D, dtype=Y.dtype)
-    q_cols = []
-    r_rows = [[None] * m for _ in range(m)]
-    for j in range(m):
-        v = Y[:, :, j]
-        for i in range(j):
-            r_ij = jnp.sum(q_cols[i] * v, axis=-1)  # (B,)
-            r_rows[i][j] = r_ij
-            v = v - r_ij[:, None] * q_cols[i]
-        r_jj = jnp.sqrt(jnp.sum(v * v, axis=-1))
-        r_rows[j][j] = r_jj
-
-        # Rank-deficient column (e.g. collided Rademacher probes): complete
-        # the basis like Householder QR would — orthogonalize the canonical
-        # basis vectors against the accepted columns and take the one with
-        # the largest residual.  Q stays orthonormal (Hutch++'s full-rank
-        # exactness depends on it); R keeps the ~0 entry, so QR = Y holds.
-        res = jnp.broadcast_to(eye[None], (B, D, D))
-        for i in range(j):
-            proj = jnp.einsum("bcd,bd->bc", res, q_cols[i])
-            res = res - proj[..., None] * q_cols[i][:, None, :]
-        res_norm = jnp.sqrt(jnp.sum(res * res, axis=-1))  # (B, D)
-        best = jnp.argmax(res_norm, axis=-1)
-        q_fb = jnp.take_along_axis(res, best[:, None, None], axis=1)[:, 0]
-        q_fb = q_fb / jnp.maximum(
-            jnp.take_along_axis(res_norm, best[:, None], axis=1), 1e-30
-        )
-        degenerate = (r_jj < floor)[:, None]
-        q_j = jnp.where(
-            degenerate, q_fb, v / jnp.maximum(r_jj, floor)[:, None]
-        )
-        q_cols.append(q_j)
-    zeros = jnp.zeros(Y.shape[0], Y.dtype)
-    R = jnp.stack(
-        [
-            jnp.stack([r_rows[i][j] if j >= i else zeros for j in range(m)], axis=1)
-            for i in range(m)
-        ],
-        axis=1,
+    q_cols, R = _qr_cols([Y[:, :, j].T for j in range(m)])
+    Q = jnp.stack([q.T for q in q_cols], axis=2)  # (B, D, m)
+    Rm = jnp.stack(
+        [jnp.stack([R[i][j] for j in range(m)], axis=1) for i in range(m)], axis=1
     )  # (B, m, m)
-    Q = jnp.stack(q_cols, axis=2)  # (B, D, m)
-    return Q, R
-
-
-def _tri_inv_upper(R: jax.Array) -> jax.Array:
-    """Batched inverse of small upper-triangular matrices (B, k, k).
-
-    Unrolled back-substitution over the static (small) k — pure
-    elementwise arithmetic, so it lowers cleanly on TPU where
-    ``solve_triangular`` inside a solver loop faults the runtime.
-    """
-    k = R.shape[-1]
-    # Guard near-singular diagonals (degenerate probe sketches): clamp to
-    # a scale-relative floor so a bad draw yields a bounded (if noisy)
-    # estimate instead of NaN poisoning the whole solve.
-    scale = jnp.max(jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1)), axis=-1)
-    floor = jnp.maximum(scale * 1e-6, 1e-30)[:, None]
-
-    def safe_diag(i):
-        d = R[:, i, i]
-        return jnp.where(jnp.abs(d) < floor[:, 0], jnp.sign(d) * floor[:, 0] + (d == 0) * floor[:, 0], d)
-
-    cols = []
-    for j in range(k):
-        xcol = [None] * k  # column j of inv(R): entries (B,)
-        for i in range(k - 1, -1, -1):
-            if i > j:
-                xcol[i] = jnp.zeros(R.shape[0], R.dtype)
-                continue
-            rhs = jnp.float32(1.0 if i == j else 0.0)
-            acc = rhs
-            for m in range(i + 1, j + 1):
-                acc = acc - R[:, i, m] * xcol[m]
-            xcol[i] = acc / safe_diag(i)
-        cols.append(jnp.stack(xcol, axis=1))  # (B, k)
-    return jnp.stack(cols, axis=2)  # (B, k, k)
+    return Q, Rm
 
 
 def xtrace_divergence(
@@ -231,38 +253,60 @@ def xtrace_divergence(
 ) -> Tuple[jax.Array, jax.Array]:
     """XTrace (Epperly, Tropp & Webber 2023) leave-one-out estimator.
 
-    ``O``: (m, B, D) probes with m <= D.  Follows the batched algebra of the
-    reference implementation (diffusion.py:402-481).
+    ``O``: (m, B, D) probes with m <= D.  Follows the batched algebra of
+    the reference implementation (diffusion.py:402-481), restated on
+    (B,)-entry grids with the batch in the lane dimension (see the layout
+    note above): for each left-out probe j,
+      est_j = tr(H) - S_j^T H S_j + (w_j^T s_j)(s_j^T r_j) - t_j^T x_j
+              + x_j^T H x_j
+    averaged over j, with S the column-normalized inv(R).
     """
-    x_dot, Av = _batched_vjp(f, x)
+    m = O.shape[0]
+    x_dot, jv = _linearized(f, x)
+    sg = jax.lax.stop_gradient
 
-    Y = jnp.transpose(Av(O), (1, 2, 0))  # (B, D, m)
-    Y = jax.lax.stop_gradient(Y)
-    Q, R = _batched_thin_qr(Y)  # (B, D, k), (B, k, m)
-    k = Q.shape[2]
+    o_cols = [O[i].T for i in range(m)]  # (D, B)
+    y_cols = [sg(jv(O[i]).T) for i in range(m)]
+    q_cols, R = _qr_cols(y_cols)  # k = m
+    aq_cols = [sg(jv(q.T).T) for q in q_cols]
 
-    AQ = jnp.transpose(Av(jnp.transpose(Q, (2, 0, 1))), (1, 2, 0))  # (B, D, k)
-    AQ = jax.lax.stop_gradient(AQ)
+    # Entry grids of the small per-sample matrices; every entry is (B,).
+    H = [[jnp.sum(q_cols[i] * aq_cols[j], axis=0) for j in range(m)] for i in range(m)]
+    W = [[jnp.sum(q_cols[i] * o_cols[j], axis=0) for j in range(m)] for i in range(m)]
+    T = [[jnp.sum(aq_cols[i] * o_cols[j], axis=0) for j in range(m)] for i in range(m)]
 
-    H = jnp.einsum("bdi,bdj->bij", Q, AQ)  # (B, k, k)
-    W = jnp.einsum("bdk,mbd->bkm", Q, O)
-    T = jnp.einsum("bdk,mbd->bkm", AQ, O)
+    S_t = _tri_inv_entries(R, m)  # inv(R), row i / col j
+    # Row-normalize inv(R) (Epperly+ 2023 normalize the test directions).
+    for i in range(m):
+        norm = jnp.sqrt(sum(S_t[i][j] * S_t[i][j] for j in range(m)))
+        norm = jnp.maximum(norm, 1e-30)
+        S_t[i] = [S_t[i][j] / norm for j in range(m)]
+    # S = inv(R)^T normalized: S[i][j] pairs row index i with W/T's row
+    # index (Q column) — the reference's S = transpose(S_t, (0, 2, 1)).
+    S = [[S_t[j][i] for j in range(m)] for i in range(m)]
 
-    S_t = _tri_inv_upper(R)  # (B, k, k) == solve_triangular(R, I)
-    S_t = S_t / jnp.linalg.norm(S_t, axis=-1, keepdims=True)
-    S = jnp.transpose(S_t, (0, 2, 1))  # (B, m, k)
+    trace_H = sum(H[i][i] for i in range(m))
 
-    trace_H = jnp.trace(H, axis1=1, axis2=2)  # (B,)
+    # X = W - colsum(S .* W) * S  (leave-one-out deflation).
+    csum = [sum(S[i][j] * W[i][j] for i in range(m)) for j in range(m)]
+    X = [[W[i][j] - csum[j] * S[i][j] for j in range(m)] for i in range(m)]
 
-    X = W - jnp.sum(S * W, axis=1, keepdims=True) * S  # (B, k, m)
-    SHS = jnp.sum(S * jnp.einsum("bim,bmk->bik", H, S), axis=1)  # (B, k)
-    XHX = jnp.sum(X * jnp.einsum("bim,bmk->bik", H, X), axis=1)
-    WS = jnp.sum(W * S, axis=1)
-    SR = jnp.sum(S * R, axis=1)
-    TX = jnp.sum(T * X, axis=1)
+    def quad(V):  # [V^T H V]_jj for each left-out column j -> list of (B,)
+        HV = [
+            [sum(H[i][l] * V[l][j] for l in range(m)) for j in range(m)]
+            for i in range(m)
+        ]
+        return [sum(V[i][j] * HV[i][j] for i in range(m)) for j in range(m)]
 
-    trace_ests = trace_H[:, None] - SHS + WS * SR - TX + XHX  # (B, k)
-    return x_dot, jnp.mean(trace_ests, axis=1)
+    SHS = quad(S)
+    XHX = quad(X)
+    WS = [sum(W[i][j] * S[i][j] for i in range(m)) for j in range(m)]
+    SR = [sum(S[i][j] * R[i][j] for i in range(m)) for j in range(m)]
+    TX = [sum(T[i][j] * X[i][j] for i in range(m)) for j in range(m)]
+
+    ests = [trace_H - SHS[j] + WS[j] * SR[j] - TX[j] + XHX[j] for j in range(m)]
+    div = sum(ests) / float(m)
+    return x_dot, div
 
 
 def make_probes(
