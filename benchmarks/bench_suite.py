@@ -98,8 +98,8 @@ def main():
         # exact trace on TPU runs through the fused basis-tangent kernel
         # (the pure-XLA exact graph crashes this platform's AOT compiler)
         configs.insert(0, ("logprob/exact/fused", dict(use_fused_kernel=True)))
-        configs.append(("logprob/hutchpp/plain-f32", dict(trace_mode="hutchpp", hpp_rank=1, hpp_vecs=1, use_fused_kernel=False)))
-        configs.append(("logprob/xtrace/plain-f32", dict(trace_mode="xtrace", xt_vecs=2, use_fused_kernel=False)))
+        configs.append(("logprob/hutchpp/fused", dict(trace_mode="hutchpp", hpp_rank=1, hpp_vecs=1, use_fused_kernel=True)))
+        configs.append(("logprob/xtrace/fused", dict(trace_mode="xtrace", xt_vecs=2, use_fused_kernel=True)))
     else:
         configs.insert(0, ("logprob/exact/plain-f32", dict(use_fused_kernel=False)))
         configs.append(("logprob/hutchpp/plain-f32", dict(trace_mode="hutchpp", hpp_rank=1, hpp_vecs=1, use_fused_kernel=False)))

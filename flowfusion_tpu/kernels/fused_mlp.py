@@ -41,7 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "fused_drift",
     "fused_drift_reference",
+    "fused_drift_tangents",
     "fused_velocity",
+    "fused_velocity_tangents",
     "supports_config",
 ]
 
@@ -72,15 +74,19 @@ def _grid_plan(B: int, tile: int, max_sub: int = 16):
     return tile, n_sub, padded
 
 
-def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile, refs):
+def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile, refs, n_tan: int = 0):
     """Kernel body.  Ref layout (all weights arrive pre-TRANSPOSED):
-    [xT, (eT), w_inT, b_eff, w_h1T.., b_h1.., w_outT, b_out, c0c1]
-      -> [driftT, (div)]
+    [xT, (eT|vT), w_inT, b_eff, w_h1T.., b_h1.., w_outT, b_out, c0c1]
+      -> [driftT, (div | jvT)]
 
     ``mode``: 'forward' (drift only), 'hutchinson' (one probe tangent
-    chain), or 'exact' (d_out basis tangent chains; the basis tangent
+    chain), 'exact' (d_out basis tangent chains; the basis tangent
     through the input projection is just column d of w_inT, so the exact
-    divergence costs d_out extra hidden chains and no probe input).
+    divergence costs d_out extra hidden chains and no probe input), or
+    'tangents' (``n_tan`` arbitrary probe chains, stacked (n_tan*d_out,
+    block) in vT; returns the full J v columns instead of a contraction —
+    the building block for the Hutch++/XTrace sketch estimators, whose
+    downstream algebra consumes exactly this feature-major layout).
 
     Layout (V4): the batch lives in the LANE dimension *through the whole
     chain* — x arrives as (D_in, block), every activation is (H, subtile),
@@ -99,8 +105,8 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
     i = 0
     x_ref = refs[i]; i += 1  # (D_in, block)
     e_ref = None
-    if with_tangent:
-        e_ref = refs[i]; i += 1
+    if with_tangent or mode == "tangents":
+        e_ref = refs[i]; i += 1  # probe(s): (D_in, block) | (n_tan*d_out, block)
     w_in = refs[i]; i += 1  # (H, D_in)  [transposed]
     b_eff = refs[i]; i += 1  # (H, 1)
     w_hidden = []
@@ -138,13 +144,15 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
             precision=prec,
         )
 
-    def in_proj(xc):
+    def in_proj(xc, nrows=None):
         """sum_j w_inT[:, j] (H,1) * xc[j, :] (1,subtile) -> (H, subtile).
 
         Rank-1 VPU accumulation over natural (1, subtile) row slices — no
-        relayout; a K=D_in MXU pass would waste a systolic load."""
+        relayout; a K=D_in MXU pass would waste a systolic load.  Probe
+        tangents have zero conditional components, so their projection
+        accumulates only the first ``nrows`` (= d_out) weight columns."""
         acc = w_in[:, 0][:, None] * xc[0:1, :]
-        for j in range(1, d_in):
+        for j in range(1, nrows if nrows is not None else d_in):
             acc = acc + w_in[:, j][:, None] * xc[j : j + 1, :]
         return acc
 
@@ -160,6 +168,11 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
         a = in_proj(xc) + b_eff[:]  # (H, subtile)
         if with_tangent:
             tangents = [in_proj(e_ref[:, sl])]
+        elif mode == "tangents":
+            tangents = [
+                in_proj(e_ref[k * d_out : (k + 1) * d_out, sl], nrows=d_out)
+                for k in range(n_tan)
+            ]
         elif mode == "exact":
             # basis tangent e_d -> column d of w_inT, lane-broadcast
             tangents = [
@@ -187,6 +200,11 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
             je = mm(w_out[:], dh * tangents[0])  # (d_out, subtile) = J e
             acc = jnp.sum(je * e_ref[:d_out, sl], axis=0)  # d_out-row reduce
             div_ref[0, sl] = c0 * jnp.float32(d_out) + c1 * acc
+        elif mode == "tangents":
+            for k in range(n_tan):
+                vc = e_ref[k * d_out : (k + 1) * d_out, sl]
+                jv = c0 * vc + c1 * mm(w_out[:], dh * tangents[k])
+                div_ref[k * d_out : (k + 1) * d_out, sl] = jv
         elif mode == "exact":
             acc = jnp.zeros((subtile,), jnp.float32)
             for d in range(d_out):
@@ -201,7 +219,8 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_hidden", "mode", "d_out", "tile", "n_sub", "interpret", "compute_dtype"
+        "n_hidden", "mode", "d_out", "tile", "n_sub", "interpret",
+        "compute_dtype", "n_tan",
     ),
 )
 def _fused_drift_impl(
@@ -221,6 +240,7 @@ def _fused_drift_impl(
     n_sub: int,
     interpret: bool,
     compute_dtype: str,
+    n_tan: int = 0,
 ):
     with_tangent = mode == "hutchinson"
     with_div = mode != "forward"
@@ -248,6 +268,9 @@ def _fused_drift_impl(
     if with_tangent:
         in_specs.append(batch_spec(D))
         operands.append(e)
+    elif mode == "tangents":
+        in_specs.append(batch_spec(n_tan * d_out))
+        operands.append(e)
     in_specs += [weight_spec(w_in.shape), weight_spec(b_eff.shape)]
     operands += [w_in, b_eff]
     for arr in hidden_flat:
@@ -260,13 +283,21 @@ def _fused_drift_impl(
 
     out_shape = [jax.ShapeDtypeStruct((d_out, B), jnp.float32)]
     out_specs = [batch_spec(d_out)]
-    if with_div:
+    if mode == "tangents":
+        out_shape.append(jax.ShapeDtypeStruct((n_tan * d_out, B), jnp.float32))
+        out_specs.append(batch_spec(n_tan * d_out))
+    elif with_div:
         out_shape.append(jax.ShapeDtypeStruct((1, B), jnp.float32))
         out_specs.append(batch_spec(1))
 
     cd = jnp.dtype(compute_dtype)
-    kernel = lambda *refs: _kernel(n_hidden, mode, d_out, cd, n_sub, tile, refs)
-    n_chains = 1 + (1 if with_tangent else (d_out if mode == "exact" else 0))
+    kernel = lambda *refs: _kernel(
+        n_hidden, mode, d_out, cd, n_sub, tile, refs, n_tan=n_tan
+    )
+    n_chains = 1 + (
+        1 if with_tangent
+        else (d_out if mode == "exact" else (n_tan if mode == "tangents" else 0))
+    )
     flops_per_row = 2 * H * (D + (n_hidden - 1) * H + d_out) * n_chains
     result = pl.pallas_call(
         kernel,
@@ -358,12 +389,102 @@ def fused_drift(
     )
 
 
+def fused_drift_tangents(
+    params: dict,
+    cfg,
+    t: jax.Array,
+    x: jax.Array,
+    V: jax.Array,
+    conditional: Optional[jax.Array] = None,
+    c0: jax.Array = 0.0,
+    c1: jax.Array = 1.0,
+    tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    compute_dtype: str = "float32",
+):
+    """Fused drift + J V for a stack of arbitrary probe tangents.
+
+    ``V``: (K, B, D) probes.  Returns ``(drift_cols, jv_cols)`` in the
+    batch-in-lanes layout the sketch estimators consume: ``drift_cols``
+    is (D, B) and ``jv_cols`` a list of K (D, B) columns of
+    J v_k = c0 v_k + c1 J_net v_k (J taken w.r.t. x; conditional tangents
+    are zero).  One kernel dispatch propagates all K tangent chains
+    through the VMEM-resident layer chain alongside the forward pass.
+    """
+    from ..models.nets import fourier_time_embedding
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    E = cfg.embedding_dimensions
+    D = cfg.n_dimensions
+    layers = params["layers"]
+    if not supports_config(cfg.units):
+        raise ValueError(f"fused kernel does not support units={cfg.units}")
+
+    t = jnp.asarray(t, jnp.float32).reshape(())
+    temb = fourier_time_embedding(t[None], params["W"])[0]
+    w1 = layers[0]["w"]
+    b_eff = layers[0]["b"] + temb @ w1[:E]
+    w_in = w1[E : E + D]
+    if conditional is not None:
+        w_in = jnp.concatenate([w_in, w1[E + D :]], axis=0)
+
+    K = len(V) if isinstance(V, (list, tuple)) else V.shape[0]
+    if tile is None:
+        tile = max(256, (3072 // (1 + K)) // 256 * 256)
+    return _dispatch(
+        x, V, w_in, b_eff, layers, conditional, "tangents", D, c0, c1,
+        tile, interpret, compute_dtype, n_tan=K,
+    )
+
+
+def fused_velocity_tangents(
+    params: dict,
+    cfg,
+    t: jax.Array,
+    x: jax.Array,
+    V: jax.Array,
+    conditional: Optional[jax.Array] = None,
+    tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    compute_dtype: str = "float32",
+):
+    """Fused velocity + J V probe stack for the flow nets (c0=0, c1=1).
+
+    Same contract as :func:`fused_drift_tangents`; the scalar solver time
+    folds into the first-layer bias exactly as in :func:`fused_velocity`.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    D = cfg.target_dimension
+    layers = params["layers"]
+    if not supports_config(cfg.hidden_units):
+        raise ValueError(f"fused kernel does not support units={cfg.hidden_units}")
+
+    t = jnp.asarray(t, jnp.float32).reshape(())
+    w1 = layers[0]["w"]  # (D + 1 + C, H), rows [x | t | cond]
+    b_eff = layers[0]["b"] + t * w1[D]
+    w_in = w1[:D]
+    if conditional is not None:
+        w_in = jnp.concatenate([w_in, w1[D + 1 :]], axis=0)
+
+    K = len(V) if isinstance(V, (list, tuple)) else V.shape[0]
+    if tile is None:
+        tile = max(256, (3072 // (1 + K)) // 256 * 256)
+    return _dispatch(
+        x, V, w_in, b_eff, layers, conditional, "tangents", D, 0.0, 1.0,
+        tile, interpret, compute_dtype, n_tan=K,
+    )
+
+
 def _dispatch(
     x, e, w_in, b_eff, layers, conditional, mode, d_out, c0, c1, tile,
-    interpret, compute_dtype,
+    interpret, compute_dtype, n_tan=0,
 ):
     """Shared host-side tail of the kernel entry points: tiling plan,
-    padding, weight casting/flattening, impl call, un-transpose."""
+    padding, weight casting/flattening, impl call, un-transpose.
+
+    For ``mode='tangents'`` ``e`` is the probe stack (n_tan, B, d_out)."""
     if tile is None:
         tile = 4096 if mode == "forward" else 1024
     x_in = x if conditional is None else jnp.concatenate([x, conditional], -1)
@@ -381,6 +502,15 @@ def _dispatch(
         e_in = e
         if conditional is not None:
             e_in = jnp.pad(e, ((0, 0), (0, conditional.shape[-1])))
+        if pad:
+            e_in = jnp.pad(e_in, ((0, pad), (0, 0)))
+    elif mode == "tangents":
+        # stack probes feature-wise: row k*d_out + j of e_in.T is V[k,:,j].
+        # ``e`` is a (K, B, D) stack or a list of (D, B) columns.
+        if isinstance(e, (list, tuple)):
+            e_in = jnp.concatenate([v.T for v in e], axis=-1)
+        else:
+            e_in = jnp.concatenate([e[k] for k in range(n_tan)], axis=-1)
         if pad:
             e_in = jnp.pad(e_in, ((0, pad), (0, 0)))
 
@@ -409,7 +539,15 @@ def _dispatch(
         n_sub=n_sub,
         interpret=interpret,
         compute_dtype=compute_dtype,
+        n_tan=n_tan,
     )
+    if mode == "tangents":
+        driftT, jvT = out
+        # (d_out, B) drift columns + n_tan (d_out, B) J v columns — the
+        # batch-in-lanes layout ops/trace's sketch algebra consumes.
+        return driftT[:, :B], [
+            jvT[k * d_out : (k + 1) * d_out, :B] for k in range(n_tan)
+        ]
     if mode != "forward":
         driftT, div = out
         return driftT.T[:B], div[0, :B]

@@ -40,7 +40,9 @@ __all__ = [
     "exact_divergence",
     "hutchinson_divergence",
     "hutchpp_divergence",
+    "hutchpp_core",
     "xtrace_divergence",
+    "xtrace_core",
     "divergence_fn",
     "make_probes",
 ]
@@ -199,6 +201,36 @@ def _tri_inv_entries(R, k):
     return inv
 
 
+def hutchpp_core(apply_cols, s_cols, g_cols) -> jax.Array:
+    """Hutch++ divergence from a column operator.
+
+    ``apply_cols``: list of (D, B) columns -> list of (D, B) columns of
+    A v (already stop-gradient'ed — the reference ``.detach()``s every
+    sketch, diffusion.py:336-400).  ``s_cols``/``g_cols``: sketch and
+    residual probe columns.  Returns the (B,) trace estimate
+    tr(Q^T A Q) + (1/m) tr(U^T A U), U = (I - QQ^T) G.
+    """
+    m = len(g_cols)
+    y_cols = apply_cols(s_cols)
+    q_cols, _ = _qr_cols(y_cols)
+
+    u_cols = []
+    for g in g_cols:
+        u = g
+        for q in q_cols:
+            u = u - jnp.sum(q * g, axis=0)[None, :] * q
+        u_cols.append(u)
+
+    # U depends only on Q and the probes, so A Q and A U share one
+    # operator application (one fused-kernel dispatch / one JVP group).
+    applied = apply_cols(q_cols + u_cols)
+    aq_cols, au_cols = applied[: len(q_cols)], applied[len(q_cols) :]
+
+    trace_lr = sum(jnp.sum(q * aq, axis=0) for q, aq in zip(q_cols, aq_cols))
+    trace_res = sum(jnp.sum(u * au, axis=0) for u, au in zip(u_cols, au_cols))
+    return trace_lr + trace_res / float(m)
+
+
 def hutchpp_divergence(
     f: Callable[[jax.Array], jax.Array],
     x: jax.Array,
@@ -209,28 +241,18 @@ def hutchpp_divergence(
 
     ``S``: (r, B, D) sketch probes, ``G``: (m, B, D) residual probes.
     """
-    r, m = S.shape[0], G.shape[0]
     x_dot, jv = _linearized(f, x)
-
     sg = jax.lax.stop_gradient
-    # (D, B) columns of the sketch Y = A S.
-    y_cols = [sg(jv(S[i]).T) for i in range(r)]
-    q_cols, _ = _qr_cols(y_cols)  # k = r columns of (D, B)
-    aq_cols = [sg(jv(q.T).T) for q in q_cols]
 
-    trace_lr = sum(jnp.sum(q * aq, axis=0) for q, aq in zip(q_cols, aq_cols))
+    def apply_cols(cols):
+        return [sg(jv(c.T).T) for c in cols]
 
-    g_cols = [G[i].T for i in range(m)]  # (D, B)
-    u_cols = []
-    for g in g_cols:
-        u = g
-        for q in q_cols:
-            u = u - jnp.sum(q * g, axis=0)[None, :] * q
-        u_cols.append(u)
-    au_cols = [sg(jv(u.T).T) for u in u_cols]
-    trace_res = sum(jnp.sum(u * au, axis=0) for u, au in zip(u_cols, au_cols))
-
-    return x_dot, trace_lr + trace_res / float(m)
+    div = hutchpp_core(
+        apply_cols,
+        [S[i].T for i in range(S.shape[0])],
+        [G[i].T for i in range(G.shape[0])],
+    )
+    return x_dot, div
 
 
 def _batched_thin_qr(Y: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -261,14 +283,22 @@ def xtrace_divergence(
               + x_j^T H x_j
     averaged over j, with S the column-normalized inv(R).
     """
-    m = O.shape[0]
     x_dot, jv = _linearized(f, x)
     sg = jax.lax.stop_gradient
 
-    o_cols = [O[i].T for i in range(m)]  # (D, B)
-    y_cols = [sg(jv(O[i]).T) for i in range(m)]
+    def apply_cols(cols):
+        return [sg(jv(c.T).T) for c in cols]
+
+    div = xtrace_core(apply_cols, [O[i].T for i in range(O.shape[0])])
+    return x_dot, div
+
+
+def xtrace_core(apply_cols, o_cols) -> jax.Array:
+    """XTrace divergence from a column operator (see hutchpp_core)."""
+    m = len(o_cols)
+    y_cols = apply_cols(o_cols)
     q_cols, R = _qr_cols(y_cols)  # k = m
-    aq_cols = [sg(jv(q.T).T) for q in q_cols]
+    aq_cols = apply_cols(q_cols)
 
     # Entry grids of the small per-sample matrices; every entry is (B,).
     H = [[jnp.sum(q_cols[i] * aq_cols[j], axis=0) for j in range(m)] for i in range(m)]
@@ -305,8 +335,7 @@ def xtrace_divergence(
     TX = [sum(T[i][j] * X[i][j] for i in range(m)) for j in range(m)]
 
     ests = [trace_H - SHS[j] + WS[j] * SR[j] - TX[j] + XHX[j] for j in range(m)]
-    div = sum(ests) / float(m)
-    return x_dot, div
+    return sum(ests) / float(m)
 
 
 def make_probes(

@@ -387,3 +387,92 @@ def test_fused_em_hardware_rng_produces_finite_normal_noise():
     # untrained net keeps an O(sigma_max) spread — catches all-zero or
     # degenerate noise too.
     assert 1.0 < x.std() < 100.0
+
+
+def test_fused_tangents_matches_jvp_reference():
+    from flowfusion_tpu.kernels.fused_mlp import fused_drift_tangents
+    from flowfusion_tpu.models.nets import apply_score_mlp
+
+    for n_cond in (0, 3):
+        cfg, params = _setup(n_cond=n_cond)
+        B = 70  # ragged (padding path)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, 2))
+        cond = (
+            jax.random.normal(jax.random.PRNGKey(5), (B, n_cond))
+            if n_cond
+            else None
+        )
+        V = jax.random.normal(jax.random.PRNGKey(2), (3, B, 2))
+        t = jnp.asarray(0.37)
+        c0, c1 = 0.2, -1.7
+
+        def drift_fn(xx):
+            tt = jnp.full((xx.shape[0],), t)
+            return c0 * xx + c1 * apply_score_mlp(cfg, params, tt, xx, cond)
+
+        drift_cols, jv_cols = fused_drift_tangents(
+            params, cfg, t, x, V, cond, c0=c0, c1=c1, tile=64,
+            interpret=INTERPRET,
+        )
+        np.testing.assert_allclose(
+            np.asarray(drift_cols.T), np.asarray(drift_fn(x)), atol=2e-5
+        )
+        for k in range(3):
+            _, jv_ref = jax.jvp(drift_fn, (x,), (V[k],))
+            np.testing.assert_allclose(
+                np.asarray(jv_cols[k].T), np.asarray(jv_ref), atol=2e-5
+            )
+
+        # list-of-columns input gives identical results
+        _, jv_list = fused_drift_tangents(
+            params, cfg, t, x, [V[k].T for k in range(3)], cond,
+            c0=c0, c1=c1, tile=64, interpret=INTERPRET,
+        )
+        for a, b in zip(jv_cols, jv_list):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_sketch_logprob_matches_plain():
+    """Fused-kernel Hutch++/XTrace solves equal plain XLA within the
+    kernel's matmul-precision tolerance (same probes, same algebra)."""
+    import dataclasses
+
+    from flowfusion_tpu.models.score import ScoreModel
+    from flowfusion_tpu.ops.sde import VESDE
+
+    cfg, params = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 2))
+    for mode, kw in [
+        ("hutchpp", dict(hpp_rank=2, hpp_vecs=1)),
+        ("xtrace", dict(xt_vecs=2)),
+    ]:
+        plain = ScoreModel(
+            params=params, net=cfg, sde=VESDE(), trace_mode=mode,
+            use_fused_kernel=False, **kw
+        )
+        fused = dataclasses.replace(plain, use_fused_kernel=True)
+        k = jax.random.PRNGKey(7)
+        _, d_plain, _ = plain.solve_odes_forward(x, key=k)
+        _, d_fused, _ = fused.solve_odes_forward(x, key=k)
+        np.testing.assert_allclose(
+            np.asarray(d_fused), np.asarray(d_plain), atol=5e-4
+        )
+
+
+def test_flow_fused_sketch_logprob_matches_plain():
+    import dataclasses
+
+    from flowfusion_tpu.models.flow import ODEFlow
+
+    model = ODEFlow.create(
+        jax.random.PRNGKey(0), target_dimension=2, hidden_units=(128, 128),
+        trace_mode="xtrace", use_fused_kernel=False,
+    )
+    fused = dataclasses.replace(model, use_fused_kernel=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 2))
+    k = jax.random.PRNGKey(7)
+    lp_plain, _ = model.log_prob(x, key=k)
+    lp_fused, _ = fused.log_prob(x, key=k)
+    np.testing.assert_allclose(
+        np.asarray(lp_fused), np.asarray(lp_plain), atol=5e-4
+    )
