@@ -39,15 +39,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import supports_config
+from .fused_mlp import _act_pair_fn, supports_config
 
 __all__ = ["fused_em_sample", "em_prep"]
 
 _TWO_PI = 2.0 * np.pi
 
 
-def _silu(a):
-    return a * jax.nn.sigmoid(a)
 
 
 def _normal_from_bits(shape):
@@ -68,7 +66,7 @@ def _normal_from_bits(shape):
     return r * jnp.cos(_TWO_PI * u2)
 
 
-def _kernel(steps: int, n_hidden: int, d_out: int, compute_dtype, hw_rng, with_cond, refs):
+def _kernel(steps: int, n_hidden: int, d_out: int, compute_dtype, hw_rng, with_cond, refs, activation: str = 'silu'):
     """Ref layout: [x0, seed(smem), (noise), (cond_proj), coeffs,
     b_eff_all, w_in, w_h.., b_h.., w_out, b_out] -> [x_mean, x]
 
@@ -117,13 +115,15 @@ def _kernel(steps: int, n_hidden: int, d_out: int, compute_dtype, hw_rng, with_c
             precision=prec,
         )
 
+    act = lambda a: _act_pair_fn(activation)(a)[0]
+
     def net(x, s):
         a = mm(x, w_in) + b_eff_ref[s, :][None, :]
         if with_cond:
             a = a + cond_ref[:]
         for li in range(n_hidden - 1):
-            a = mm(_silu(a), w_hidden[li]) + b_hidden[li][:]
-        return mm(_silu(a), w_out) + b_out[:]
+            a = mm(act(a), w_hidden[li]) + b_hidden[li][:]
+        return mm(act(a), w_out) + b_out[:]
 
     def body(s, carry):
         x, x_mean = carry
@@ -170,11 +170,12 @@ def em_prep(params: dict, cfg, sde, steps: int, no_sigma: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("steps", "n_hidden", "d_out", "tile", "interpret", "compute_dtype"),
+    static_argnames=("steps", "n_hidden", "d_out", "tile", "interpret", "compute_dtype", "activation"),
 )
 def _fused_em_impl(
     x0, seed, noise, cond_proj, coeffs, b_eff_all, w_in, hidden_flat, w_out, b_out,
     *, steps, n_hidden, d_out, tile, interpret, compute_dtype,
+    activation="silu",
 ):
     B, D = x0.shape
     H = w_in.shape[1]
@@ -209,7 +210,8 @@ def _fused_em_impl(
     operands += [w_out, b_out]
 
     kernel = lambda *refs: _kernel(
-        steps, n_hidden, d_out, jnp.dtype(compute_dtype), hw_rng, with_cond, refs
+        steps, n_hidden, d_out, jnp.dtype(compute_dtype), hw_rng, with_cond,
+        refs, activation=activation,
     )
     out = pl.pallas_call(
         kernel,
@@ -253,8 +255,11 @@ def fused_em_sample(
     ``seed`` is an int32 scalar; each batch tile derives an independent
     hardware-PRNG stream.
     """
-    if not supports_config(cfg.units):
-        raise ValueError(f"fused EM kernel does not support units={cfg.units}")
+    if not supports_config(cfg.units, cfg.activation):
+        raise ValueError(
+            f"fused EM kernel does not support units={cfg.units} "
+            f"activation={cfg.activation}"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -293,5 +298,6 @@ def fused_em_sample(
         layers[-1]["w"].astype(wdt), layers[-1]["b"][None, :],
         steps=steps, n_hidden=len(layers) - 1, d_out=D, tile=tile,
         interpret=interpret, compute_dtype=compute_dtype,
+        activation=cfg.activation,
     )
     return x_mean[:B], x[:B]

@@ -42,6 +42,7 @@ __all__ = [
     "fused_drift",
     "fused_drift_reference",
     "fused_drift_tangents",
+    "fused_symplectic_velocity",
     "fused_velocity",
     "fused_velocity_tangents",
     "supports_config",
@@ -52,13 +53,46 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def supports_config(units: Sequence[int]) -> bool:
-    """Kernel supports uniform hidden widths that are lane multiples."""
+_KERNEL_ACTIVATIONS = ("silu", "tanh", "relu")
+
+
+def supports_config(units: Sequence[int], activation: str = "silu") -> bool:
+    """Kernel supports uniform lane-multiple hidden widths and the
+    activations whose value/derivative pairs it implements."""
     return (
         len(units) >= 1
         and all(u == units[0] for u in units)
         and units[0] % 128 == 0
+        and activation in _KERNEL_ACTIVATIONS
     )
+
+
+def _act_pair_fn(activation: str):
+    """(act(a), act'(a)) for the activations the kernel chains support.
+
+    One transcendental per layer, shared by the forward activation and
+    every tangent chain's derivative factor."""
+    if activation == "silu":
+
+        def pair(a):
+            s = jax.nn.sigmoid(a)
+            return a * s, s * (1.0 + a * (1.0 - s))
+
+    elif activation == "tanh":
+
+        def pair(a):
+            h = jnp.tanh(a)
+            return h, 1.0 - h * h
+
+    elif activation == "relu":
+
+        def pair(a):
+            m = (a > 0).astype(jnp.float32)
+            return a * m, m
+
+    else:  # pragma: no cover - guarded by supports_config
+        raise ValueError(f"fused kernel does not implement {activation!r}")
+    return pair
 
 
 
@@ -74,7 +108,7 @@ def _grid_plan(B: int, tile: int, max_sub: int = 16):
     return tile, n_sub, padded
 
 
-def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile, refs, n_tan: int = 0):
+def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile, refs, n_tan: int = 0, activation: str = 'silu'):
     """Kernel body.  Ref layout (all weights arrive pre-TRANSPOSED):
     [xT, (eT|vT), w_inT, b_eff, w_h1T.., b_h1.., w_outT, b_out, c0c1]
       -> [driftT, (div | jvT)]
@@ -156,11 +190,7 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
             acc = acc + w_in[:, j][:, None] * xc[j : j + 1, :]
         return acc
 
-    # One sigmoid per layer, shared by the forward activation and the
-    # tangent derivative (the transcendental is the expensive VPU op).
-    def act_pair(a_):
-        s = jax.nn.sigmoid(a_)
-        return a_ * s, s * (1.0 + a_ * (1.0 - s))
+    act_pair = _act_pair_fn(activation)
 
     def compute_chunk(ci, _):
         sl = pl.ds(ci * subtile, subtile)
@@ -220,7 +250,7 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
     jax.jit,
     static_argnames=(
         "n_hidden", "mode", "d_out", "tile", "n_sub", "interpret",
-        "compute_dtype", "n_tan",
+        "compute_dtype", "n_tan", "activation",
     ),
 )
 def _fused_drift_impl(
@@ -241,6 +271,7 @@ def _fused_drift_impl(
     interpret: bool,
     compute_dtype: str,
     n_tan: int = 0,
+    activation: str = "silu",
 ):
     with_tangent = mode == "hutchinson"
     with_div = mode != "forward"
@@ -292,7 +323,8 @@ def _fused_drift_impl(
 
     cd = jnp.dtype(compute_dtype)
     kernel = lambda *refs: _kernel(
-        n_hidden, mode, d_out, cd, n_sub, tile, refs, n_tan=n_tan
+        n_hidden, mode, d_out, cd, n_sub, tile, refs, n_tan=n_tan,
+        activation=activation,
     )
     n_chains = 1 + (
         1 if with_tangent
@@ -354,8 +386,11 @@ def fused_drift(
     E = cfg.embedding_dimensions
     D = cfg.n_dimensions
     layers = params["layers"]
-    if not supports_config(cfg.units):
-        raise ValueError(f"fused kernel does not support units={cfg.units}")
+    if not supports_config(cfg.units, cfg.activation):
+        raise ValueError(
+            f"fused kernel does not support units={cfg.units} "
+            f"activation={cfg.activation}"
+        )
 
     t = jnp.asarray(t, jnp.float32).reshape(())
     temb = fourier_time_embedding(t[None], params["W"])[0]  # (E,)
@@ -385,7 +420,7 @@ def fused_drift(
         tile = 4096 if d_in <= 4 else 1024
     return _dispatch(
         x, e, w_in, b_eff, layers, conditional, mode, D, c0, c1, tile,
-        interpret, compute_dtype,
+        interpret, compute_dtype, activation=cfg.activation,
     )
 
 
@@ -418,8 +453,11 @@ def fused_drift_tangents(
     E = cfg.embedding_dimensions
     D = cfg.n_dimensions
     layers = params["layers"]
-    if not supports_config(cfg.units):
-        raise ValueError(f"fused kernel does not support units={cfg.units}")
+    if not supports_config(cfg.units, cfg.activation):
+        raise ValueError(
+            f"fused kernel does not support units={cfg.units} "
+            f"activation={cfg.activation}"
+        )
 
     t = jnp.asarray(t, jnp.float32).reshape(())
     temb = fourier_time_embedding(t[None], params["W"])[0]
@@ -434,7 +472,7 @@ def fused_drift_tangents(
         tile = max(256, (3072 // (1 + K)) // 256 * 256)
     return _dispatch(
         x, V, w_in, b_eff, layers, conditional, "tangents", D, c0, c1,
-        tile, interpret, compute_dtype, n_tan=K,
+        tile, interpret, compute_dtype, n_tan=K, activation=cfg.activation,
     )
 
 
@@ -458,8 +496,11 @@ def fused_velocity_tangents(
         interpret = jax.default_backend() != "tpu"
     D = cfg.target_dimension
     layers = params["layers"]
-    if not supports_config(cfg.hidden_units):
-        raise ValueError(f"fused kernel does not support units={cfg.hidden_units}")
+    if not supports_config(cfg.hidden_units, cfg.activation):
+        raise ValueError(
+            f"fused kernel does not support units={cfg.hidden_units} "
+            f"activation={cfg.activation}"
+        )
 
     t = jnp.asarray(t, jnp.float32).reshape(())
     w1 = layers[0]["w"]  # (D + 1 + C, H), rows [x | t | cond]
@@ -473,13 +514,69 @@ def fused_velocity_tangents(
         tile = max(256, (3072 // (1 + K)) // 256 * 256)
     return _dispatch(
         x, V, w_in, b_eff, layers, conditional, "tangents", D, 0.0, 1.0,
-        tile, interpret, compute_dtype, n_tan=K,
+        tile, interpret, compute_dtype, n_tan=K, activation=cfg.activation,
     )
+
+
+def fused_symplectic_velocity(
+    params: dict,
+    cfg,
+    t: jax.Array,
+    state: jax.Array,
+    conditional: Optional[jax.Array] = None,
+    tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    compute_dtype: str = "float32",
+):
+    """Fused Hamiltonian velocity [dq/dt, dp/dt] (models/nets.py
+    apply_symplectic_mlp; reference symplectic.py:82-123).
+
+    The two separable-Hamiltonian nets take inputs ordered
+    [x_other | cond | t_emb] — the Fourier time embedding sits at the END
+    of the feature vector (unlike the score net), so for a batch-global
+    solver time it folds into a first-layer bias from the TRAILING weight
+    rows.  Each net is then exactly the V4 score-kernel shape with
+    (c0, c1) = (0, +1) for the q-net on p and (0, -1) for the p-net on q:
+    two dispatches, no new kernel code.  The joint field needs no
+    divergence output — it is zero by construction.
+    """
+    from ..models.nets import fourier_time_embedding
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    D = cfg.n_data_dims
+    C = cfg.n_conditionals
+    if not supports_config(cfg.units, cfg.activation):
+        raise ValueError(
+            f"fused kernel does not support units={cfg.units} "
+            f"activation={cfg.activation}"
+        )
+
+    t = jnp.asarray(t, jnp.float32).reshape(())
+    temb = fourier_time_embedding(t[None], params["W"])[0]
+    q, p = jnp.split(state, 2, axis=-1)
+
+    outs = []
+    for layers, x_in, c1 in (
+        (params["q_layers"], p, 1.0),
+        (params["p_layers"], q, -1.0),
+    ):
+        w1 = layers[0]["w"]  # (D + C + E, H), rows [x_other | cond | temb]
+        b_eff = layers[0]["b"] + temb @ w1[D + C :]
+        w_in = w1[:D] if conditional is None else w1[: D + C]
+        outs.append(
+            _dispatch(
+                x_in, None, w_in, b_eff, layers, conditional, "forward",
+                D, 0.0, c1, tile, interpret, compute_dtype,
+                activation=cfg.activation,
+            )
+        )
+    return jnp.concatenate(outs, axis=-1)
 
 
 def _dispatch(
     x, e, w_in, b_eff, layers, conditional, mode, d_out, c0, c1, tile,
-    interpret, compute_dtype, n_tan=0,
+    interpret, compute_dtype, n_tan=0, activation="silu",
 ):
     """Shared host-side tail of the kernel entry points: tiling plan,
     padding, weight casting/flattening, impl call, un-transpose.
@@ -540,6 +637,7 @@ def _dispatch(
         interpret=interpret,
         compute_dtype=compute_dtype,
         n_tan=n_tan,
+        activation=activation,
     )
     if mode == "tangents":
         driftT, jvT = out
@@ -576,8 +674,11 @@ def fused_velocity(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     D = cfg.target_dimension
-    if not supports_config(cfg.hidden_units):
-        raise ValueError(f"fused kernel does not support units={cfg.hidden_units}")
+    if not supports_config(cfg.hidden_units, cfg.activation):
+        raise ValueError(
+            f"fused kernel does not support units={cfg.hidden_units} "
+            f"activation={cfg.activation}"
+        )
 
     t = jnp.asarray(t, jnp.float32).reshape(())
     layers = params["layers"]
@@ -592,7 +693,7 @@ def fused_velocity(
     mode = "hutchinson" if e is not None else "forward"
     return _dispatch(
         x, e, w_in, b_eff, layers, conditional, mode, D, 0.0, 1.0, tile,
-        interpret, compute_dtype,
+        interpret, compute_dtype, activation=cfg.activation,
     )
 
 

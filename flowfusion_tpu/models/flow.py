@@ -88,7 +88,7 @@ class ODEFlow:
 
         supported = (
             isinstance(self.net, VelocityMLPConfig)
-            and supports_config(self.net.hidden_units)
+            and supports_config(self.net.hidden_units, self.net.activation)
             and self.net.target_dimension + self.net.conditional_dimension <= 16
         )
         if self.use_fused_kernel is not None:

@@ -83,7 +83,7 @@ class ScoreModel:
 
         return (
             isinstance(self.net, ScoreMLPConfig)
-            and supports_config(self.net.units)
+            and supports_config(self.net.units, self.net.activation)
             # the kernel's VPU rank-1 edge projections scale linearly in
             # the feature count
             and self.net.n_dimensions + self.net.n_conditionals <= 16

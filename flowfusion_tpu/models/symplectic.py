@@ -45,6 +45,44 @@ class SymplecticFlowModel:
     conditional_shift: Optional[jax.Array]
     conditional_scale: Optional[jax.Array]
     net: SymplecticMLPConfig = dataclasses.field(metadata=dict(static=True))
+    # Fused Pallas velocity kernel (kernels/fused_mlp.
+    # fused_symplectic_velocity): None = auto on single-device TPU for
+    # supported configs; used in the no-grad solve paths (sample Euler loop
+    # and the trace-free log_prob ODE), never in loss_fn (the kernel has no
+    # autodiff rule).
+    use_fused_kernel: Optional[bool] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    kernel_compute_dtype: str = dataclasses.field(
+        default="float32", metadata=dict(static=True)
+    )
+
+    def _fused_available(self) -> bool:
+        from ..kernels.fused_mlp import supports_config
+
+        supported = (
+            isinstance(self.net, SymplecticMLPConfig)
+            and supports_config(self.net.units, self.net.activation)
+            and self.net.n_data_dims + self.net.n_conditionals <= 16
+        )
+        if self.use_fused_kernel is not None:
+            return bool(self.use_fused_kernel) and supported
+        return (
+            supported
+            and jax.default_backend() == "tpu"
+            and len(jax.devices()) == 1
+        )
+
+    def _solve_dynamics(self, conditional):
+        """RHS for the no-grad solve paths: fused kernel when available."""
+        if self._fused_available():
+            from ..kernels.fused_mlp import fused_symplectic_velocity
+
+            return lambda t, s: fused_symplectic_velocity(
+                self.params, self.net, t, s, conditional,
+                compute_dtype=self.kernel_compute_dtype,
+            )
+        return lambda t, s: self.dynamics(t, s, conditional)
 
     @classmethod
     def create(
@@ -59,6 +97,8 @@ class SymplecticFlowModel:
         scale=None,
         conditional_shift=None,
         conditional_scale=None,
+        use_fused_kernel: Optional[bool] = None,
+        kernel_compute_dtype: str = "float32",
     ) -> "SymplecticFlowModel":
         net = SymplecticMLPConfig(
             n_data_dims=n_data_dims,
@@ -86,6 +126,8 @@ class SymplecticFlowModel:
             if conditional_scale is not None
             else co,
             net=net,
+            use_fused_kernel=use_fused_kernel,
+            kernel_compute_dtype=kernel_compute_dtype,
         )
 
     # ------------------------------------------------------------------
@@ -159,7 +201,7 @@ class SymplecticFlowModel:
             q0, _ = leapfrog(vq, vp, q1, p1, t0=1.0, t1=0.0, steps=num_steps)
         else:
             ys = odeint_fixed(
-                lambda t, s: self.dynamics(t, s, cond),
+                self._solve_dynamics(cond),
                 x,
                 [1.0, 0.0],
                 method=method,
@@ -189,7 +231,7 @@ class SymplecticFlowModel:
         cond = self._norm_cond(conditional)
 
         ys, stats = odeint(
-            lambda t, s: self.dynamics(t, s, cond),
+            self._solve_dynamics(cond),
             state0,
             [0.0, 1.0],
             rtol=rtol,

@@ -476,3 +476,96 @@ def test_flow_fused_sketch_logprob_matches_plain():
     np.testing.assert_allclose(
         np.asarray(lp_fused), np.asarray(lp_plain), atol=5e-4
     )
+
+
+def test_fused_symplectic_velocity_matches_reference():
+    from flowfusion_tpu.kernels.fused_mlp import fused_symplectic_velocity
+    from flowfusion_tpu.models.nets import (
+        SymplecticMLPConfig,
+        apply_symplectic_mlp,
+        init_symplectic_mlp,
+    )
+
+    for n_cond in (0, 3):
+        cfg = SymplecticMLPConfig(n_data_dims=2, n_conditionals=n_cond)
+        params = init_symplectic_mlp(jax.random.PRNGKey(0), cfg)
+        B = 70
+        state = jax.random.normal(jax.random.PRNGKey(1), (B, 4))
+        cond = (
+            jax.random.normal(jax.random.PRNGKey(2), (B, n_cond))
+            if n_cond
+            else None
+        )
+        t = jnp.asarray(0.43)
+        out = fused_symplectic_velocity(
+            params, cfg, t, state, cond, tile=64, interpret=INTERPRET
+        )
+        ref = apply_symplectic_mlp(
+            cfg, params, jnp.full((B,), t), state, cond
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_symplectic_fused_logprob_matches_plain():
+    import dataclasses
+
+    from flowfusion_tpu.models.symplectic import SymplecticFlowModel
+
+    model = SymplecticFlowModel.create(
+        jax.random.PRNGKey(0), n_data_dims=2, use_fused_kernel=False
+    )
+    fused = dataclasses.replace(model, use_fused_kernel=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 2))
+    k = jax.random.PRNGKey(7)
+    lp_plain, _ = model.log_prob(k, x)
+    lp_fused, _ = fused.log_prob(k, x)
+    np.testing.assert_allclose(
+        np.asarray(lp_fused), np.asarray(lp_plain), atol=5e-4
+    )
+    s_plain = model.sample(k, (128, 2), num_steps=4)
+    s_fused = fused.sample(k, (128, 2), num_steps=4)
+    np.testing.assert_allclose(
+        np.asarray(s_fused), np.asarray(s_plain), atol=5e-4
+    )
+
+
+def test_fused_kernel_respects_activation():
+    """The kernel must honor cfg.activation (regression: it silently
+    applied SiLU for every activation) and refuse unsupported ones."""
+    from flowfusion_tpu.kernels.fused_mlp import supports_config
+
+    assert supports_config((128,), "tanh")
+    assert supports_config((128,), "relu")
+    assert not supports_config((128,), "gelu")
+
+    for act in ("tanh", "relu"):
+        cfg, params = _setup()
+        cfg = type(cfg)(
+            n_dimensions=2, n_conditionals=0, units=(128, 128, 128),
+            activation=act,
+        )
+        params = init_score_mlp(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+        e = jnp.sign(jax.random.normal(jax.random.PRNGKey(2), (64, 2)))
+        t = jnp.asarray(0.8)
+        drift, div = fused_drift(
+            params, cfg, t, x, e=e, c0=-0.1, c1=1.3, tile=64,
+            interpret=INTERPRET,
+        )
+        drift_ref, div_ref = fused_drift_reference(
+            params, cfg, t, x, e=e, c0=-0.1, c1=1.3
+        )
+        np.testing.assert_allclose(
+            np.asarray(drift), np.asarray(drift_ref), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(div), np.asarray(div_ref), rtol=1e-4, atol=2e-4
+        )
+
+    cfg = ScoreMLPConfig(
+        n_dimensions=2, n_conditionals=0, units=(128,), activation="gelu"
+    )
+    params = init_score_mlp(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+    with pytest.raises(ValueError, match="activation"):
+        fused_drift(params, cfg, jnp.asarray(0.5), x, interpret=INTERPRET)
