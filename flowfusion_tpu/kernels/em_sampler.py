@@ -46,8 +46,6 @@ __all__ = ["fused_em_sample", "em_prep"]
 _TWO_PI = 2.0 * np.pi
 
 
-
-
 def _normal_from_bits(shape):
     """Box--Muller on hardware random bits -> N(0,1) float32 of ``shape``.
 
@@ -115,7 +113,10 @@ def _kernel(steps: int, n_hidden: int, d_out: int, compute_dtype, hw_rng, with_c
             precision=prec,
         )
 
-    act = lambda a: _act_pair_fn(activation)(a)[0]
+    act_pair = _act_pair_fn(activation)
+
+    def act(a):
+        return act_pair(a)[0]
 
     def net(x, s):
         a = mm(x, w_in) + b_eff_ref[s, :][None, :]

@@ -81,8 +81,9 @@ class ODEFlow:
         and 1.7x for Hutchinson likelihood solves at 1M rows on v5e.  Auto
         stays off under multi-device jit (GSPMD cannot partition a
         pallas_call — use parallel.sharding.data_parallel_per_shard with
-        ``use_fused_kernel=True``) and off-TPU.  Only forward/hutchinson
-        paths exist in the kernel; exact-trace flow solves (the default
+        ``use_fused_kernel=True``) and off-TPU.  Governs the forward
+        (sampling) RHS, Hutchinson solves, and the Hutch++/XTrace solves
+        (fused_velocity_tangents); exact-trace flow solves (the default
         ``trace_mode``) always use plain XLA, which compiles fine here."""
         from ..kernels.fused_mlp import supports_config
 

@@ -219,27 +219,45 @@ class SymplecticFlowModel:
         rtol: float = 1e-5,
         method: str = "dopri5",
         options: Optional[dict] = None,
+        adjoint: bool = False,
     ) -> Tuple[jax.Array, SolverStats]:
         """Trace-free log-likelihood (symplectic.py:203-253).
 
         ``key`` draws the auxiliary momentum p0 ~ N(0,1).  Returns (lp (B,),
-        stats).
+        stats).  ``adjoint=True`` differentiates through the solve via the
+        O(1)-memory adjoint ODE (stats None) — capability the reference
+        lacks for this model; the default path (fused kernel or plain
+        while_loop solver) is forward-only.
         """
         q0 = (x - self.shift) / self.scale
         p0 = jax.random.normal(key, q0.shape, q0.dtype)
         state0 = jnp.concatenate([q0, p0], axis=-1)
         cond = self._norm_cond(conditional)
 
-        ys, stats = odeint(
-            self._solve_dynamics(cond),
-            state0,
-            [0.0, 1.0],
-            rtol=rtol,
-            atol=atol,
-            method=method,
-            options=options,
-        )
-        z1 = ys[-1]
+        if adjoint:
+            from ..ops.integrate.adjoint import odeint_adjoint
+
+            def func(t, s, params):
+                m = dataclasses.replace(self, params=params)
+                return m.dynamics(t, s, cond)
+
+            ys = odeint_adjoint(
+                func, state0, [0.0, 1.0], self.params,
+                rtol=rtol, atol=atol, method=method, options=options,
+            )
+            z1 = ys[-1]
+            stats = None
+        else:
+            ys, stats = odeint(
+                self._solve_dynamics(cond),
+                state0,
+                [0.0, 1.0],
+                rtol=rtol,
+                atol=atol,
+                method=method,
+                options=options,
+            )
+            z1 = ys[-1]
         log_p_z1 = jnp.sum(_std_normal_logpdf(z1), axis=-1)
         log_p_p0 = jnp.sum(_std_normal_logpdf(p0), axis=-1)
         return log_p_z1 - log_p_p0 - jnp.sum(jnp.log(self.scale)), stats

@@ -255,21 +255,6 @@ def hutchpp_divergence(
     return x_dot, div
 
 
-def _batched_thin_qr(Y: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Thin QR of (B, D, m) stacks with m small and static.
-
-    Compatibility wrapper over ``_qr_cols`` (the batch-in-lanes MGS
-    implementation the estimators use directly).
-    """
-    B, D, m = Y.shape
-    q_cols, R = _qr_cols([Y[:, :, j].T for j in range(m)])
-    Q = jnp.stack([q.T for q in q_cols], axis=2)  # (B, D, m)
-    Rm = jnp.stack(
-        [jnp.stack([R[i][j] for j in range(m)], axis=1) for i in range(m)], axis=1
-    )  # (B, m, m)
-    return Q, Rm
-
-
 def xtrace_divergence(
     f: Callable[[jax.Array], jax.Array], x: jax.Array, O: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
