@@ -157,12 +157,20 @@ def main():
     import optax
 
     tx = optax.adam(1e-3)
-    opt_state = tx.init(model.params)
-    bs = 256
-
     # Measure the way training actually runs (train.fit): one dispatch
     # scans many steps, so per-dispatch latency is amortized away.
+    # bs 256 mirrors the reference notebook's largest stage; the large
+    # batch shows the TPU-schedule throughput regime (samples/s).
     scan_steps = 100
+
+    def train_step_inner(params, opt_state, key, xb):
+        def loss_fn(p):
+            m = dataclasses.replace(model, params=p)
+            return m.loss_fn(key, xb)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
 
     @jax.jit
     def train_scan(params, opt_state, key, xs):
@@ -176,26 +184,24 @@ def main():
         (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), (keys, xs))
         return params, opt_state, losses[-1]
 
-    def train_step_inner(params, opt_state, key, xb):
-        def loss_fn(p):
-            m = dataclasses.replace(model, params=p)
-            return m.loss_fn(key, xb)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        upd, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, upd), opt_state, loss
-
-    xs = jnp.stack([x[i * bs % (n - bs) : i * bs % (n - bs) + bs] for i in range(scan_steps)])
-    params, opt_state, loss = train_scan(model.params, opt_state, jax.random.PRNGKey(1), xs)
-    _sync(loss)
-    t0 = time.perf_counter()
-    params, opt_state, loss = train_scan(params, opt_state, jax.random.PRNGKey(2), xs)
-    _sync(loss)
-    record(
-        f"train-step/bs{bs}(scanned)",
-        (time.perf_counter() - t0) / scan_steps,
-        per_what=1,
-    )
+    for bs in (256, 16384):
+        opt_state = tx.init(model.params)
+        idx = jax.random.randint(
+            jax.random.PRNGKey(9), (scan_steps, bs), 0, n
+        )
+        xs = x[idx]  # (scan_steps, bs, D)
+        params, opt_state, loss = train_scan(
+            model.params, opt_state, jax.random.PRNGKey(1), xs
+        )
+        _sync(loss)
+        t0 = time.perf_counter()
+        params, opt_state, loss = train_scan(
+            params, opt_state, jax.random.PRNGKey(2), xs
+        )
+        _sync(loss)
+        per_step = (time.perf_counter() - t0) / scan_steps
+        record(f"train-step/bs{bs}(scanned)", per_step, per_what=1)
+        record(f"train-throughput/bs{bs}", per_step, per_what=bs)
 
     out_path = os.path.join(_HERE, "results.json")
     with open(out_path, "w") as f:

@@ -53,7 +53,7 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-_KERNEL_ACTIVATIONS = ("silu", "tanh", "relu")
+_KERNEL_ACTIVATIONS = ("silu", "tanh", "relu", "gelu")
 
 
 def supports_config(units: Sequence[int], activation: str = "silu") -> bool:
@@ -89,6 +89,20 @@ def _act_pair_fn(activation: str):
         def pair(a):
             m = (a > 0).astype(jnp.float32)
             return a * m, m
+
+    elif activation == "gelu":
+        # tanh approximation — jax.nn.gelu's default (models/nets.py
+        # _ACTIVATIONS uses jax.nn.gelu with approximate=True).
+        c = 0.7978845608028654  # sqrt(2/pi)
+        k3 = 0.044715
+
+        def pair(a):
+            u = c * (a + k3 * a * a * a)
+            th = jnp.tanh(u)
+            du = c * (1.0 + 3.0 * k3 * a * a)
+            return 0.5 * a * (1.0 + th), (
+                0.5 * (1.0 + th) + 0.5 * a * (1.0 - th * th) * du
+            )
 
     else:  # pragma: no cover - guarded by supports_config
         raise ValueError(f"fused kernel does not implement {activation!r}")

@@ -536,9 +536,10 @@ def test_fused_kernel_respects_activation():
 
     assert supports_config((128,), "tanh")
     assert supports_config((128,), "relu")
-    assert not supports_config((128,), "gelu")
+    assert supports_config((128,), "gelu")
+    assert not supports_config((128,), "mish")
 
-    for act in ("tanh", "relu"):
+    for act in ("tanh", "relu", "gelu"):
         cfg, params = _setup()
         cfg = type(cfg)(
             n_dimensions=2, n_conditionals=0, units=(128, 128, 128),
@@ -562,10 +563,11 @@ def test_fused_kernel_respects_activation():
             np.asarray(div), np.asarray(div_ref), rtol=1e-4, atol=2e-4
         )
 
-    cfg = ScoreMLPConfig(
-        n_dimensions=2, n_conditionals=0, units=(128,), activation="gelu"
-    )
-    params = init_score_mlp(jax.random.PRNGKey(0), cfg)
+    import dataclasses as _dc
+
+    cfg = ScoreMLPConfig(n_dimensions=2, n_conditionals=0, units=(128,))
+    cfg = _dc.replace(cfg, activation="mish")
+    params = init_score_mlp(jax.random.PRNGKey(0), _dc.replace(cfg, activation="silu"))
     x = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
     with pytest.raises(ValueError, match="activation"):
         fused_drift(params, cfg, jnp.asarray(0.5), x, interpret=INTERPRET)
