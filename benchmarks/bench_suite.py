@@ -153,6 +153,10 @@ def main():
     best = timeit(ode, *bases)
     record("ode-sample/plain", best)
 
+    dpm = jax.jit(lambda z: model.sample_dpm(z, steps=12, order=2))
+    best = timeit(dpm, *bases)
+    record("ode-sample/dpm12", best)
+
     # --- train step ---------------------------------------------------
     import optax
 
