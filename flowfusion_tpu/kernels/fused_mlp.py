@@ -429,9 +429,14 @@ def fused_drift(
         # Wider tangent tiles amortize per-grid-step overhead (measured
         # +4.5% on the 1M headline solve at 4096 vs 1024), but the x/e/
         # drift VMEM blocks scale with the input width — keep the big
-        # tile for narrow inputs only.
+        # tile for narrow inputs only.  3072 (not 4096) is the largest
+        # tile whose STANDALONE dispatch also fits the 16 MB scoped-VMEM
+        # budget at 50k-row batches (an eager fused_drift call jits the
+        # kernel alone and its outputs land on the VMEM stack; inside a
+        # compiled solver loop 4096 fit, but the eager path must not
+        # OOM — it is what notebook users hit first).
         d_in = D + (0 if conditional is None else conditional.shape[-1])
-        tile = 4096 if d_in <= 4 else 1024
+        tile = 3072 if d_in <= 4 else 1024
     return _dispatch(
         x, e, w_in, b_eff, layers, conditional, mode, D, c0, c1, tile,
         interpret, compute_dtype, activation=cfg.activation,
