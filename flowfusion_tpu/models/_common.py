@@ -1,0 +1,64 @@
+"""Shared plumbing for the model families (dispatch policy, standardization).
+
+The three model classes (ScoreModel, ODEFlow, SymplecticFlowModel) share the
+same fused-kernel auto-dispatch rule and the same standardization-statistics
+defaulting in their ``create`` constructors; previously each re-stated it and
+the copies had started to diverge.  One definition here, consumed by all.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["auto_fused", "std_stats", "cond_stats", "norm_cond"]
+
+
+def auto_fused(use_fused_kernel: Optional[bool], supported: bool) -> bool:
+    """The shared fused-kernel dispatch policy.
+
+    Explicit True/False wins (gated on ``supported``).  Auto (None) enables
+    the kernel only on a single-device TPU jit: under multi-chip jit
+    auto-sharding the GSPMD partitioner cannot partition a ``pallas_call``
+    (multi-chip deployments run the kernel per shard via
+    ``parallel.sharding.data_parallel_per_shard`` with
+    ``use_fused_kernel=True``), and off-TPU the interpreter is slower than
+    plain XLA.
+    """
+    if use_fused_kernel is not None:
+        return bool(use_fused_kernel) and supported
+    return (
+        supported
+        and jax.default_backend() == "tpu"
+        and len(jax.devices()) == 1
+    )
+
+
+def std_stats(
+    dim: int, shift, scale
+) -> Tuple[jax.Array, jax.Array]:
+    """Standardization buffers with reference defaults (shift 0, scale 1)."""
+    z = jnp.zeros((dim,), jnp.float32)
+    o = jnp.ones((dim,), jnp.float32)
+    return (
+        jnp.asarray(shift, jnp.float32) if shift is not None else z,
+        jnp.asarray(scale, jnp.float32) if scale is not None else o,
+    )
+
+
+def cond_stats(
+    n_conditionals: int, shift, scale
+) -> Tuple[Optional[jax.Array], Optional[jax.Array]]:
+    """Conditional standardization buffers; (None, None) when unconditional."""
+    if not n_conditionals:
+        return None, None
+    return std_stats(n_conditionals, shift, scale)
+
+
+def norm_cond(conditional, shift, scale):
+    """Standardize a conditional batch; passes None through."""
+    if conditional is None:
+        return None
+    return (conditional - shift) / scale

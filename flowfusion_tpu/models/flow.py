@@ -37,6 +37,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import _common
 from ..ops import trace as trace_lib
 from ..ops.integrate import SolverStats, odeint
 from ..ops.losses import flow_matching_loss as _fm_loss
@@ -92,13 +93,7 @@ class ODEFlow:
             and supports_config(self.net.hidden_units, self.net.activation)
             and self.net.target_dimension + self.net.conditional_dimension <= 16
         )
-        if self.use_fused_kernel is not None:
-            return bool(self.use_fused_kernel) and supported
-        return (
-            supported
-            and jax.default_backend() == "tpu"
-            and len(jax.devices()) == 1
-        )
+        return _common.auto_fused(self.use_fused_kernel, supported)
 
     @classmethod
     def create(
@@ -125,19 +120,18 @@ class ODEFlow:
             activation=activation,
         )
         params = init_velocity_mlp(key, net)
-        z = jnp.zeros((target_dimension,), jnp.float32)
-        o = jnp.ones((target_dimension,), jnp.float32)
-        if conditional_dimension:
-            cz = jnp.zeros((conditional_dimension,), jnp.float32)
-            co = jnp.ones((conditional_dimension,), jnp.float32)
-        else:
-            cz = co = None
+        t_shift, t_scale = _common.std_stats(
+            target_dimension, target_shift, target_scale
+        )
+        c_shift, c_scale = _common.cond_stats(
+            conditional_dimension, conditional_shift, conditional_scale
+        )
         return cls(
             params=params,
-            target_shift=jnp.asarray(target_shift, jnp.float32) if target_shift is not None else z,
-            target_scale=jnp.asarray(target_scale, jnp.float32) if target_scale is not None else o,
-            conditional_shift=jnp.asarray(conditional_shift, jnp.float32) if conditional_shift is not None else cz,
-            conditional_scale=jnp.asarray(conditional_scale, jnp.float32) if conditional_scale is not None else co,
+            target_shift=t_shift,
+            target_scale=t_scale,
+            conditional_shift=c_shift,
+            conditional_scale=c_scale,
             net=net,
             trace_mode=trace_mode,
             use_fused_kernel=use_fused_kernel,
@@ -147,9 +141,9 @@ class ODEFlow:
     # ------------------------------------------------------------------
     def _norm_cond(self, conditional: Optional[jax.Array]) -> Optional[jax.Array]:
         """Conditionals standardized inside the dynamics (flow.py:580)."""
-        if conditional is None:
-            return None
-        return (conditional - self.conditional_shift) / self.conditional_scale
+        return _common.norm_cond(
+            conditional, self.conditional_shift, self.conditional_scale
+        )
 
     def dynamics(
         self, t: jax.Array, x: jax.Array, conditional: Optional[jax.Array] = None

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..ops.integrate import SolverStats
 from ..ops.sde import SDE
 from .nets import ScoreMLPConfig, init_score_mlp
+from . import _common
 from .score import ScoreModel
 
 __all__ = ["PopulationModelDiffusion"]
@@ -91,30 +92,23 @@ class PopulationModelDiffusion:
             hpp_vecs=hpp_vecs,
             xt_vecs=xt_vecs,
         )
-        z = jnp.zeros((n_dimensions,), jnp.float32)
-        o = jnp.ones((n_dimensions,), jnp.float32)
-        if n_conditionals:
-            cz = jnp.zeros((n_conditionals,), jnp.float32)
-            co = jnp.ones((n_conditionals,), jnp.float32)
-        else:
-            cz = co = None
+        d_shift, d_scale = _common.std_stats(n_dimensions, shift, scale)
+        c_shift, c_scale = _common.cond_stats(
+            n_conditionals, conditional_shift, conditional_scale
+        )
         return cls(
             score_model=sm,
-            shift=jnp.asarray(shift, jnp.float32) if shift is not None else z,
-            scale=jnp.asarray(scale, jnp.float32) if scale is not None else o,
-            conditional_shift=jnp.asarray(conditional_shift, jnp.float32)
-            if conditional_shift is not None
-            else cz,
-            conditional_scale=jnp.asarray(conditional_scale, jnp.float32)
-            if conditional_scale is not None
-            else co,
+            shift=d_shift,
+            scale=d_scale,
+            conditional_shift=c_shift,
+            conditional_scale=c_scale,
         )
 
     # ------------------------------------------------------------------
     def _norm_cond(self, conditional):
-        if conditional is None:
-            return None
-        return (conditional - self.conditional_shift) / self.conditional_scale
+        return _common.norm_cond(
+            conditional, self.conditional_shift, self.conditional_scale
+        )
 
     def loss_fn(self, key, x, conditional=None):
         """DSM loss on standardized data — the training entry point."""

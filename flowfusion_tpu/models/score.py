@@ -32,6 +32,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import _common
 from ..ops import losses as losses_lib
 from ..ops import trace as trace_lib
 from ..ops.integrate import EMResult, SolverStats, euler_maruyama, odeint
@@ -104,17 +105,7 @@ class ScoreModel:
         """
         if self.use_fused_kernel is not None:
             return self.use_fused_kernel and self._fused_supported()
-        # Auto is single-device only: under multi-chip jit auto-sharding the
-        # GSPMD partitioner cannot partition a pallas_call, while the plain
-        # XLA path partitions cleanly (the error-norm reductions lower to
-        # psum).  Multi-chip deployments run the kernel per shard via
-        # parallel.sharding.data_parallel_per_shard (shard_map), where
-        # ``use_fused_kernel=True`` is safe and fastest.
-        auto = (
-            self._fused_supported()
-            and jax.default_backend() == "tpu"
-            and len(jax.devices()) == 1
-        )
+        auto = _common.auto_fused(None, self._fused_supported())
         if (
             for_exact
             and not auto
@@ -387,6 +378,12 @@ class ScoreModel:
         est = trace_lib.divergence_fn(self.trace_mode)
 
         if adjoint:
+            # The adjoint path differentiates through the RHS, so it always
+            # uses the plain-XLA estimators (the Pallas kernels have no
+            # autodiff rule).  NB the adjoint-mode exact-trace graph is
+            # verified to compile and produce finite grads on this TPU
+            # platform — the compiler crash that forces the fused kernel on
+            # the no-grad path is specific to the forward-only exact graph.
             from ..ops.integrate.adjoint import odeint_adjoint
 
             def func(t, state, params):

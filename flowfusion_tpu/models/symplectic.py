@@ -24,6 +24,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import _common
 from ..ops.integrate import SolverStats, odeint, odeint_fixed
 from .nets import SymplecticMLPConfig, init_symplectic_mlp
 
@@ -65,13 +66,7 @@ class SymplecticFlowModel:
             and supports_config(self.net.units, self.net.activation)
             and self.net.n_data_dims + self.net.n_conditionals <= 16
         )
-        if self.use_fused_kernel is not None:
-            return bool(self.use_fused_kernel) and supported
-        return (
-            supported
-            and jax.default_backend() == "tpu"
-            and len(jax.devices()) == 1
-        )
+        return _common.auto_fused(self.use_fused_kernel, supported)
 
     def _solve_dynamics(self, conditional):
         """RHS for the no-grad solve paths: fused kernel when available."""
@@ -108,23 +103,16 @@ class SymplecticFlowModel:
             activation=activation,
         )
         params = init_symplectic_mlp(key, net)
-        z = jnp.zeros((n_data_dims,), jnp.float32)
-        o = jnp.ones((n_data_dims,), jnp.float32)
-        if n_conditionals:
-            cz = jnp.zeros((n_conditionals,), jnp.float32)
-            co = jnp.ones((n_conditionals,), jnp.float32)
-        else:
-            cz = co = None
+        d_shift, d_scale = _common.std_stats(n_data_dims, shift, scale)
+        c_shift, c_scale = _common.cond_stats(
+            n_conditionals, conditional_shift, conditional_scale
+        )
         return cls(
             params=params,
-            shift=jnp.asarray(shift, jnp.float32) if shift is not None else z,
-            scale=jnp.asarray(scale, jnp.float32) if scale is not None else o,
-            conditional_shift=jnp.asarray(conditional_shift, jnp.float32)
-            if conditional_shift is not None
-            else cz,
-            conditional_scale=jnp.asarray(conditional_scale, jnp.float32)
-            if conditional_scale is not None
-            else co,
+            shift=d_shift,
+            scale=d_scale,
+            conditional_shift=c_shift,
+            conditional_scale=c_scale,
             net=net,
             use_fused_kernel=use_fused_kernel,
             kernel_compute_dtype=kernel_compute_dtype,
@@ -132,9 +120,9 @@ class SymplecticFlowModel:
 
     # ------------------------------------------------------------------
     def _norm_cond(self, conditional):
-        if conditional is None:
-            return None
-        return (conditional - self.conditional_shift) / self.conditional_scale
+        return _common.norm_cond(
+            conditional, self.conditional_shift, self.conditional_scale
+        )
 
     def dynamics(
         self, t: jax.Array, state: jax.Array, conditional: Optional[jax.Array] = None

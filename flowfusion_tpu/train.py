@@ -152,7 +152,22 @@ def fit(
     model = copy_tree(model)
     ema = copy_tree(model) if ema_decay else None
 
+    val_loss_jit = (
+        jax.jit(lambda m, k: loss_fn(m, k, x_val, conditional_val))
+        if x_val is not None
+        else None
+    )
+
     for batch_size, lr in stages:
+        if batch_size > n:
+            # Mirror the notebooks' DataLoader semantics (a too-large batch
+            # yields one partial batch of the whole set) instead of
+            # crashing with steps_per_epoch == 0.
+            print(
+                f"fit: clamping stage batch_size {batch_size} to dataset "
+                f"size {n}"
+            )
+            batch_size = n
         tx = make_optimizer(lr, model, optimizer=optimizer)
         steps_per_epoch = n // batch_size
         has_cond = conditional_train is not None
@@ -194,11 +209,6 @@ def fit(
             return state, ema_model, jnp.mean(losses)
 
         epoch_jit = jax.jit(epoch_fn, donate_argnums=(0, 1))
-        val_loss_jit = (
-            jax.jit(lambda m, k: loss_fn(m, k, x_val, conditional_val))
-            if x_val is not None
-            else None
-        )
 
         # Fresh optimizer per stage (notebook parity), carried across epochs.
         state = TrainState(model, tx.init(model), jnp.asarray(0, jnp.int32))

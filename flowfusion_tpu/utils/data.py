@@ -30,11 +30,11 @@ class GMM:
         return len(self.means[0])
 
     def _np(self):
-        return (
-            np.asarray(self.weights),
-            np.asarray(self.means),
-            np.asarray(self.covs),
-        )
+        w = np.asarray(self.weights, np.float64)
+        # Normalize so sample() (jax.random.choice normalizes p) and
+        # log_prob() describe the SAME distribution even for weights that
+        # do not sum to 1.
+        return w / w.sum(), np.asarray(self.means), np.asarray(self.covs)
 
     def sample(self, key: jax.Array, n: int) -> jax.Array:
         w, mu, cov = self._np()

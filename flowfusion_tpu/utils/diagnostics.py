@@ -41,18 +41,40 @@ def profiler_trace(log_dir: str):
 
 
 def summarize_stats(stats) -> Dict[str, Any]:
-    """SolverStats -> plain dict of python numbers (host-side)."""
+    """SolverStats -> plain dict of python numbers (host-side).
+
+    Handles both batch-global stats (scalar counters, from ``odeint``) and
+    the per-sample (B,)-shaped stats returned by the per-sample solvers
+    (``log_prob_per_sample`` / ``odeint_per_sample``) — the latter are
+    summarized as totals plus per-sample min/mean/max.
+    """
     if stats is None:
         return {}
+    import numpy as np
+
+    nfe = np.asarray(stats.n_func_evals)
+    acc = np.asarray(stats.n_accepted)
+    rej = np.asarray(stats.n_rejected)
+    ok = np.asarray(stats.succeeded)
+    if nfe.ndim == 0:
+        return {
+            "n_func_evals": int(nfe),
+            "n_accepted": int(acc),
+            "n_rejected": int(rej),
+            "reject_fraction": float(int(rej) / max(1, int(acc) + int(rej))),
+            "succeeded": bool(ok),
+        }
     return {
-        "n_func_evals": int(stats.n_func_evals),
-        "n_accepted": int(stats.n_accepted),
-        "n_rejected": int(stats.n_rejected),
-        "reject_fraction": float(
-            int(stats.n_rejected)
-            / max(1, int(stats.n_accepted) + int(stats.n_rejected))
-        ),
-        "succeeded": bool(stats.succeeded),
+        "n_samples": int(nfe.shape[0]),
+        "n_func_evals_total": int(nfe.sum()),
+        "n_func_evals_per_sample": {
+            "min": int(nfe.min()), "mean": float(nfe.mean()), "max": int(nfe.max())
+        },
+        "n_accepted_total": int(acc.sum()),
+        "n_rejected_total": int(rej.sum()),
+        "reject_fraction": float(rej.sum() / max(1, acc.sum() + rej.sum())),
+        "succeeded": bool(ok.all()),
+        "n_failed_samples": int((~ok.astype(bool)).sum()),
     }
 
 

@@ -60,3 +60,51 @@ def test_analytic_score_em_samples_pass_two_sample_test():
     data = jax.random.normal(jax.random.PRNGKey(1), (512, 2))
     _, p = energy_distance_test(jax.random.PRNGKey(2), res.x_mean, data, n_permutations=99)
     assert float(p) > 0.01, f"two-sample test rejected: p={float(p)}"
+
+
+def test_summarize_stats_per_sample():
+    """summarize_stats handles the (B,)-shaped per-sample SolverStats from
+    the per-sample solvers (regression: TypeError on non-scalar arrays)."""
+    import jax.numpy as jnp
+
+    from flowfusion_tpu.ops.integrate import SolverStats
+    from flowfusion_tpu.utils.diagnostics import summarize_stats
+
+    scalar = SolverStats(
+        n_func_evals=jnp.asarray(100),
+        n_accepted=jnp.asarray(12),
+        n_rejected=jnp.asarray(3),
+        succeeded=jnp.asarray(True),
+    )
+    d = summarize_stats(scalar)
+    assert d["n_func_evals"] == 100 and d["succeeded"] is True
+
+    per_sample = SolverStats(
+        n_func_evals=jnp.asarray([100, 140, 80]),
+        n_accepted=jnp.asarray([12, 17, 9]),
+        n_rejected=jnp.asarray([3, 5, 1]),
+        succeeded=jnp.asarray([True, True, False]),
+    )
+    d = summarize_stats(per_sample)
+    assert d["n_samples"] == 3
+    assert d["n_func_evals_total"] == 320
+    assert d["n_failed_samples"] == 1
+    assert d["succeeded"] is False
+
+
+def test_gmm_weights_normalized_between_sample_and_log_prob():
+    """GMM.log_prob and GMM.sample must describe the same distribution
+    even for unnormalized weights (regression: log_prob used raw weights
+    while sample normalized them)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flowfusion_tpu.utils.data import GMM
+
+    g1 = GMM(weights=(2.0, 3.0), means=((0.0, 0.0), (4.0, 4.0)),
+             covs=(((1.0, 0.0), (0.0, 1.0)), ((1.0, 0.0), (0.0, 1.0))))
+    g2 = GMM(weights=(0.4, 0.6), means=g1.means, covs=g1.covs)
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 2)) * 3
+    np.testing.assert_allclose(
+        np.asarray(g1.log_prob(x)), np.asarray(g2.log_prob(x)), rtol=1e-6
+    )

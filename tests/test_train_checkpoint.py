@@ -169,3 +169,24 @@ def test_fit_with_ema_returns_smoothed_model():
     assert not np.allclose(a, c)
     # EMA is between init and final raw weights (smoothing)
     assert np.linalg.norm(a - c) < np.linalg.norm(b - c) + 1e-3
+
+
+def test_fit_clamps_oversized_stage_batch():
+    """A stage batch_size larger than the dataset must train on one
+    full-set batch per epoch (DataLoader semantics) instead of crashing
+    with steps_per_epoch == 0 (regression)."""
+    from flowfusion_tpu.models.population import PopulationModelDiffusion
+    from flowfusion_tpu.ops.sde import VPSDE
+    from flowfusion_tpu.train import fit
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (20, 2))
+    model = PopulationModelDiffusion.create(
+        key, VPSDE(), n_dimensions=2, units=(32,)
+    )
+    model, hist = fit(
+        model, key, x, stages=((64, 1e-3),), epochs_per_stage=2,
+        log_every=None,
+    )
+    assert len(hist) == 1
+    assert np.all(np.isfinite(hist[0].train_losses))
