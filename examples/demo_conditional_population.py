@@ -117,6 +117,10 @@ def main():
         lp, _ = model.log_prob(
             th, conditional=cc, key=k_eval, atol=1e-5, rtol=1e-5,
             volume_corrected=True,
+            # Lund-stabilized PI step control: same accept test, ~2x fewer
+            # rejected steps and better accuracy vs a tight oracle
+            # (BENCHMARKS.md) — the serving configuration bench.py uses.
+            options={"controller": "pi"},
         )
         return lp
 
@@ -124,9 +128,12 @@ def main():
     batch = (shard_batch(theta_ev, mesh), shard_batch(c_ev, mesh))
     lp = jfn(batch)  # compile
     jax.block_until_ready(lp)
+    # Perturb the timed call's data: the sandbox's remote-execution relay
+    # can serve cached results for identical executable+argument pairs.
+    batch2 = (batch[0] + 1e-6, batch[1])
     t0 = time.time()
-    lp = jfn(batch)
-    jax.block_until_ready(lp)
+    lp_t = jfn(batch2)
+    jax.block_until_ready(lp_t)
     dt = time.time() - t0
     print(f"conditional log_prob: {args.n_eval:,} evals in {dt:.2f}s "
           f"= {args.n_eval/dt:,.0f} evals/s over {len(jax.devices())} device(s)")

@@ -436,7 +436,11 @@ def fused_drift(
         # compiled solver loop 4096 fit, but the eager path must not
         # OOM — it is what notebook users hit first).
         d_in = D + (0 if conditional is None else conditional.shape[-1])
-        tile = 3072 if d_in <= 4 else 1024
+        # Wider inputs keep proportionally larger x/e/drift blocks per
+        # tile: 2048 measured +1.8% over 1024 on the 9-feature 1M
+        # conditional solve and still fits standalone dispatch; 3072
+        # VMEM-OOMs there even inside a compiled loop.
+        tile = 3072 if d_in <= 4 else 2048
     return _dispatch(
         x, e, w_in, b_eff, layers, conditional, mode, D, c0, c1, tile,
         interpret, compute_dtype, activation=cfg.activation,
