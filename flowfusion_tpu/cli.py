@@ -129,18 +129,33 @@ def _restore(args):
 
 def cmd_sample(args):
     import jax
+    import jax.numpy as jnp
 
     model, meta = _restore(args)
     key = jax.random.PRNGKey(args.seed)
-    if args.method == "sde":
-        out = model.sample_sde(key, (args.n, meta["dim"]), steps=args.steps)
+    cond = None
+    if meta["cond_dim"]:
+        if not args.cond_data:
+            raise SystemExit(
+                f"checkpoint is conditional (cond_dim={meta['cond_dim']}): "
+                "pass --cond-data with one row of conditioning values per "
+                "requested sample"
+            )
+        cond = jnp.asarray(_load_array(args.cond_data, meta["cond_dim"]))
+        n = cond.shape[0]
+        if args.n != n:
+            print(f"sampling n={n} rows (one per --cond-data row)")
     else:
-        import jax.numpy as jnp
-
-        base = jax.random.normal(key, (args.n, meta["dim"]))
-        out, _ = model.forward(base)
+        n = args.n
+    if args.method == "sde":
+        out = model.sample_sde(
+            key, (n, meta["dim"]), conditional=cond, steps=args.steps
+        )
+    else:
+        base = jax.random.normal(key, (n, meta["dim"]))
+        out, _ = model.forward(base, conditional=cond)
     np.save(args.out, np.asarray(out))
-    print(f"saved {args.out} shape {(args.n, meta['dim'])}")
+    print(f"saved {args.out} shape {(n, meta['dim'])}")
 
 
 def cmd_logprob(args):
@@ -188,6 +203,11 @@ def main(argv=None):
     ps.add_argument("--ckpt", required=True)
     ps.add_argument("--n", type=int, default=50_000)
     ps.add_argument("--method", choices=["sde", "ode"], default="sde")
+    ps.add_argument(
+        "--cond-data", default=None,
+        help=".f32/.npy of conditioning rows (required for conditional "
+        "checkpoints; one sample is drawn per row)",
+    )
     ps.add_argument("--steps", type=int, default=100)
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--out", required=True)
@@ -197,7 +217,10 @@ def main(argv=None):
     pl.add_argument("--ckpt", required=True)
     pl.add_argument("--data", required=True)
     pl.add_argument("--tol", type=float, default=1e-5)
-    pl.add_argument("--trace", default=None)
+    pl.add_argument(
+        "--trace", default=None,
+        choices=["exact", "hutchinson", "hutchpp", "xtrace"],
+    )
     pl.add_argument("--volume-corrected", action="store_true")
     pl.add_argument("--seed", type=int, default=0)
     pl.add_argument("--out", required=True)

@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import _act_pair_fn, supports_config
+from .fused_mlp import _act_pair_fn, _check_conditional, supports_config
 
 __all__ = ["fused_em_sample", "em_prep"]
 
@@ -261,6 +261,7 @@ def fused_em_sample(
             f"fused EM kernel does not support units={cfg.units} "
             f"activation={cfg.activation}"
         )
+    _check_conditional(cfg.n_conditionals, conditional)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 

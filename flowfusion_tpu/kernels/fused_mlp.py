@@ -67,6 +67,27 @@ def supports_config(units: Sequence[int], activation: str = "silu") -> bool:
     )
 
 
+def _check_conditional(n_cond: int, conditional) -> None:
+    """Refuse a config/argument conditional mismatch loudly.
+
+    The plain-XLA apply fails with a matmul shape error on a missing
+    conditional; the kernel wrappers slice the conditional weight rows
+    explicitly and would otherwise silently compute net(t, x, cond=0).
+    """
+    if n_cond and conditional is None:
+        raise ValueError(
+            f"model expects {n_cond} conditional feature(s) but "
+            "conditional=None was given"
+        )
+    if not n_cond and conditional is not None:
+        raise ValueError("conditional given to an unconditional model")
+    if conditional is not None and conditional.shape[-1] != n_cond:
+        raise ValueError(
+            f"conditional has {conditional.shape[-1]} feature(s); the model "
+            f"expects {n_cond}"
+        )
+
+
 def _act_pair_fn(activation: str):
     """(act(a), act'(a)) for the activations the kernel chains support.
 
@@ -405,6 +426,7 @@ def fused_drift(
             f"fused kernel does not support units={cfg.units} "
             f"activation={cfg.activation}"
         )
+    _check_conditional(cfg.n_conditionals, conditional)
 
     t = jnp.asarray(t, jnp.float32).reshape(())
     temb = fourier_time_embedding(t[None], params["W"])[0]  # (E,)
@@ -481,6 +503,7 @@ def fused_drift_tangents(
             f"fused kernel does not support units={cfg.units} "
             f"activation={cfg.activation}"
         )
+    _check_conditional(cfg.n_conditionals, conditional)
 
     t = jnp.asarray(t, jnp.float32).reshape(())
     temb = fourier_time_embedding(t[None], params["W"])[0]
@@ -524,6 +547,7 @@ def fused_velocity_tangents(
             f"fused kernel does not support units={cfg.hidden_units} "
             f"activation={cfg.activation}"
         )
+    _check_conditional(cfg.conditional_dimension, conditional)
 
     t = jnp.asarray(t, jnp.float32).reshape(())
     w1 = layers[0]["w"]  # (D + 1 + C, H), rows [x | t | cond]
@@ -574,6 +598,7 @@ def fused_symplectic_velocity(
             f"fused kernel does not support units={cfg.units} "
             f"activation={cfg.activation}"
         )
+    _check_conditional(cfg.n_conditionals, conditional)
 
     t = jnp.asarray(t, jnp.float32).reshape(())
     temb = fourier_time_embedding(t[None], params["W"])[0]
@@ -702,6 +727,7 @@ def fused_velocity(
             f"fused kernel does not support units={cfg.hidden_units} "
             f"activation={cfg.activation}"
         )
+    _check_conditional(cfg.conditional_dimension, conditional)
 
     t = jnp.asarray(t, jnp.float32).reshape(())
     layers = params["layers"]

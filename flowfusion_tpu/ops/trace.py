@@ -67,13 +67,12 @@ def exact_divergence(
     targets, forward mode beats reverse (no transpose program), and the
     batched formulation handles closures over batched conditionals.
     """
-    x_dot = f(x)
+    x_dot, jv = jax.linearize(f, x)
     D = x.shape[-1]
     div = jnp.zeros(x.shape[:-1], x.dtype)
     for d in range(D):
         tangent = jnp.zeros_like(x).at[..., d].set(1.0)
-        _, jcol = jax.jvp(f, (x,), (tangent,))
-        div = div + jcol[..., d]
+        div = div + jv(tangent)[..., d]
     return x_dot, div
 
 
@@ -346,7 +345,7 @@ def make_probes(
     if mode == "hutchinson":
         return (rademacher(key, x.shape, x.dtype),)
     if mode == "hutchpp":
-        r = min(hpp_rank, D)
+        r = max(1, min(hpp_rank, D))
         m = max(1, hpp_vecs)
         ks, kg = jax.random.split(key)
         return (

@@ -82,7 +82,15 @@ def initialize_distributed(
             **kwargs,
         )
     except RuntimeError as e:
-        if "more than once" in str(e) or "already initialized" in str(e):
+        # jax 0.9 raises "distributed.initialize should only be called
+        # once."; older versions said "more than once" / "already
+        # initialized".  Match all so re-entry stays idempotent.
+        msg = str(e)
+        if (
+            "only be called once" in msg
+            or "more than once" in msg
+            or "already initialized" in msg
+        ):
             return jax.process_index()  # idempotent re-entry
         raise
     return jax.process_index()

@@ -14,8 +14,9 @@ embarrassingly batch-parallel, so the TPU-native scaling axis is the batch:
     the solver's RMS error-norm reductions lower to ``psum`` over the mesh,
     preserving the reference's batch-global stepping semantics — SURVEY.md
     §7 hard part 4);
-  * ``pod_sharded_solve`` is the convenience wrapper used by the benchmarks
-    to chunk 1e6-sample workloads through a sharded solve.
+  * ``data_parallel_per_shard`` shard_maps a per-batch function so each
+    device solves its rows independently — the pod deployment path for the
+    fused Pallas kernels (which GSPMD cannot partition under plain jit).
 
 ``tensor_parallel``-style sharding of the MLP hidden dimension is exposed
 via a 2-D mesh ('data', 'model') for the multi-chip dry-run path; for the
@@ -44,7 +45,6 @@ __all__ = [
 
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
-    data_axis: Optional[int] = None,
     model_axis: int = 1,
 ) -> Mesh:
     """Mesh over the given devices: ('data',) or ('data', 'model')."""

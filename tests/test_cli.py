@@ -49,3 +49,33 @@ def test_bench_json_contract():
     text = src.read_text()
     for key in ('"metric"', '"value"', '"unit"', '"vs_baseline"'):
         assert key in text
+
+
+def test_cli_conditional_sample_requires_and_uses_cond_data(tmp_path):
+    """'sample' on a conditional checkpoint must demand --cond-data and
+    then draw one sample per conditioning row (regression: it silently
+    called the model with conditional=None)."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(600, 2)).astype(np.float32)
+    c = rng.normal(size=(600, 1)).astype(np.float32)
+    data = str(tmp_path / "xc.f32")
+    write_f32(data, np.concatenate([x, c], axis=1))
+    ckpt = str(tmp_path / "cond.npz")
+
+    main([
+        "train", "--data", data, "--dim", "2", "--cond-dim", "1",
+        "--units", "32", "--stages", "64:1e-3", "--epochs", "2",
+        "--out", ckpt,
+    ])
+
+    out = str(tmp_path / "s.npy")
+    with pytest.raises(SystemExit, match="cond-data"):
+        main(["sample", "--ckpt", ckpt, "--n", "16", "--steps", "5",
+              "--out", out])
+
+    cond_path = str(tmp_path / "cond_rows.npy")
+    np.save(cond_path, c[:32])
+    main(["sample", "--ckpt", ckpt, "--steps", "5",
+          "--cond-data", cond_path, "--out", out])
+    s = np.load(out)
+    assert s.shape == (32, 2) and np.all(np.isfinite(s))
