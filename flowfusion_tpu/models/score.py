@@ -244,6 +244,105 @@ class ScoreModel:
             t_start=1.0, t_end=float(self.sde.epsilon),
         )
 
+    def sample_pc(
+        self,
+        key: jax.Array,
+        shape: Tuple[int, ...],
+        conditional: Optional[jax.Array] = None,
+        steps: int = 100,
+        corrector_steps: int = 1,
+        snr: float = 0.16,
+    ) -> EMResult:
+        """Predictor--corrector sampler (Song et al. 2021, beyond-reference).
+
+        Each of the ``steps`` reverse-time levels runs one Euler--Maruyama
+        predictor step (identical to ``sample_sde``) followed by
+        ``corrector_steps`` annealed-Langevin corrector steps at the new
+        noise level with the paper's SNR-controlled step size
+        ``eps = 2 (snr ||z|| / ||score||)^2`` (batch-mean norms).  The
+        corrector re-equilibrates the marginal at each level, improving
+        sample quality at coarse step counts.  ``corrector_steps=0``
+        reduces exactly to ``sample_sde``'s update rule.  Runs under
+        ``lax.scan``; uses the fused kernel for both the predictor drift
+        and the corrector score when available.
+        """
+        k_prior, k_path = jax.random.split(key)
+        x0 = self.sde.prior_sample(k_prior, shape)
+        T = float(self.sde.T)
+        eps_t = float(self.sde.epsilon)
+        dt = -(T - eps_t) / steps
+
+        if self._fused_available():
+            from ..kernels.fused_mlp import fused_drift
+
+            def rev_drift(t, x):
+                c0, c1 = self._fused_coeffs(t)
+                return fused_drift(
+                    self.params, self.net, t, x, conditional,
+                    c0=c0, c1=2.0 * c1,
+                    compute_dtype=self.kernel_compute_dtype,
+                )
+
+            def score_fn(t, x):
+                inv_sigma = (
+                    1.0
+                    if self.no_sigma
+                    else 1.0 / self.sde.sigma(jnp.asarray(t, jnp.float32))
+                )
+                return fused_drift(
+                    self.params, self.net, t, x, conditional,
+                    c0=0.0, c1=inv_sigma,
+                    compute_dtype=self.kernel_compute_dtype,
+                )
+
+        else:
+
+            def rev_drift(t, x):
+                g = self.sde.diffusion(t, x)
+                return self.sde.drift(t, x) - g**2 * self.score(
+                    t, x, conditional
+                )
+
+            def score_fn(t, x):
+                return self.score(t, x, conditional)
+
+        def batch_mean_norm(v):
+            return jnp.mean(
+                jnp.linalg.norm(v.reshape(v.shape[0], -1), axis=-1)
+            )
+
+        def body(carry, inp):
+            x, _, nan = carry
+            t, k = inp
+            kp, kc = jax.random.split(k)
+            # predictor: one reverse-SDE EM step t -> t + dt
+            g = self.sde.diffusion(t, x)
+            x_mean = x + rev_drift(t, x) * dt
+            z = jax.random.normal(kp, x.shape, x.dtype)
+            x = x_mean + g * jnp.sqrt(-dt) * z
+            # corrector: Langevin at the new level
+            t_next = jnp.maximum(t + dt, eps_t)
+            for _ in range(corrector_steps):
+                kc, kz = jax.random.split(kc)
+                grad = score_fn(t_next, x)
+                z = jax.random.normal(kz, x.shape, x.dtype)
+                step = 2.0 * (
+                    snr
+                    * batch_mean_norm(z)
+                    / jnp.maximum(batch_mean_norm(grad), 1e-20)
+                ) ** 2
+                x_mean = x + step * grad
+                x = x_mean + jnp.sqrt(2.0 * step) * z
+            nan = nan | ~jnp.all(jnp.isfinite(x))
+            return (x, x_mean, nan), None
+
+        ts = T + dt * jnp.arange(steps, dtype=jnp.float32)
+        keys = jax.random.split(k_path, steps)
+        (x, x_mean, nan), _ = jax.lax.scan(
+            body, (x0, x0, jnp.asarray(False)), (ts, keys)
+        )
+        return EMResult(x_mean=x_mean, x=x, nan_encountered=nan)
+
     def sample_sde_fused(
         self,
         key: jax.Array,

@@ -571,3 +571,25 @@ def test_fused_kernel_respects_activation():
     x = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
     with pytest.raises(ValueError, match="activation"):
         fused_drift(params, cfg, jnp.asarray(0.5), x, interpret=INTERPRET)
+
+
+def test_sample_pc_fused_matches_plain_trajectories():
+    """With a shared key the PC sampler's RNG sequence is identical on the
+    fused and plain paths, so whole trajectories must agree to kernel
+    matmul precision (pins the fused corrector-score branch)."""
+    import dataclasses
+
+    from flowfusion_tpu.models.score import ScoreModel
+    from flowfusion_tpu.ops.sde import VESDE
+
+    cfg, params = _setup()
+    mf = ScoreModel(
+        params=params, net=cfg, sde=VESDE(), use_fused_kernel=True
+    )
+    mp = dataclasses.replace(mf, use_fused_kernel=False)
+    k = jax.random.PRNGKey(1)
+    rf = mf.sample_pc(k, (64, 2), steps=6, corrector_steps=2)
+    rp = mp.sample_pc(k, (64, 2), steps=6, corrector_steps=2)
+    np.testing.assert_allclose(
+        np.asarray(rf.x_mean), np.asarray(rp.x_mean), atol=5e-4
+    )

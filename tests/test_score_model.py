@@ -220,3 +220,40 @@ def test_log_snr_inverse_round_trip():
         lam = sde.log_snr(t)
         t_back = sde.t_of_log_snr(lam)
         np.testing.assert_allclose(np.asarray(t_back), np.asarray(t), rtol=2e-4, atol=2e-5)
+
+
+def test_sample_pc_statistics_analytic():
+    """PC sampling with the true score recovers the data distribution,
+    and the corrector does not bias the marginals (Song+2021 sampler)."""
+    sde = VESDE()
+    m = _analytic_model(sde, s0=1.0)
+    res = m.sample_pc(
+        jax.random.PRNGKey(0), (20000, 2), steps=100, corrector_steps=2
+    )
+    samples = np.asarray(res.x_mean)
+    assert not bool(res.nan_encountered)
+    np.testing.assert_allclose(np.std(samples), 1.0, atol=0.05)
+    np.testing.assert_allclose(np.mean(samples), 0.0, atol=0.05)
+
+
+def test_sample_pc_zero_corrector_is_plain_em():
+    """corrector_steps=0 reduces to the EM update rule: statistics match
+    sample_sde at the same step count, and coarse-step corrector runs
+    stay unbiased (the Langevin steps target the same marginal — on an
+    exact-score field they cannot help, but they must not introduce
+    bias)."""
+    sde = VESDE()
+    m = _analytic_model(sde, s0=1.0)
+    res_pc = m.sample_pc(
+        jax.random.PRNGKey(0), (20000, 2), steps=50, corrector_steps=0
+    )
+    res_em = m.sample_sde(jax.random.PRNGKey(1), (20000, 2), steps=50)
+    s_pc = float(np.std(np.asarray(res_pc.x_mean)))
+    s_em = float(np.std(np.asarray(res_em.x_mean)))
+    np.testing.assert_allclose(s_pc, s_em, atol=0.03)
+
+    res_c = m.sample_pc(
+        jax.random.PRNGKey(2), (20000, 2), steps=20, corrector_steps=2
+    )
+    np.testing.assert_allclose(np.mean(np.asarray(res_c.x_mean)), 0.0, atol=0.05)
+    np.testing.assert_allclose(np.std(np.asarray(res_c.x_mean)), 1.0, atol=0.07)

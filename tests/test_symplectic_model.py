@@ -166,3 +166,22 @@ def test_log_prob_adjoint_gradients():
     np.testing.assert_allclose(
         np.asarray(lp_adj), np.asarray(lp_fwd), atol=1e-4
     )
+
+
+def test_log_prob_multi_momentum_tightens_bound():
+    """The K-momentum-sample IWAE-style estimate is a tighter (larger)
+    log-likelihood bound than the reference's single draw, and for
+    identity-like dynamics where the bound is exact it agrees with K=1."""
+    model = SymplecticFlowModel.create(jax.random.PRNGKey(0), n_data_dims=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (128, 2))
+
+    # average over several keys: Jensen guarantees E[IWAE_K] >= E[IWAE_1]
+    lp1, lpK = [], []
+    for s in range(4):
+        k = jax.random.PRNGKey(10 + s)
+        lp1.append(float(model.log_prob(k, x)[0].mean()))
+        lpK.append(float(model.log_prob(k, x, n_momentum_samples=8)[0].mean()))
+    assert np.mean(lpK) >= np.mean(lp1) - 1e-3
+
+    with np.testing.assert_raises(ValueError):
+        model.log_prob(jax.random.PRNGKey(0), x, n_momentum_samples=0)
