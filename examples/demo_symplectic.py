@@ -89,6 +89,14 @@ def main():
         f"sum={s:.2f} truth={truth:.2f} rel={(abs(s-truth)/abs(truth)):.3%} "
         f"rhs_evals={int(stats.n_func_evals)}"
     )
+    t0 = time.time()
+    lp16, _ = model.log_prob(k_lp, x_eval, n_momentum_samples=16)
+    jax.block_until_ready(lp16)
+    s16 = float(jnp.sum(lp16))
+    print(
+        f"log_prob (16 momentum draws, IWAE bound): {time.time()-t0:.2f}s "
+        f"sum={s16:.2f} rel={(abs(s16-truth)/abs(truth)):.3%}"
+    )
     print(
         "note: the symplectic log_prob is a one-sample bound estimate "
         "(reference symplectic.py:245-249); relative error includes that "

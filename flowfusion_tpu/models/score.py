@@ -259,7 +259,9 @@ class ScoreModel:
         predictor step (identical to ``sample_sde``) followed by
         ``corrector_steps`` annealed-Langevin corrector steps at the new
         noise level with the paper's SNR-controlled step size
-        ``eps = 2 (snr ||z|| / ||score||)^2`` (batch-mean norms).  The
+        ``eps = 2 (snr ||z|| / ||score||)^2`` (batch-mean norms; the
+        discrete-time ``alpha_t`` prefactor is 1 in the continuous-time
+        limit used here).  The
         corrector re-equilibrates the marginal at each level, improving
         sample quality at coarse step counts.  ``corrector_steps=0``
         reduces exactly to ``sample_sde``'s update rule.  Runs under
