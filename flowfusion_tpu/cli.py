@@ -141,11 +141,24 @@ def cmd_sample(args):
                 "pass --cond-data with one row of conditioning values per "
                 "requested sample"
             )
-        cond = jnp.asarray(_load_array(args.cond_data, meta["cond_dim"]))
+        c = _load_array(args.cond_data, meta["cond_dim"])
+        if c.ndim == 1 and meta["cond_dim"] == 1:
+            c = c[:, None]
+        if c.ndim != 2 or c.shape[1] != meta["cond_dim"]:
+            raise SystemExit(
+                f"--cond-data must be 2-D with {meta['cond_dim']} column(s); "
+                f"got shape {c.shape}"
+            )
+        cond = jnp.asarray(c)
         n = cond.shape[0]
         if args.n != n:
             print(f"sampling n={n} rows (one per --cond-data row)")
     else:
+        if args.cond_data:
+            raise SystemExit(
+                "checkpoint is unconditional but --cond-data was given — "
+                "wrong checkpoint?"
+            )
         n = args.n
     if args.method == "sde":
         out = model.sample_sde(

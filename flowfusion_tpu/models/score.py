@@ -167,6 +167,31 @@ class ScoreModel:
     # ------------------------------------------------------------------
     # sampling
     # ------------------------------------------------------------------
+    def _reverse_drift_fn(self, conditional):
+        """Reverse-SDE drift f - g^2 s as a (t, x) closure — fused kernel
+        (c0 x + 2 c1 net) when available, plain XLA otherwise.  Shared by
+        ``sample_sde`` and ``sample_pc``."""
+        if self._fused_available():
+            from ..kernels.fused_mlp import fused_drift
+
+            def drift(t, x):
+                c0, c1 = self._fused_coeffs(t)
+                return fused_drift(
+                    self.params, self.net, t, x, conditional,
+                    c0=c0, c1=2.0 * c1,
+                    compute_dtype=self.kernel_compute_dtype,
+                )
+
+        else:
+
+            def drift(t, x):
+                g = self.sde.diffusion(t, x)
+                return self.sde.drift(t, x) - g**2 * self.score(
+                    t, x, conditional
+                )
+
+        return drift
+
     def sample_sde(
         self,
         key: jax.Array,
@@ -184,23 +209,7 @@ class ScoreModel:
         """
         k_prior, k_path = jax.random.split(key)
         x0 = self.sde.prior_sample(k_prior, shape)
-
-        if self._fused_available():
-            from ..kernels.fused_mlp import fused_drift
-
-            def drift(t, x):
-                # reverse-SDE drift f - g^2 s = c0 x + 2*c1 net
-                c0, c1 = self._fused_coeffs(t)
-                return fused_drift(
-                    self.params, self.net, t, x, conditional, c0=c0, c1=2.0 * c1,
-                    compute_dtype=self.kernel_compute_dtype,
-                )
-
-        else:
-
-            def drift(t, x):
-                g = self.sde.diffusion(t, x)
-                return self.sde.drift(t, x) - g**2 * self.score(t, x, conditional)
+        drift = self._reverse_drift_fn(conditional)
 
         return euler_maruyama(
             k_path,
@@ -273,17 +282,10 @@ class ScoreModel:
         T = float(self.sde.T)
         eps_t = float(self.sde.epsilon)
         dt = -(T - eps_t) / steps
+        rev_drift = self._reverse_drift_fn(conditional)
 
         if self._fused_available():
             from ..kernels.fused_mlp import fused_drift
-
-            def rev_drift(t, x):
-                c0, c1 = self._fused_coeffs(t)
-                return fused_drift(
-                    self.params, self.net, t, x, conditional,
-                    c0=c0, c1=2.0 * c1,
-                    compute_dtype=self.kernel_compute_dtype,
-                )
 
             def score_fn(t, x):
                 inv_sigma = (
@@ -299,12 +301,6 @@ class ScoreModel:
 
         else:
 
-            def rev_drift(t, x):
-                g = self.sde.diffusion(t, x)
-                return self.sde.drift(t, x) - g**2 * self.score(
-                    t, x, conditional
-                )
-
             def score_fn(t, x):
                 return self.score(t, x, conditional)
 
@@ -314,13 +310,13 @@ class ScoreModel:
             )
 
         def body(carry, inp):
-            x, _, nan = carry
+            x_old, xm_old, frozen = carry
             t, k = inp
             kp, kc = jax.random.split(k)
             # predictor: one reverse-SDE EM step t -> t + dt
-            g = self.sde.diffusion(t, x)
-            x_mean = x + rev_drift(t, x) * dt
-            z = jax.random.normal(kp, x.shape, x.dtype)
+            g = self.sde.diffusion(t, x_old)
+            x_mean = x_old + rev_drift(t, x_old) * dt
+            z = jax.random.normal(kp, x_old.shape, x_old.dtype)
             x = x_mean + g * jnp.sqrt(-dt) * z
             # corrector: Langevin at the new level
             t_next = jnp.maximum(t + dt, eps_t)
@@ -335,8 +331,12 @@ class ScoreModel:
                 ) ** 2
                 x_mean = x + step * grad
                 x = x_mean + jnp.sqrt(2.0 * step) * z
-            nan = nan | ~jnp.all(jnp.isfinite(x))
-            return (x, x_mean, nan), None
+            # NaN guard with sample_sde's freeze semantics: keep the last
+            # finite state instead of letting the NaN poison later steps.
+            bad = frozen | ~jnp.all(jnp.isfinite(x))
+            x = jnp.where(bad, x_old, x)
+            x_mean = jnp.where(bad, xm_old, x_mean)
+            return (x, x_mean, bad), None
 
         ts = T + dt * jnp.arange(steps, dtype=jnp.float32)
         keys = jax.random.split(k_path, steps)
