@@ -153,14 +153,13 @@ def gmm_log_prob(x):
     return np.logaddexp(logps[0], logps[1])
 
 
-def numpy_xtrace(A, x, O):
+def numpy_xtrace(A, O):
     """Float64 XTrace (Epperly+2023) with the reference's batched algebra.
 
     A: (D, D) Jacobian of the row-wise linear map f(x) = x A^T; the
     operator is applied as J v (JVP semantics — the framework applies J
     rather than the reference's J^T; the trace is transpose-invariant).
-    x: (B, D) ignored except for shapes; O: (m, B, D) probes.
-    Returns per-sample trace estimates (B,).
+    O: (m, B, D) probes.  Returns per-sample trace estimates (B,).
     """
     m, B, D = O.shape
     A = np.asarray(A, float)

@@ -108,3 +108,27 @@ def test_gmm_weights_normalized_between_sample_and_log_prob():
     np.testing.assert_allclose(
         np.asarray(g1.log_prob(x)), np.asarray(g2.log_prob(x)), rtol=1e-6
     )
+
+
+def test_demo_gmm_matches_independent_numpy_oracle():
+    """utils.data.DEMO_GMM and the float64 oracle in tests/oracles.py
+    describe the reference notebooks' mixture; cross-check them against
+    each other so neither copy can silently diverge."""
+    import jax
+
+    from flowfusion_tpu.utils.data import DEMO_GMM
+    from oracles import gmm_log_prob, gmm_sample
+
+    x = np.asarray(gmm_sample(np.random.default_rng(0), 512), np.float32)
+    lp_lib = np.asarray(DEMO_GMM.log_prob(x))
+    lp_oracle = gmm_log_prob(x)
+    np.testing.assert_allclose(lp_lib, lp_oracle, rtol=1e-5, atol=1e-5)
+
+    # two-sample sanity: library sampler and oracle sampler agree in
+    # mean/cov to Monte-Carlo tolerance
+    s_lib = np.asarray(DEMO_GMM.sample(jax.random.PRNGKey(0), 20000))
+    s_orc = gmm_sample(np.random.default_rng(1), 20000)
+    np.testing.assert_allclose(s_lib.mean(0), s_orc.mean(0), atol=0.05)
+    np.testing.assert_allclose(
+        np.cov(s_lib.T), np.cov(s_orc.T), atol=0.08
+    )
