@@ -32,6 +32,7 @@ Design deltas (documented, deliberate):
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -45,7 +46,9 @@ from .nets import VelocityMLPConfig
 
 __all__ = ["ODEFlow"]
 
-_LOG_2PI = jnp.log(2.0 * jnp.pi)
+# Python-level constant: module import must stay device-free (jnp.log at
+# import time would initialize a jax backend before the caller can pick one).
+_LOG_2PI = math.log(2.0 * math.pi)
 
 
 @jax.tree_util.register_dataclass

@@ -19,6 +19,7 @@ Parity notes:
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -30,7 +31,9 @@ from .nets import SymplecticMLPConfig, init_symplectic_mlp
 
 __all__ = ["SymplecticFlowModel"]
 
-_LOG_2PI = jnp.log(2.0 * jnp.pi)
+# Python-level constant: module import must stay device-free (jnp.log at
+# import time would initialize a jax backend before the caller can pick one).
+_LOG_2PI = math.log(2.0 * math.pi)
 
 
 def _std_normal_logpdf(x: jax.Array) -> jax.Array:
