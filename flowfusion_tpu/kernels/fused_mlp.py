@@ -41,9 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "fused_drift",
     "fused_drift_reference",
+    "fused_drift_sketch",
     "fused_drift_tangents",
     "fused_symplectic_velocity",
     "fused_velocity",
+    "fused_velocity_sketch",
     "fused_velocity_tangents",
     "supports_config",
 ]
@@ -143,7 +145,7 @@ def _grid_plan(B: int, tile: int, max_sub: int = 16):
     return tile, n_sub, padded
 
 
-def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile, refs, n_tan: int = 0, activation: str = 'silu'):
+def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile, refs, n_tan: int = 0, activation: str = 'silu', n_tan2: int = 0):
     """Kernel body.  Ref layout (all weights arrive pre-TRANSPOSED):
     [xT, (eT|vT), w_inT, b_eff, w_h1T.., b_h1.., w_outT, b_out, c0c1]
       -> [driftT, (div | jvT)]
@@ -155,7 +157,15 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
     'tangents' (``n_tan`` arbitrary probe chains, stacked (n_tan*d_out,
     block) in vT; returns the full J v columns instead of a contraction —
     the building block for the Hutch++/XTrace sketch estimators, whose
-    downstream algebra consumes exactly this feature-major layout).
+    downstream algebra consumes exactly this feature-major layout), or
+    'hutchpp' / 'xtrace' (the ENTIRE sketch estimator in one dispatch:
+    forward chain with the per-layer activation derivatives kept live in
+    VMEM, probe tangents, per-sample QR and the leave-one-out algebra all
+    in the lane dimension, then the second Jacobian application *reusing*
+    the stored derivative chain — no recomputed forward, no intermediate
+    HBM round-trips, no second kernel launch.  'hutchpp' takes ``n_tan``
+    sketch probes S and ``n_tan2`` residual probes G stacked row-wise in
+    vT; 'xtrace' takes ``n_tan`` probes O).
 
     Layout (V4): the batch lives in the LANE dimension *through the whole
     chain* — x arrives as (D_in, block), every activation is (H, subtile),
@@ -171,11 +181,12 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
     """
     with_tangent = mode == "hutchinson"
     with_div = mode != "forward"
+    sketch = mode in ("hutchpp", "xtrace")
     i = 0
     x_ref = refs[i]; i += 1  # (D_in, block)
     e_ref = None
-    if with_tangent or mode == "tangents":
-        e_ref = refs[i]; i += 1  # probe(s): (D_in, block) | (n_tan*d_out, block)
+    if with_tangent or mode == "tangents" or sketch:
+        e_ref = refs[i]; i += 1  # probe(s): (D_in, block) | (K*d_out, block)
     w_in = refs[i]; i += 1  # (H, D_in)  [transposed]
     b_eff = refs[i]; i += 1  # (H, 1)
     w_hidden = []
@@ -227,9 +238,165 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
 
     act_pair = _act_pair_fn(activation)
 
+    def _qr_lane(cols):
+        """MGS thin QR of per-sample (d_out, k) matrices held as k
+        (d_out, subtile) lane-columns — the in-kernel mirror of
+        ops/trace._qr_cols, INCLUDING the rank-deficient basis-completion
+        fallback (degenerate columns — e.g. parallel Rademacher draws at
+        D = 2 — are replaced by the largest-residual canonical basis
+        vector orthogonalized against the accepted columns, exactly as
+        the host path does, so fused and plain solves agree sample-for-
+        sample even on degenerate sketches)."""
+        k = len(cols)
+        scale = jnp.sqrt(sum(jnp.sum(c * c, axis=0) for c in cols))
+        floor = jnp.maximum(scale * 1e-6, 1e-30)
+        zeros = jnp.zeros_like(scale)
+        q_cols = []
+        R = [[zeros for _ in range(k)] for _ in range(k)]
+        for j in range(k):
+            v = cols[j]
+            for i2 in range(j):
+                r_ij = jnp.sum(q_cols[i2] * v, axis=0)
+                R[i2][j] = r_ij
+                v = v - r_ij[None, :] * q_cols[i2]
+            r_jj = jnp.sqrt(jnp.sum(v * v, axis=0))
+            R[j][j] = r_jj
+
+            # Basis completion: canonical e_c orthogonalized against the
+            # accepted q's; pick the largest residual (running max —
+            # branchless, unrolled over the static small d_out).
+            best_norm = zeros
+            best_res = jnp.zeros_like(v)
+            row_idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+            for c2 in range(d_out):
+                res_c = (row_idx == c2).astype(v.dtype)  # e_c broadcast
+                for i2 in range(j):
+                    res_c = res_c - q_cols[i2][c2 : c2 + 1, :] * q_cols[i2]
+                norm_c = jnp.sqrt(jnp.sum(res_c * res_c, axis=0))
+                take = norm_c > best_norm
+                best_norm = jnp.where(take, norm_c, best_norm)
+                best_res = jnp.where(take[None, :], res_c, best_res)
+            q_fb = best_res / jnp.maximum(best_norm, 1e-30)[None, :]
+            degenerate = (r_jj < floor)[None, :]
+            q_j = jnp.where(
+                degenerate, q_fb, v / jnp.maximum(r_jj, floor)[None, :]
+            )
+            q_cols.append(q_j)
+        return q_cols, R
+
+    def _tri_inv_lane(R, k):
+        """inv(upper-tri R) as (subtile,) entry grids — mirrors
+        ops/trace._tri_inv_entries (same singular-diagonal clamp)."""
+        scale = R[0][0] * 0
+        for i2 in range(k):
+            scale = jnp.maximum(scale, jnp.abs(R[i2][i2]))
+        floor = jnp.maximum(scale * 1e-6, 1e-30)
+
+        def safe_diag(i2):
+            d = R[i2][i2]
+            return jnp.where(
+                jnp.abs(d) < floor, jnp.sign(d) * floor + (d == 0) * floor, d
+            )
+
+        zeros = jnp.zeros_like(scale)
+        inv = [[zeros for _ in range(k)] for _ in range(k)]
+        for j in range(k):
+            for i2 in range(j, -1, -1):
+                acc = jnp.full_like(scale, 1.0 if i2 == j else 0.0)
+                for l2 in range(i2 + 1, j + 1):
+                    acc = acc - R[i2][l2] * inv[l2][j]
+                inv[i2][j] = acc / safe_diag(i2)
+        return inv
+
+    def _sketch_chunk(sl, xc):
+        """One-dispatch Hutch++/XTrace: forward once (derivatives kept
+        live), every Jacobian application reuses the stored chain."""
+        # forward chain, retaining act'(a) per layer
+        dh_list = []
+        a = in_proj(xc) + b_eff[:]
+        for li in range(n_hidden - 1):
+            h, dh = act_pair(a)
+            dh_list.append(dh)
+            a = mm(w_hidden[li][:], h) + b_hidden[li][:]
+        h, dh = act_pair(a)
+        dh_list.append(dh)
+        net = mm(w_out[:], h) + b_out[:]
+        drift_ref[:, sl] = c0 * xc[:d_out, :] + c1 * net
+
+        def apply_A(v):
+            """A v = c0 v + c1 J_net v through the stored dh chain."""
+            ta = in_proj(v, nrows=d_out)
+            for li in range(n_hidden - 1):
+                ta = mm(w_hidden[li][:], dh_list[li] * ta)
+            return c0 * v + c1 * mm(w_out[:], dh_list[-1] * ta)
+
+        def probe(k):
+            return e_ref[k * d_out : (k + 1) * d_out, sl]
+
+        if mode == "hutchpp":
+            r, m = n_tan, n_tan2
+            y_cols = [apply_A(probe(k)) for k in range(r)]
+            q_cols, _ = _qr_lane(y_cols)
+            u_cols = []
+            for k in range(m):
+                g = probe(r + k)
+                u = g
+                for q in q_cols:
+                    u = u - jnp.sum(q * g, axis=0)[None, :] * q
+                u_cols.append(u)
+            aq = [apply_A(q) for q in q_cols]
+            au = [apply_A(u) for u in u_cols]
+            trace_lr = sum(jnp.sum(q * a_, axis=0) for q, a_ in zip(q_cols, aq))
+            trace_res = sum(jnp.sum(u * a_, axis=0) for u, a_ in zip(u_cols, au))
+            div_ref[0, sl] = trace_lr + trace_res / jnp.float32(m)
+        else:  # xtrace — mirrors ops/trace.xtrace_core entry-grid algebra
+            m = n_tan
+            o_cols = [probe(k) for k in range(m)]
+            y_cols = [apply_A(o) for o in o_cols]
+            q_cols, R = _qr_lane(y_cols)
+            aq_cols = [apply_A(q) for q in q_cols]
+
+            H_ = [[jnp.sum(q_cols[i2] * aq_cols[j], axis=0) for j in range(m)]
+                  for i2 in range(m)]
+            W_ = [[jnp.sum(q_cols[i2] * o_cols[j], axis=0) for j in range(m)]
+                  for i2 in range(m)]
+            T_ = [[jnp.sum(aq_cols[i2] * o_cols[j], axis=0) for j in range(m)]
+                  for i2 in range(m)]
+
+            S_t = _tri_inv_lane(R, m)
+            for i2 in range(m):
+                norm = jnp.sqrt(sum(S_t[i2][j] * S_t[i2][j] for j in range(m)))
+                norm = jnp.maximum(norm, 1e-30)
+                S_t[i2] = [S_t[i2][j] / norm for j in range(m)]
+            S_ = [[S_t[j][i2] for j in range(m)] for i2 in range(m)]
+
+            trace_H = sum(H_[i2][i2] for i2 in range(m))
+            csum = [sum(S_[i2][j] * W_[i2][j] for i2 in range(m)) for j in range(m)]
+            X_ = [[W_[i2][j] - csum[j] * S_[i2][j] for j in range(m)]
+                  for i2 in range(m)]
+
+            def quad(V):
+                HV = [
+                    [sum(H_[i2][l2] * V[l2][j] for l2 in range(m)) for j in range(m)]
+                    for i2 in range(m)
+                ]
+                return [sum(V[i2][j] * HV[i2][j] for i2 in range(m)) for j in range(m)]
+
+            SHS = quad(S_)
+            XHX = quad(X_)
+            WS = [sum(W_[i2][j] * S_[i2][j] for i2 in range(m)) for j in range(m)]
+            SR = [sum(S_[i2][j] * R[i2][j] for i2 in range(m)) for j in range(m)]
+            TX = [sum(T_[i2][j] * X_[i2][j] for i2 in range(m)) for j in range(m)]
+            ests = [trace_H - SHS[j] + WS[j] * SR[j] - TX[j] + XHX[j]
+                    for j in range(m)]
+            div_ref[0, sl] = sum(ests) / jnp.float32(m)
+
     def compute_chunk(ci, _):
         sl = pl.ds(ci * subtile, subtile)
         xc = x_ref[:, sl]  # (D_in, subtile) — natural slice, lanes = batch
+        if sketch:
+            _sketch_chunk(sl, xc)
+            return 0
         a = in_proj(xc) + b_eff[:]  # (H, subtile)
         if with_tangent:
             tangents = [in_proj(e_ref[:, sl])]
@@ -285,7 +452,7 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
     jax.jit,
     static_argnames=(
         "n_hidden", "mode", "d_out", "tile", "n_sub", "interpret",
-        "compute_dtype", "n_tan", "activation",
+        "compute_dtype", "n_tan", "activation", "n_tan2",
     ),
 )
 def _fused_drift_impl(
@@ -307,9 +474,11 @@ def _fused_drift_impl(
     compute_dtype: str,
     n_tan: int = 0,
     activation: str = "silu",
+    n_tan2: int = 0,
 ):
     with_tangent = mode == "hutchinson"
     with_div = mode != "forward"
+    sketch = mode in ("hutchpp", "xtrace")
     D, B = x.shape  # transposed: feature rows, batch in lanes
     # V4 kernel orientation: weights transposed, biases as (H, 1) columns
     # (the transposes trace into the jitted graph once per compile; they
@@ -334,8 +503,8 @@ def _fused_drift_impl(
     if with_tangent:
         in_specs.append(batch_spec(D))
         operands.append(e)
-    elif mode == "tangents":
-        in_specs.append(batch_spec(n_tan * d_out))
+    elif mode == "tangents" or sketch:
+        in_specs.append(batch_spec((n_tan + n_tan2) * d_out))
         operands.append(e)
     in_specs += [weight_spec(w_in.shape), weight_spec(b_eff.shape)]
     operands += [w_in, b_eff]
@@ -359,12 +528,21 @@ def _fused_drift_impl(
     cd = jnp.dtype(compute_dtype)
     kernel = lambda *refs: _kernel(
         n_hidden, mode, d_out, cd, n_sub, tile, refs, n_tan=n_tan,
-        activation=activation,
+        activation=activation, n_tan2=n_tan2,
     )
-    n_chains = 1 + (
-        1 if with_tangent
-        else (d_out if mode == "exact" else (n_tan if mode == "tangents" else 0))
-    )
+    if mode == "hutchpp":
+        n_applies = 2 * n_tan + n_tan2  # A S, A Q, A U
+    elif mode == "xtrace":
+        n_applies = 2 * n_tan  # A O, A Q
+    elif mode == "tangents":
+        n_applies = n_tan
+    elif mode == "exact":
+        n_applies = d_out
+    elif with_tangent:
+        n_applies = 1
+    else:
+        n_applies = 0
+    n_chains = 1 + n_applies
     flops_per_row = 2 * H * (D + (n_hidden - 1) * H + d_out) * n_chains
     result = pl.pallas_call(
         kernel,
@@ -522,6 +700,134 @@ def fused_drift_tangents(
     )
 
 
+def fused_drift_sketch(
+    params: dict,
+    cfg,
+    t: jax.Array,
+    x: jax.Array,
+    probes,
+    sketch_mode: str,
+    conditional: Optional[jax.Array] = None,
+    c0: jax.Array = 0.0,
+    c1: jax.Array = 1.0,
+    tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    compute_dtype: str = "float32",
+):
+    """Whole Hutch++/XTrace RHS in ONE kernel dispatch.
+
+    ``sketch_mode``: 'hutchpp' with ``probes = (S, G)`` ((r, B, D) sketch +
+    (m, B, D) residual probes), or 'xtrace' with ``probes = (O,)``
+    ((m, B, D)).  Returns ``(drift (B, D), div (B,))`` — the divergence of
+    the affine drift c0 x + c1 net, i.e. the same contract as
+    :func:`fused_drift` with a probe.
+
+    vs the two-dispatch ``fused_drift_tangents`` + host-side sketch
+    algebra (ops/trace.{hutchpp,xtrace}_core): the forward layer chain
+    runs ONCE (the second Jacobian application reuses the stored
+    activation derivatives), the per-sample QR/leave-one-out algebra runs
+    in the kernel's lane dimension, and no (K, B, D) intermediate ever
+    touches HBM.  Measured: the dominant per-RHS fixed cost (dispatch +
+    inter-dispatch XLA ops) is paid once instead of twice.
+    """
+    from ..models.nets import fourier_time_embedding
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    E = cfg.embedding_dimensions
+    D = cfg.n_dimensions
+    layers = params["layers"]
+    if not supports_config(cfg.units, cfg.activation):
+        raise ValueError(
+            f"fused kernel does not support units={cfg.units} "
+            f"activation={cfg.activation}"
+        )
+    _check_conditional(cfg.n_conditionals, conditional)
+
+    t = jnp.asarray(t, jnp.float32).reshape(())
+    temb = fourier_time_embedding(t[None], params["W"])[0]
+    w1 = layers[0]["w"]
+    b_eff = layers[0]["b"] + temb @ w1[:E]
+    w_in = w1[E : E + D]
+    if conditional is not None:
+        w_in = jnp.concatenate([w_in, w1[E + D :]], axis=0)
+
+    if sketch_mode == "hutchpp":
+        S, G = probes
+        n_tan, n_tan2 = S.shape[0], G.shape[0]
+        V = jnp.concatenate([S, G], axis=0)
+    elif sketch_mode == "xtrace":
+        (O,) = probes
+        n_tan, n_tan2 = O.shape[0], 0
+        V = O
+    else:
+        raise ValueError(f"unknown sketch mode {sketch_mode!r}")
+    if tile is None:
+        # live VMEM: n_hidden stored dh chains + 1 transient tangent;
+        # 1024 measured best on v5e at 50k rows (2.20 ms/RHS vs 2.39 at
+        # 512 for the r=m=1 Hutch++ 128^3 net)
+        tile = 1024
+    return _dispatch(
+        x, V, w_in, b_eff, layers, conditional, sketch_mode, D, c0, c1,
+        tile, interpret, compute_dtype, n_tan=n_tan,
+        activation=cfg.activation, n_tan2=n_tan2,
+    )
+
+
+def fused_velocity_sketch(
+    params: dict,
+    cfg,
+    t: jax.Array,
+    x: jax.Array,
+    probes,
+    sketch_mode: str,
+    conditional: Optional[jax.Array] = None,
+    tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    compute_dtype: str = "float32",
+):
+    """One-dispatch Hutch++/XTrace for the flow velocity nets (c0=0, c1=1).
+
+    Same contract as :func:`fused_drift_sketch`; the scalar solver time
+    folds into the first-layer bias as in :func:`fused_velocity`.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    D = cfg.target_dimension
+    layers = params["layers"]
+    if not supports_config(cfg.hidden_units, cfg.activation):
+        raise ValueError(
+            f"fused kernel does not support units={cfg.hidden_units} "
+            f"activation={cfg.activation}"
+        )
+    _check_conditional(cfg.conditional_dimension, conditional)
+
+    t = jnp.asarray(t, jnp.float32).reshape(())
+    w1 = layers[0]["w"]  # (D + 1 + C, H), rows [x | t | cond]
+    b_eff = layers[0]["b"] + t * w1[D]
+    w_in = w1[:D]
+    if conditional is not None:
+        w_in = jnp.concatenate([w_in, w1[D + 1 :]], axis=0)
+
+    if sketch_mode == "hutchpp":
+        S, G = probes
+        n_tan, n_tan2 = S.shape[0], G.shape[0]
+        V = jnp.concatenate([S, G], axis=0)
+    elif sketch_mode == "xtrace":
+        (O,) = probes
+        n_tan, n_tan2 = O.shape[0], 0
+        V = O
+    else:
+        raise ValueError(f"unknown sketch mode {sketch_mode!r}")
+    if tile is None:
+        tile = 1024  # see fused_drift_sketch
+    return _dispatch(
+        x, V, w_in, b_eff, layers, conditional, sketch_mode, D, 0.0, 1.0,
+        tile, interpret, compute_dtype, n_tan=n_tan,
+        activation=cfg.activation, n_tan2=n_tan2,
+    )
+
+
 def fused_velocity_tangents(
     params: dict,
     cfg,
@@ -624,12 +930,13 @@ def fused_symplectic_velocity(
 
 def _dispatch(
     x, e, w_in, b_eff, layers, conditional, mode, d_out, c0, c1, tile,
-    interpret, compute_dtype, n_tan=0, activation="silu",
+    interpret, compute_dtype, n_tan=0, activation="silu", n_tan2=0,
 ):
     """Shared host-side tail of the kernel entry points: tiling plan,
     padding, weight casting/flattening, impl call, un-transpose.
 
-    For ``mode='tangents'`` ``e`` is the probe stack (n_tan, B, d_out)."""
+    For ``mode='tangents'`` ``e`` is the probe stack (n_tan, B, d_out);
+    for the sketch modes it is the full (n_tan + n_tan2, B, d_out) stack."""
     if tile is None:
         tile = 4096 if mode == "forward" else 1024
     x_in = x if conditional is None else jnp.concatenate([x, conditional], -1)
@@ -649,13 +956,13 @@ def _dispatch(
             e_in = jnp.pad(e, ((0, 0), (0, conditional.shape[-1])))
         if pad:
             e_in = jnp.pad(e_in, ((0, pad), (0, 0)))
-    elif mode == "tangents":
+    elif mode in ("tangents", "hutchpp", "xtrace"):
         # stack probes feature-wise: row k*d_out + j of e_in.T is V[k,:,j].
         # ``e`` is a (K, B, D) stack or a list of (D, B) columns.
         if isinstance(e, (list, tuple)):
             e_in = jnp.concatenate([v.T for v in e], axis=-1)
         else:
-            e_in = jnp.concatenate([e[k] for k in range(n_tan)], axis=-1)
+            e_in = jnp.concatenate([e[k] for k in range(e.shape[0])], axis=-1)
         if pad:
             e_in = jnp.pad(e_in, ((0, pad), (0, 0)))
 
@@ -686,6 +993,7 @@ def _dispatch(
         compute_dtype=compute_dtype,
         n_tan=n_tan,
         activation=activation,
+        n_tan2=n_tan2,
     )
     if mode == "tangents":
         driftT, jvT = out

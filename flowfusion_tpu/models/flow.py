@@ -276,28 +276,17 @@ class ODEFlow:
                 )
 
         elif self.trace_mode in ("hutchpp", "xtrace") and self._fused_available():
-            from ..kernels.fused_mlp import fused_velocity_tangents
+            from ..kernels.fused_mlp import fused_velocity_sketch
 
             cond_n = self._norm_cond(conditional)
-            probe_cols = [[p[i].T for i in range(p.shape[0])] for p in probes]
 
             def rhs(t, state):
                 xx, _ = state
-                v_cols = []
-
-                def apply_cols(cols):
-                    vc, jv_cols = fused_velocity_tangents(
-                        self.params, self.net, t, xx, cols, cond_n,
-                        compute_dtype=self.kernel_compute_dtype,
-                    )
-                    v_cols.append(vc)
-                    return [jax.lax.stop_gradient(c) for c in jv_cols]
-
-                if self.trace_mode == "hutchpp":
-                    div = trace_lib.hutchpp_core(apply_cols, *probe_cols)
-                else:
-                    div = trace_lib.xtrace_core(apply_cols, *probe_cols)
-                return (v_cols[0].T, div)
+                v, div = fused_velocity_sketch(
+                    self.params, self.net, t, xx, probes, self.trace_mode,
+                    cond_n, compute_dtype=self.kernel_compute_dtype,
+                )
+                return (v, div)
 
         else:
 

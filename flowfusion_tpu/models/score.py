@@ -528,31 +528,22 @@ class ScoreModel:
                 return (x_dot, div)
 
         elif self.trace_mode in ("hutchpp", "xtrace") and self._fused_available():
-            from ..kernels.fused_mlp import fused_drift_tangents
+            from ..kernels.fused_mlp import fused_drift_sketch
 
-            # Probe columns in the kernel's batch-in-lanes layout, fixed
-            # per solve like the reference's (diffusion.py:700-721).
-            probe_cols = [[p[i].T for i in range(p.shape[0])] for p in probes]
-
+            # Whole estimator in one kernel dispatch: forward chain runs
+            # once (stored-derivative reuse for the second Jacobian
+            # application), per-sample QR + sketch algebra in-lane.
+            # Probes fixed per solve like the reference's
+            # (diffusion.py:700-721).
             def rhs(t, state):
                 x, _ = state
                 c0, c1 = self._fused_coeffs(t)
-                drift_cols = []
-
-                def apply_cols(cols):
-                    dc, jv_cols = fused_drift_tangents(
-                        self.params, self.net, t, x, cols, conditional,
-                        c0=c0, c1=c1,
-                        compute_dtype=self.kernel_compute_dtype,
-                    )
-                    drift_cols.append(dc)
-                    return [jax.lax.stop_gradient(c) for c in jv_cols]
-
-                if self.trace_mode == "hutchpp":
-                    div = trace_lib.hutchpp_core(apply_cols, *probe_cols)
-                else:
-                    div = trace_lib.xtrace_core(apply_cols, *probe_cols)
-                return (drift_cols[0].T, div)
+                x_dot, div = fused_drift_sketch(
+                    self.params, self.net, t, x, probes, self.trace_mode,
+                    conditional, c0=c0, c1=c1,
+                    compute_dtype=self.kernel_compute_dtype,
+                )
+                return (x_dot, div)
 
         else:
 

@@ -432,6 +432,55 @@ def test_fused_tangents_matches_jvp_reference():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fused_sketch_single_dispatch_matches_plain_estimators():
+    """fused_drift_sketch (one-dispatch Hutch++/XTrace: in-kernel QR +
+    sketch algebra + stored-derivative Jacobian reuse) equals the plain
+    estimators given identical probes."""
+    from flowfusion_tpu.kernels.fused_mlp import fused_drift_sketch
+    from flowfusion_tpu.models.nets import apply_score_mlp
+    from flowfusion_tpu.ops import trace as trace_lib
+
+    for n_cond in (0, 3):
+        cfg, params = _setup(n_cond=n_cond)
+        B, D = 70, 2  # ragged (padding path)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, D))
+        cond = (
+            jax.random.normal(jax.random.PRNGKey(5), (B, n_cond))
+            if n_cond
+            else None
+        )
+        t = jnp.asarray(0.37)
+        c0, c1 = 0.2, -1.7
+
+        def drift_fn(xx):
+            tt = jnp.full((xx.shape[0],), t)
+            return c0 * xx + c1 * apply_score_mlp(cfg, params, tt, xx, cond)
+
+        S = jnp.sign(jax.random.normal(jax.random.PRNGKey(2), (2, B, D)))
+        G = jnp.sign(jax.random.normal(jax.random.PRNGKey(3), (1, B, D)))
+        drift_k, div_k = fused_drift_sketch(
+            params, cfg, t, x, (S, G), "hutchpp", cond, c0=c0, c1=c1,
+            tile=64, interpret=INTERPRET,
+        )
+        drift_p, div_p = trace_lib.hutchpp_divergence(drift_fn, x, S, G)
+        np.testing.assert_allclose(np.asarray(drift_k), np.asarray(drift_p),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(div_k), np.asarray(div_p),
+                                   atol=2e-4)
+
+        g = jax.random.normal(jax.random.PRNGKey(4), (2, B, D))
+        O = g / jnp.linalg.norm(g, axis=-1, keepdims=True) * jnp.sqrt(float(D))
+        drift_k, div_k = fused_drift_sketch(
+            params, cfg, t, x, (O,), "xtrace", cond, c0=c0, c1=c1,
+            tile=64, interpret=INTERPRET,
+        )
+        drift_p, div_p = trace_lib.xtrace_divergence(drift_fn, x, O)
+        np.testing.assert_allclose(np.asarray(drift_k), np.asarray(drift_p),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(div_k), np.asarray(div_p),
+                                   atol=2e-4)
+
+
 def test_fused_sketch_logprob_matches_plain():
     """Fused-kernel Hutch++/XTrace solves equal plain XLA within the
     kernel's matmul-precision tolerance (same probes, same algebra)."""
