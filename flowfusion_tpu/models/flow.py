@@ -189,7 +189,25 @@ class ODEFlow:
         reference forwards none (flow.py:297-306).  ``gradients=True``
         differentiates through the solve via the continuous adjoint (the
         reference's odeint_adjoint branch, flow.py:286-295); stats None.
+
+        Eager multi-device calls shard the batch over all devices
+        (``parallel.autoshard``).
         """
+        from ..parallel import autoshard
+
+        if not gradients and autoshard.should_route(xT, conditional):
+            opts = (
+                tuple(sorted(options.items())) if options is not None else None
+            )
+            return autoshard.routed_call(
+                _flow_sample_per_shard,
+                (rtol, atol, method, opts),
+                self,
+                xT,
+                conditional,
+                None,
+            )
+
         if gradients:
             from ..ops.integrate.adjoint import odeint_adjoint
 
@@ -307,6 +325,24 @@ class ODEFlow:
         )
         return xs[-1], ljs[-1], stats
 
+    def _per_shard_variant(self) -> "ODEFlow":
+        """Model each device runs under auto-sharding (see
+        ScoreModel._per_shard_variant — same reasoning: inside shard_map
+        each device runs a single-device program, so the fused kernel is
+        safe and preferred on TPU)."""
+        if self.use_fused_kernel is None and jax.default_backend() == "tpu":
+            from ..kernels.fused_mlp import supports_config
+
+            supported = (
+                isinstance(self.net, VelocityMLPConfig)
+                and supports_config(self.net.hidden_units, self.net.activation)
+                and self.net.target_dimension + self.net.conditional_dimension
+                <= 16
+            )
+            if supported:
+                return dataclasses.replace(self, use_fused_kernel=True)
+        return self
+
     def log_prob(
         self,
         x: jax.Array,
@@ -318,7 +354,27 @@ class ODEFlow:
         options: Optional[dict] = None,
         adjoint: bool = False,
     ) -> Tuple[jax.Array, SolverStats]:
-        """Exact CNF log-likelihood with volume correction (flow.py:386-438)."""
+        """Exact CNF log-likelihood with volume correction (flow.py:386-438).
+
+        Eager multi-device calls shard the batch over all devices
+        (``parallel.autoshard``); stats then carry a leading n_devices
+        axis.
+        """
+        from ..parallel import autoshard
+
+        if not adjoint and autoshard.should_route(x, conditional, key):
+            opts = (
+                tuple(sorted(options.items())) if options is not None else None
+            )
+            return autoshard.routed_call(
+                _flow_logprob_per_shard,
+                (atol, rtol, method, opts),
+                self,
+                x,
+                conditional,
+                key,
+            )
+
         x_std = (x - self.target_shift) / self.target_scale
         xT, log_jac, stats = self.solve_ode_forward(
             x_std, conditional, key=key, atol=atol, rtol=rtol,
@@ -327,3 +383,39 @@ class ODEFlow:
         prior = jnp.sum(-0.5 * xT**2 - 0.5 * _LOG_2PI, axis=1)
         lp = prior + log_jac - jnp.sum(jnp.log(self.target_scale))
         return lp, stats
+
+
+def _flow_logprob_per_shard(atol, rtol, method, opts):
+    """Per-shard ODEFlow.log_prob body for ``parallel.autoshard``."""
+
+    def per_shard(model, xb, cb, kb):
+        lp, stats = model._per_shard_variant().log_prob(
+            xb,
+            cb,
+            key=kb,
+            atol=atol,
+            rtol=rtol,
+            method=method,
+            options=dict(opts) if opts is not None else None,
+        )
+        return lp, jax.tree_util.tree_map(lambda s: jnp.reshape(s, (1,)), stats)
+
+    return per_shard
+
+
+def _flow_sample_per_shard(rtol, atol, method, opts):
+    """Per-shard ODEFlow.sample body for ``parallel.autoshard``."""
+
+    def per_shard(model, zb, cb, kb):
+        del kb
+        x0, stats = model._per_shard_variant().sample(
+            zb,
+            cb,
+            rtol=rtol,
+            atol=atol,
+            method=method,
+            options=dict(opts) if opts is not None else None,
+        )
+        return x0, jax.tree_util.tree_map(lambda s: jnp.reshape(s, (1,)), stats)
+
+    return per_shard

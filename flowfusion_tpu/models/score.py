@@ -77,6 +77,26 @@ class ScoreModel:
     )
 
     # ------------------------------------------------------------------
+    # multi-device plumbing
+    # ------------------------------------------------------------------
+    def _per_shard_variant(self) -> "ScoreModel":
+        """The model each device runs under auto-sharding (shard_map).
+
+        Inside shard_map every device executes a single-device program, so
+        on TPU the fused kernel is both safe and required (the plain-XLA
+        conditional-RHS graph family crashes this platform's compiler);
+        ``auto_fused`` cannot see that from ``jax.devices()`` alone, hence
+        the explicit opt-in here.  Off-TPU the auto policy stands.
+        """
+        if (
+            self.use_fused_kernel is None
+            and jax.default_backend() == "tpu"
+            and self._fused_supported()
+        ):
+            return dataclasses.replace(self, use_fused_kernel=True)
+        return self
+
+    # ------------------------------------------------------------------
     # fused-kernel plumbing
     # ------------------------------------------------------------------
     def _fused_supported(self) -> bool:
@@ -206,7 +226,26 @@ class ScoreModel:
         (final denoised mean).  The NaN guard is the ``nan_encountered``
         flag instead of a printed warning; ``progress=True`` restores the
         reference's per-step tqdm bar (host callback — off for speed).
+
+        Eager multi-device calls split the batch over all devices
+        (``parallel.autoshard``; each shard draws from its own fold of
+        ``key``).
         """
+        from ..parallel import autoshard
+
+        if not progress and autoshard.should_route(key, conditional):
+            (x_mean, x), nan_flags = autoshard.routed_sample(
+                _sample_sde_per_shard,
+                lambda local: (local, tuple(shape[1:]), steps),
+                self,
+                key,
+                shape[0],
+                conditional,
+            )
+            return EMResult(
+                x_mean=x_mean, x=x, nan_encountered=jnp.any(nan_flags)
+            )
+
         k_prior, k_path = jax.random.split(key)
         x0 = self.sde.prior_sample(k_prior, shape)
         drift = self._reverse_drift_fn(conditional)
@@ -400,7 +439,27 @@ class ScoreModel:
         parameters via the O(1)-memory continuous adjoint (the reference's
         ``odeint_adjoint`` training path, diffusion.py:620-629); stats are
         returned as None in that mode.
+
+        Eager multi-device calls shard the batch over all devices
+        (``parallel.autoshard``); stats then carry a leading n_devices
+        axis.
         """
+        from ..parallel import autoshard
+
+        if not adjoint and autoshard.should_route(base_samples, conditional):
+            opts = (
+                tuple(sorted(options.items())) if options is not None else None
+            )
+            samples, stats = autoshard.routed_call(
+                _sample_ode_per_shard,
+                (atol, rtol, method, opts),
+                self,
+                base_samples,
+                conditional,
+                None,
+            )
+            return samples, stats
+
         z = base_samples * self.sde.prior_scale
 
         if adjoint:
@@ -647,7 +706,30 @@ class ScoreModel:
 
         Defaults mirror the reference: atol=rtol=1e-4, min_step=1e-6.
         Returns (log_prob (B,), stats).
+
+        On a multi-device realm, an *eager* call (concrete arrays, no
+        enclosing jit) automatically shards the batch over all devices and
+        runs the single-device program — fused kernels included — per
+        shard (``parallel.autoshard``).  Stats then carry a leading
+        n_devices axis (one solve per shard).  Calls under a user ``jit``
+        are left to the user's own sharding.
         """
+        from ..parallel import autoshard
+
+        if not adjoint and autoshard.should_route(x0_samples, conditional, key):
+            opts = (
+                tuple(sorted(options.items())) if options is not None else None
+            )
+            lp, stats = autoshard.routed_call(
+                _logprob_per_shard,
+                (atol, rtol, method, opts),
+                self,
+                x0_samples,
+                conditional,
+                key,
+            )
+            return lp, stats
+
         if options is None:
             options = {"min_step": 1e-6}
         xT, dlp, stats = self.solve_odes_forward(
@@ -662,3 +744,54 @@ class ScoreModel:
         )
         lp = dlp + jnp.sum(self.sde.prior_log_prob(xT), axis=1)
         return lp, stats
+
+
+def _logprob_per_shard(atol, rtol, method, opts):
+    """Per-shard log_prob body for ``parallel.autoshard`` (module-level:
+    its identity is the jit-cache key)."""
+
+    def per_shard(model, xb, cb, kb):
+        lp, stats = model._per_shard_variant().log_prob(
+            xb,
+            cb,
+            key=kb,
+            atol=atol,
+            rtol=rtol,
+            method=method,
+            options=dict(opts) if opts is not None else None,
+        )
+        return lp, jax.tree_util.tree_map(lambda s: jnp.reshape(s, (1,)), stats)
+
+    return per_shard
+
+
+def _sample_ode_per_shard(atol, rtol, method, opts):
+    """Per-shard sample_ode_from_base body for ``parallel.autoshard``."""
+
+    def per_shard(model, zb, cb, kb):
+        del kb
+        samples, stats = model._per_shard_variant().sample_ode_from_base(
+            zb,
+            cb,
+            atol=atol,
+            rtol=rtol,
+            method=method,
+            options=dict(opts) if opts is not None else None,
+        )
+        return samples, jax.tree_util.tree_map(
+            lambda s: jnp.reshape(s, (1,)), stats
+        )
+
+    return per_shard
+
+
+def _sample_sde_per_shard(local_rows, shape_rest, steps):
+    """Per-shard sample_sde body for ``parallel.autoshard``."""
+
+    def per_shard(model, cb, kb):
+        res = model._per_shard_variant().sample_sde(
+            kb, (local_rows, *shape_rest), cb, steps=steps
+        )
+        return (res.x_mean, res.x), jnp.reshape(res.nan_encountered, (1,))
+
+    return per_shard

