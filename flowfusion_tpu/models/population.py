@@ -121,10 +121,14 @@ class PopulationModelDiffusion:
         conditional: Optional[jax.Array] = None,
         method: str = "dopri5",
         options: Optional[dict] = None,
+        adjoint: bool = False,
     ) -> Tuple[jax.Array, SolverStats]:
         """Deterministic sampling via the prob-flow ODE (diffusion.py:1556-1585).
 
-        atol=rtol=1e-5 hard-coded, matching the reference.
+        atol=rtol=1e-5 hard-coded, matching the reference.  ``adjoint=True``
+        makes the solve differentiable w.r.t. the wrapper's parameters via
+        the O(1)-memory continuous adjoint — the reference's training-mode
+        ``odeint_adjoint`` switch inside the wrapper (diffusion.py:1575-1585).
         """
         x0, stats = self.score_model.sample_ode_from_base(
             base_samples,
@@ -133,6 +137,7 @@ class PopulationModelDiffusion:
             rtol=1e-5,
             method=method,
             options=options,
+            adjoint=adjoint,
         )
         return x0 * self.scale + self.shift, stats
 
@@ -166,8 +171,14 @@ class PopulationModelDiffusion:
         method: str = "dopri5",
         options: Optional[dict] = None,
         volume_corrected: bool = False,
+        adjoint: bool = False,
     ) -> Tuple[jax.Array, SolverStats]:
         """Log density (diffusion.py:1587-1640).  Shape (B,).
+
+        ``adjoint=True`` makes the returned log-probs differentiable w.r.t.
+        the wrapper (parameters and statistics) via the continuous adjoint,
+        mirroring the reference's training-mode ``odeint_adjoint`` dispatch
+        at the wrapper layer (diffusion.py:620, 733).
 
         By default reports densities of the *standardized* variables — the
         reference omits the -sum(log scale) Jacobian of the affine
@@ -189,6 +200,7 @@ class PopulationModelDiffusion:
             rtol=rtol,
             method=method,
             options=options,
+            adjoint=adjoint,
         )
         lp = dlp + jnp.sum(self.score_model.sde.prior_log_prob(xT), axis=1)
         if volume_corrected:
