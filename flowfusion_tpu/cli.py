@@ -150,16 +150,27 @@ def cmd_sample(args):
                 f"got shape {c.shape}"
             )
         cond = jnp.asarray(c)
-        n = cond.shape[0]
-        if args.n != n:
-            print(f"sampling n={n} rows (one per --cond-data row)")
+        rows = cond.shape[0]
+        if args.n is None or args.n == rows:
+            n = rows
+        elif args.n < rows:
+            # one sample per conditioning row: honour the smaller --n by
+            # using only the first n rows (announced, not silent)
+            n = args.n
+            cond = cond[:n]
+            print(f"using the first {n} of {rows} --cond-data rows")
+        else:
+            raise SystemExit(
+                f"--n {args.n} exceeds the {rows} --cond-data rows; one "
+                "sample is drawn per row — pass more rows or a smaller --n"
+            )
     else:
         if args.cond_data:
             raise SystemExit(
                 "checkpoint is unconditional but --cond-data was given — "
                 "wrong checkpoint?"
             )
-        n = args.n
+        n = 50_000 if args.n is None else args.n
     if args.method == "sde":
         out = model.sample_sde(
             key, (n, meta["dim"]), conditional=cond, steps=args.steps
@@ -214,7 +225,12 @@ def main(argv=None):
 
     ps = sub.add_parser("sample", help="draw samples from a checkpoint")
     ps.add_argument("--ckpt", required=True)
-    ps.add_argument("--n", type=int, default=50_000)
+    ps.add_argument(
+        "--n", type=int, default=None,
+        help="number of samples (default 50000; for conditional "
+        "checkpoints defaults to the number of --cond-data rows, and an "
+        "explicit --n must not exceed that row count)",
+    )
     ps.add_argument("--method", choices=["sde", "ode"], default="sde")
     ps.add_argument(
         "--cond-data", default=None,

@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import _act_pair_fn, _check_conditional, supports_config
+from .fused_mlp import _act_value_fn, _check_conditional, supports_config
 
 __all__ = ["fused_em_sample", "em_prep"]
 
@@ -113,10 +113,7 @@ def _kernel(steps: int, n_hidden: int, d_out: int, compute_dtype, hw_rng, with_c
             precision=prec,
         )
 
-    act_pair = _act_pair_fn(activation)
-
-    def act(a):
-        return act_pair(a)[0]
+    act = _act_value_fn(activation)
 
     def net(x, s):
         a = mm(x, w_in) + b_eff_ref[s, :][None, :]

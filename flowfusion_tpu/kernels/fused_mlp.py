@@ -132,6 +132,24 @@ def _act_pair_fn(activation: str):
     return pair
 
 
+def _act_value_fn(activation: str):
+    """act(a) only — for forward-only kernels (e.g. the EM sampler),
+    which would otherwise materialize the derivative half of
+    ``_act_pair_fn`` and rely on DCE to strip it."""
+    if activation == "silu":
+        return lambda a: a * jax.nn.sigmoid(a)
+    if activation == "tanh":
+        return jnp.tanh
+    if activation == "relu":
+        return lambda a: a * (a > 0).astype(jnp.float32)
+    if activation == "gelu":
+        c = 0.7978845608028654  # sqrt(2/pi)
+        k3 = 0.044715
+        return lambda a: 0.5 * a * (1.0 + jnp.tanh(c * (a + k3 * a * a * a)))
+    raise ValueError(  # pragma: no cover - guarded by supports_config
+        f"fused kernel does not implement {activation!r}"
+    )
+
 
 def _grid_plan(B: int, tile: int, max_sub: int = 16):
     """(tile, n_sub, padded_B): pack up to ``max_sub`` compute sub-tiles

@@ -131,6 +131,11 @@ def _qr_cols(cols):
 
     Returns (q_cols, R) with ``q_cols`` a list of m (D, B) arrays and
     ``R`` an m x m list-of-lists of (B,) entries (zeros below diagonal).
+
+    Cost note for direct callers: the unrolled algebra (including the
+    completion state below) emits O(m * D) HLO ops over (D, B)/(D, D, B)
+    operands — sized for this package's D <= 16 model dispatch.  For
+    large D, batched ``jnp.linalg.qr`` is the better tool.
     """
     m = len(cols)
     D, B = cols[0].shape
@@ -141,6 +146,11 @@ def _qr_cols(cols):
     eye = jnp.eye(D, dtype=dtype)
     q_cols = []
     R = [[zeros] * m for _ in range(m)]
+    # Basis-completion state for rank-deficient columns, maintained
+    # incrementally: res[c] is canonical basis vector e_c orthogonalized
+    # against the accepted columns so far (one (D, D, B) update per
+    # accepted column, not a from-scratch rebuild per column).
+    res = jnp.broadcast_to(eye[:, :, None], (D, D, B))  # (c, d, B)
     for j in range(m):
         v = cols[j]
         for i in range(j):
@@ -150,12 +160,8 @@ def _qr_cols(cols):
         r_jj = jnp.sqrt(jnp.sum(v * v, axis=0))
         R[j][j] = r_jj
 
-        # Basis completion for rank-deficient columns: res[c] is canonical
-        # basis vector e_c orthogonalized against the accepted columns.
-        res = jnp.broadcast_to(eye[:, :, None], (D, D, B))  # (c, d, B)
-        for i in range(j):
-            proj = jnp.sum(res * q_cols[i][None, :, :], axis=1)  # (c, B)
-            res = res - proj[:, None, :] * q_cols[i][None, :, :]
+        # Fallback direction: the largest residual of the completion basis
+        # (what Householder QR would produce for a ~0 column).
         res_norm = jnp.sqrt(jnp.sum(res * res, axis=1))  # (c, B)
         best = jnp.argmax(res_norm, axis=0)  # (B,)
         q_fb = jnp.take_along_axis(res, best[None, None, :], axis=0)[0]  # (D, B)
@@ -165,6 +171,9 @@ def _qr_cols(cols):
         degenerate = (r_jj < floor)[None, :]
         q_j = jnp.where(degenerate, q_fb, v / jnp.maximum(r_jj, floor)[None, :])
         q_cols.append(q_j)
+        if j + 1 < m:
+            proj = jnp.sum(res * q_j[None, :, :], axis=1)  # (c, B)
+            res = res - proj[:, None, :] * q_j[None, :, :]
     return q_cols, R
 
 

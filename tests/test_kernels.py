@@ -108,8 +108,14 @@ def test_fused_logprob_path_matches_unfused():
     m_fused = dataclasses.replace(m_plain, use_fused_kernel=True)
     x = jax.random.normal(jax.random.PRNGKey(5), (32, 2))
     k = jax.random.PRNGKey(6)
-    lp_plain, st_p = m_plain.log_prob(x, key=k, atol=1e-4, rtol=1e-4)
-    lp_fused, st_f = m_fused.log_prob(x, key=k, atol=1e-4, rtol=1e-4)
+    # jit pins both calls to the unrouted single-solve path (the eager
+    # multi-device autoshard route would give per-shard stats instead)
+    call = jax.jit(
+        lambda mm, xx, kk: mm.log_prob(xx, key=kk, atol=1e-4, rtol=1e-4),
+        static_argnames=(),
+    )
+    lp_plain, st_p = call(m_plain, x, k)
+    lp_fused, st_f = call(m_fused, x, k)
     np.testing.assert_allclose(
         np.asarray(lp_fused), np.asarray(lp_plain), rtol=1e-4, atol=1e-3
     )
@@ -127,8 +133,14 @@ def test_fused_sampling_paths_match():
     m_plain = ScoreModel(params=params, net=cfg, sde=VESDE(), use_fused_kernel=False)
     m_fused = dataclasses.replace(m_plain, use_fused_kernel=True)
     base = jax.random.normal(jax.random.PRNGKey(7), (16, 2))
-    s_plain, _ = m_plain.sample_ode_from_base(base, atol=1e-4, rtol=1e-4)
-    s_fused, _ = m_fused.sample_ode_from_base(base, atol=1e-4, rtol=1e-4)
+    # jit pins both solves to the unrouted path: eager autoshard routing
+    # would use per-shard error norms (tiny shards here), amplifying the
+    # tolerance-level fused-vs-plain divergence this test bounds.
+    solve = jax.jit(
+        lambda mm, bb: mm.sample_ode_from_base(bb, atol=1e-4, rtol=1e-4)
+    )
+    s_plain, _ = solve(m_plain, base)
+    s_fused, _ = solve(m_fused, base)
     np.testing.assert_allclose(np.asarray(s_fused), np.asarray(s_plain), atol=1e-4)
 
     em_plain = m_plain.sample_sde(jax.random.PRNGKey(8), (16, 2), steps=10)
@@ -277,8 +289,11 @@ def test_flow_fused_logprob_matches_plain():
     flow_fused = dataclasses.replace(flow, use_fused_kernel=True)
     x = jax.random.normal(jax.random.PRNGKey(4), (32, 2))
     k = jax.random.PRNGKey(5)
-    lp_p, st_p = flow_plain.log_prob(x, key=k, atol=1e-4, rtol=1e-4)
-    lp_f, st_f = flow_fused.log_prob(x, key=k, atol=1e-4, rtol=1e-4)
+    # jit pins both calls to the unrouted single-solve path (see
+    # test_fused_logprob_path_matches_unfused)
+    call = jax.jit(lambda mm, xx, kk: mm.log_prob(xx, key=kk, atol=1e-4, rtol=1e-4))
+    lp_p, st_p = call(flow_plain, x, k)
+    lp_f, st_f = call(flow_fused, x, k)
     np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_p), rtol=1e-4, atol=1e-3)
     assert int(st_p.n_accepted) == int(st_f.n_accepted)
 
@@ -319,8 +334,11 @@ def test_fused_exact_logprob_path_matches_unfused():
     )
     m_fused = dataclasses.replace(m_plain, use_fused_kernel=True)
     x = jax.random.normal(jax.random.PRNGKey(11), (32, 2))
-    lp_p, st_p = m_plain.log_prob(x, atol=1e-4, rtol=1e-4)
-    lp_f, st_f = m_fused.log_prob(x, atol=1e-4, rtol=1e-4)
+    # jit pins both calls to the unrouted single-solve path (see
+    # test_fused_logprob_path_matches_unfused)
+    call = jax.jit(lambda mm, xx: mm.log_prob(xx, atol=1e-4, rtol=1e-4))
+    lp_p, st_p = call(m_plain, x)
+    lp_f, st_f = call(m_fused, x)
     np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_p), rtol=1e-4, atol=1e-3)
     assert int(st_p.n_accepted) == int(st_f.n_accepted)
 
