@@ -40,3 +40,24 @@ def devices():
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run tests marked slow (long numerics/statistics batteries)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two CI tiers: the default run skips ``slow``-marked tests (tight
+    edit loop, ~3 min on this 1-core sandbox); ``--runslow`` or RUN_SLOW=1
+    runs everything (nightly / pre-merge)."""
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow (or RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from flowfusion_tpu.ops.integrate.adjoint import odeint_adjoint
+import pytest
 
 
 def test_adjoint_gradient_linear_closed_form():
@@ -52,6 +53,7 @@ def test_adjoint_multiple_output_times():
     np.testing.assert_allclose(g, expected, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_adjoint_pytree_params_mlp():
     """Adjoint grads through a tiny neural ODE match fixed-step autodiff."""
     from flowfusion_tpu.ops.integrate import odeint_fixed

@@ -52,6 +52,7 @@ def test_exact_trace_routes(score_model):
     assert bool(jnp.all(jnp.isfinite(lp)))
 
 
+@pytest.mark.slow
 def test_routed_matches_direct_within_tolerance(score_model):
     """Per-shard stepping deviates from batch-global stepping by
     O(tolerance); tightening the tolerance must shrink the gap."""

@@ -11,6 +11,7 @@ from flowfusion_tpu.utils.data import DEMO_GMM
 from flowfusion_tpu.utils.native_loader import write_f32
 
 
+@pytest.mark.slow
 def test_cli_train_sample_logprob_roundtrip(tmp_path):
     x = np.asarray(DEMO_GMM.sample(jax.random.PRNGKey(0), 2000), np.float32)
     data = str(tmp_path / "x.f32")
@@ -51,6 +52,7 @@ def test_bench_json_contract():
         assert key in text
 
 
+@pytest.mark.slow
 def test_cli_conditional_sample_requires_and_uses_cond_data(tmp_path):
     """'sample' on a conditional checkpoint must demand --cond-data and
     then draw one sample per conditioning row (regression: it silently

@@ -105,6 +105,7 @@ def test_flow_matching_loss_zero_at_optimum():
     assert l_good < l_bad
 
 
+@pytest.mark.slow
 def test_create_and_real_net_runs():
     flow = ODEFlow.create(
         jax.random.PRNGKey(0),
@@ -132,6 +133,7 @@ def test_hutchinson_mode_close_to_exact():
     np.testing.assert_allclose(lp_h, lp_e, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_log_prob_per_sample_close_to_batch_global():
     flow = _analytic_flow(a=-0.7, scale=np.full(2, 1.5))
     x = jnp.asarray(
@@ -145,6 +147,7 @@ def test_log_prob_per_sample_close_to_batch_global():
     assert stats.n_accepted.shape == (8,)
 
 
+@pytest.mark.slow
 def test_log_prob_per_sample_real_net_conditional():
     flow = ODEFlow.create(
         jax.random.PRNGKey(0),

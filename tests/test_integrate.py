@@ -387,6 +387,7 @@ def test_dop853_nan_rhs_is_not_silently_accepted():
     assert int(st.n_rejected) > 0
 
 
+@pytest.mark.slow
 def test_dop853_output_grid_does_not_reset_step_scale():
     """After an exact landing the next interval resumes from the pre-clip
     proposal, so a denser output grid costs at most ~one extra step per

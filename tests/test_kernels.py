@@ -30,6 +30,7 @@ def test_supports_config():
     assert not supports_config((100,))
 
 
+@pytest.mark.slow
 def test_fused_drift_matches_reference_forward():
     cfg, params = _setup()
     x = jax.random.normal(jax.random.PRNGKey(1), (64, 2))
@@ -236,6 +237,7 @@ def test_fused_em_deterministic_part_matches():
     )
 
 
+@pytest.mark.slow
 def test_model_sample_sde_fused_entrypoint():
     from flowfusion_tpu.models.score import ScoreModel
     from flowfusion_tpu.ops.sde import VESDE
@@ -247,6 +249,7 @@ def test_model_sample_sde_fused_entrypoint():
     assert np.all(np.isfinite(np.asarray(res.x_mean)))
 
 
+@pytest.mark.slow
 def test_fused_velocity_matches_flow_dynamics():
     from flowfusion_tpu.kernels.fused_mlp import fused_velocity
     from flowfusion_tpu.models.flow import ODEFlow
@@ -276,6 +279,7 @@ def test_fused_velocity_matches_flow_dynamics():
     )
 
 
+@pytest.mark.slow
 def test_flow_fused_logprob_matches_plain():
     import dataclasses
 
@@ -321,6 +325,7 @@ def test_fused_exact_divergence_matches_reference():
     )
 
 
+@pytest.mark.slow
 def test_fused_exact_logprob_path_matches_unfused():
     import dataclasses
 
@@ -407,6 +412,7 @@ def test_fused_em_hardware_rng_produces_finite_normal_noise():
     assert 1.0 < x.std() < 100.0
 
 
+@pytest.mark.slow
 def test_fused_tangents_matches_jvp_reference():
     from flowfusion_tpu.kernels.fused_mlp import fused_drift_tangents
     from flowfusion_tpu.models.nets import apply_score_mlp
@@ -450,6 +456,7 @@ def test_fused_tangents_matches_jvp_reference():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_fused_sketch_single_dispatch_matches_plain_estimators():
     """fused_drift_sketch (one-dispatch Hutch++/XTrace: in-kernel QR +
     sketch algebra + stored-derivative Jacobian reuse) equals the plain
@@ -499,6 +506,7 @@ def test_fused_sketch_single_dispatch_matches_plain_estimators():
                                    atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_sketch_logprob_matches_plain():
     """Fused-kernel Hutch++/XTrace solves equal plain XLA within the
     kernel's matmul-precision tolerance (same probes, same algebra)."""
@@ -526,6 +534,7 @@ def test_fused_sketch_logprob_matches_plain():
         )
 
 
+@pytest.mark.slow
 def test_flow_fused_sketch_logprob_matches_plain():
     import dataclasses
 
@@ -573,6 +582,7 @@ def test_fused_symplectic_velocity_matches_reference():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_symplectic_fused_logprob_matches_plain():
     import dataclasses
 
@@ -596,6 +606,7 @@ def test_symplectic_fused_logprob_matches_plain():
     )
 
 
+@pytest.mark.slow
 def test_fused_kernel_respects_activation():
     """The kernel must honor cfg.activation (regression: it silently
     applied SiLU for every activation) and refuse unsupported ones."""
@@ -640,6 +651,7 @@ def test_fused_kernel_respects_activation():
         fused_drift(params, cfg, jnp.asarray(0.5), x, interpret=INTERPRET)
 
 
+@pytest.mark.slow
 def test_sample_pc_fused_matches_plain_trajectories():
     """With a shared key the PC sampler's RNG sequence is identical on the
     fused and plain paths, so whole trajectories must agree to kernel

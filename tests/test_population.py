@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from flowfusion_tpu.models.population import PopulationModelDiffusion
 from flowfusion_tpu.models.score import ScoreModel
 from flowfusion_tpu.ops.sde import VPSDE
+import pytest
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,6 +34,7 @@ def _wrap(sde, shift, scale, s0=1.0):
     )
 
 
+@pytest.mark.slow
 def test_log_prob_is_standardized_units_by_default():
     """Reference quirk: the diffusion wrapper reports standardized-unit
     densities (no -sum(log scale) term) — SURVEY.md §2.6.5."""
@@ -74,6 +76,7 @@ def test_sample_sde_honours_steps():
     assert np.all(np.isfinite(np.asarray(x)))
 
 
+@pytest.mark.slow
 def test_create_conditional_wrapper_runs():
     m = PopulationModelDiffusion.create(
         jax.random.PRNGKey(0),
@@ -92,6 +95,7 @@ def test_create_conditional_wrapper_runs():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_wrapper_log_prob_adjoint_gradients():
     """Training through the wrapper-layer solve (the reference's
     odeint_adjoint switch, diffusion.py:620, 733, 1575-1585): gradients
@@ -116,6 +120,7 @@ def test_wrapper_log_prob_adjoint_gradients():
     assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
 
 
+@pytest.mark.slow
 def test_wrapper_forward_adjoint_gradients():
     m = PopulationModelDiffusion.create(
         jax.random.PRNGKey(0), VPSDE(), n_dimensions=2, units=(32,)

@@ -69,6 +69,7 @@ def test_log_prob_matches_analytic_gaussian(sde_cls, s0):
 
 
 @pytest.mark.parametrize("trace_mode", ["hutchinson", "hutchpp", "xtrace"])
+@pytest.mark.slow
 def test_stochastic_trace_modes_close_to_exact(trace_mode):
     sde = VPSDE()
     m = _analytic_model(sde, s0=0.7, trace_mode=trace_mode, hpp_rank=2, hpp_vecs=2, xt_vecs=2)
@@ -89,6 +90,7 @@ def test_stochastic_trace_requires_key():
         m.solve_odes_forward(jnp.ones((2, 2)))
 
 
+@pytest.mark.slow
 def test_round_trip_sample_then_logprob_shapes():
     key = jax.random.PRNGKey(0)
     cfg = ScoreMLPConfig(n_dimensions=2, units=(32,))
@@ -100,6 +102,7 @@ def test_round_trip_sample_then_logprob_shapes():
     assert lp.shape == (8,)
 
 
+@pytest.mark.slow
 def test_ode_forward_backward_inverse():
     """sample_ode_from_base and solve_odes_forward are mutual inverses."""
     sde = VPSDE()
@@ -161,6 +164,7 @@ def test_dsm_loss_minimized_by_true_score():
     assert losses[1] < losses[0] and losses[1] < losses[2]
 
 
+@pytest.mark.slow
 def test_log_prob_per_sample_close_to_batch_global():
     sde = VPSDE()
     m = _analytic_model(sde, s0=0.8)
@@ -171,6 +175,7 @@ def test_log_prob_per_sample_close_to_batch_global():
     assert stats.n_accepted.shape == (8,)
 
 
+@pytest.mark.slow
 def test_log_prob_per_sample_hutchinson_conditional():
     cfg = ScoreMLPConfig(n_dimensions=2, n_conditionals=1, units=(32,))
     m = ScoreModel(
@@ -227,6 +232,7 @@ def test_log_snr_inverse_round_trip():
         np.testing.assert_allclose(np.asarray(t_back), np.asarray(t), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sample_pc_statistics_analytic():
     """PC sampling with the true score recovers the data distribution,
     and the corrector does not bias the marginals (Song+2021 sampler)."""
@@ -241,6 +247,7 @@ def test_sample_pc_statistics_analytic():
     np.testing.assert_allclose(np.mean(samples), 0.0, atol=0.05)
 
 
+@pytest.mark.slow
 def test_sample_pc_zero_corrector_is_plain_em():
     """corrector_steps=0 reduces to the EM update rule: statistics match
     sample_sde at the same step count, and coarse-step corrector runs

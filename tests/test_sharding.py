@@ -38,6 +38,7 @@ def test_mesh_and_batch_sharding():
     assert xs.sharding.spec == P("data")
 
 
+@pytest.mark.slow
 def test_sharded_logprob_matches_single_device():
     """Batch-global adaptive stepping must be invariant to sharding: the
     error-norm reductions psum over the mesh, so the step sequence — and
@@ -129,6 +130,7 @@ def test_tensor_parallel_hidden_sharding_compiles():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_per_shard_data_parallel_with_fused_kernel():
     """data_parallel_per_shard: each shard solves independently under
     shard_map, with the fused Pallas RHS forced on (interpret off-TPU) —
@@ -201,6 +203,7 @@ def test_local_rows_single_process_full_range():
     assert local_rows(17) == (0, 17)
 
 
+@pytest.mark.slow
 def test_per_shard_sketch_estimators_fused():
     """Sketch estimators under data_parallel_per_shard with the fused
     multi-tangent kernel forced on.  Full-rank Hutch++ (r = D) equals the

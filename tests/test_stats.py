@@ -36,6 +36,7 @@ def test_permutation_test_calibrated():
     assert float(p_diff) < 0.02  # H0 false: should reject
 
 
+@pytest.mark.slow
 def test_analytic_score_em_samples_pass_two_sample_test():
     """EM sampling with the true score produces samples indistinguishable
     from the data distribution under the energy test (SURVEY.md §4's

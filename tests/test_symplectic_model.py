@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from flowfusion_tpu.models.nets import SymplecticMLPConfig, init_symplectic_mlp
 from flowfusion_tpu.models.symplectic import SymplecticFlowModel
 from flowfusion_tpu.ops.trace import exact_divergence
+import pytest
 
 
 def _model(key=None, d=2, cond=0):
@@ -139,6 +140,7 @@ def test_leapfrog_time_reversible():
     np.testing.assert_allclose(np.asarray(p0b), np.asarray(p0), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_log_prob_adjoint_gradients():
     """adjoint=True gives finite parameter gradients through the solve
     (the default no-grad paths — plain while_loop or fused kernel — are
@@ -168,6 +170,7 @@ def test_log_prob_adjoint_gradients():
     )
 
 
+@pytest.mark.slow
 def test_log_prob_multi_momentum_tightens_bound():
     """The K-momentum-sample IWAE-style estimate is a tighter (larger)
     log-likelihood bound than the reference's single draw, and for

@@ -76,6 +76,7 @@ def test_hutchpp_exact_when_full_rank():
     np.testing.assert_allclose(div, jnp.full((B,), jnp.trace(A)), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_hutchpp_unbiased_low_rank():
     A = _make_A(jax.random.PRNGKey(10))
     x = jax.random.normal(jax.random.PRNGKey(11), (1, D))
@@ -102,6 +103,7 @@ def test_xtrace_matches_float64_oracle():
     np.testing.assert_allclose(div, expected, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_xtrace_unbiased():
     A = _make_A(jax.random.PRNGKey(15))
     x = jax.random.normal(jax.random.PRNGKey(16), (1, D))

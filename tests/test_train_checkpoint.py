@@ -2,6 +2,8 @@
 
 import dataclasses
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -33,6 +35,7 @@ def test_trainable_mask_freezes_W_and_stats():
     assert any(k.endswith(".shift") and v is False for k, v in by_name.items())
 
 
+@pytest.mark.slow
 def test_fit_reduces_loss_and_freezes_W():
     m = _model()
     x = DEMO_GMM.sample(jax.random.PRNGKey(1), 2048)
@@ -150,6 +153,7 @@ def test_make_optimizer_zeroes_frozen_updates():
             assert float(jnp.max(jnp.abs(u))) > 0.0, name
 
 
+@pytest.mark.slow
 def test_fit_with_ema_returns_smoothed_model():
     m = _model()
     x = DEMO_GMM.sample(jax.random.PRNGKey(1), 1024)
