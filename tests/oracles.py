@@ -190,3 +190,93 @@ def numpy_xtrace(A, O):
     TX = np.sum(T * X, axis=1)
     ests = trace_H[:, None] - SHS + WS * SR - TX + XHX
     return np.mean(ests, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Float64 score-field oracle: independent numpy implementation of the
+# probability-flow likelihood ODE for a trained ScoreMLP + VESDE
+# (flowfusion_tpu.models.score.solve_odes_forward semantics).
+# ---------------------------------------------------------------------------
+
+
+def _silu_pair(a):
+    s = 1.0 / (1.0 + np.exp(-a))
+    return a * s, s * (1.0 + a * (1.0 - s))
+
+
+def score_mlp_f64(params):
+    """(net(t, X), JVP columns) in float64 for a silu ScoreMLP.
+
+    Returns f(t, X) -> (out (B, D), jvp(t, X, V) -> (B, D)) closures over
+    float64 copies of the weights.  Input layout matches
+    models/nets.py::apply_score_mlp: concat([fourier_emb(t), x]).
+    """
+    W = np.asarray(params["W"], np.float64)
+    layers = [
+        (np.asarray(l["w"], np.float64), np.asarray(l["b"], np.float64))
+        for l in params["layers"]
+    ]
+
+    def forward(t, X):
+        B = X.shape[0]
+        proj = np.full((B, 1), t) * W[None, :] * (2.0 * np.pi)
+        h = np.concatenate([np.sin(proj), np.cos(proj), X], axis=1)
+        for i, (w, b) in enumerate(layers):
+            h = h @ w + b
+            if i < len(layers) - 1:
+                h, _ = _silu_pair(h)
+        return h
+
+    def jvp(t, X, V):
+        """Tangent V on x only (t-embedding sees no perturbation)."""
+        B = X.shape[0]
+        proj = np.full((B, 1), t) * W[None, :] * (2.0 * np.pi)
+        h = np.concatenate([np.sin(proj), np.cos(proj), X], axis=1)
+        dh = np.concatenate([np.zeros((B, W.size * 2)), V], axis=1)
+        for i, (w, b) in enumerate(layers):
+            h = h @ w + b
+            dh = dh @ w
+            if i < len(layers) - 1:
+                h, dact = _silu_pair(h)
+                dh = dact * dh
+        return dh
+
+    return forward, jvp
+
+
+def vesde_likelihood_rhs_f64(params, sigma_min=1e-2, sigma_max=10.0):
+    """Augmented RHS for numpy_dopri5 on flat state [x.ravel(), dlp].
+
+    dx/dt = -0.5 g^2(t) net(t,x)/sigma(t)  (VESDE: f = 0),
+    dlp/dt = +div_x(dx/dt)  (exact, D JVP columns),
+    matching ScoreModel.solve_odes_forward with trace_mode='exact'.
+    """
+    forward, jvp = score_mlp_f64(params)
+    log_r = np.log(sigma_max) - np.log(sigma_min)
+
+    def rhs(D):
+        def f(t, y):
+            B = (y.size) // (D + 1)
+            X = y[: B * D].reshape(B, D)
+            sigma = sigma_min * (sigma_max / sigma_min) ** t
+            g2 = sigma**2 * 2.0 * log_r
+            coef = -0.5 * g2 / sigma  # ode_drift = coef * net
+            drift = coef * forward(t, X)
+            div = np.zeros(B)
+            for d in range(D):
+                V = np.zeros((B, D))
+                V[:, d] = 1.0
+                div += coef * jvp(t, X, V)[:, d]
+            return np.concatenate([drift.ravel(), div])
+
+        return f
+
+    return rhs
+
+
+def vesde_prior_logprob_f64(X, sigma_max=10.0):
+    """log N(0, sigma_max^2 I) summed over dims, (B,)."""
+    return np.sum(
+        -0.5 * (X / sigma_max) ** 2 - 0.5 * np.log(2 * np.pi * sigma_max**2),
+        axis=1,
+    )
