@@ -77,6 +77,71 @@ def build_trained_model(key, steps: int = 400, batch: int = 4096):
     return dataclasses.replace(model, params=params), x, (shift, scale)
 
 
+def tpu_numerics_check(model, x):
+    """On-device fused-kernel numerics regression guard (runs on whatever
+    backend the bench runs on — the real TPU in driver rounds).
+
+    Guards the Pallas precision trap (BENCHMARKS.md "Accuracy"): inside
+    Pallas, f32 `jnp.dot` defaults to a single bf16 MXU pass (~1e-3
+    relative error); the parity kernels must request HIGHEST.  A silent
+    regression to bf16 shows up as ~1e-3 RHS deviation and inflated step
+    counts — orders of magnitude beyond these bounds (measured healthy
+    values: ~3e-7 RHS deviation, identical step counts).
+
+    Asserts, so a precision regression fails the bench loudly instead of
+    shipping a wrong number.  Diagnostics go to stderr (stdout carries
+    exactly one JSON line).
+    """
+    import sys
+    import dataclasses
+
+    m_fused = dataclasses.replace(
+        model, trace_mode="hutchinson", use_fused_kernel=True
+    )
+    m_plain = dataclasses.replace(m_fused, use_fused_kernel=False)
+    xs = x[:2048]
+    k = jax.random.PRNGKey(7)
+
+    # single fused-vs-plain RHS eval (drift + Hutchinson divergence)
+    from flowfusion_tpu.kernels.fused_mlp import fused_drift
+    from flowfusion_tpu.ops import trace as trace_lib
+
+    e = trace_lib.make_probes("hutchinson", k, xs)[0]
+    c0, c1 = model._fused_coeffs(0.5)
+    drift_f, div_f = fused_drift(
+        model.params, model.net, jnp.asarray(0.5), xs, e=e, c0=c0, c1=c1,
+    )
+
+    def plain_rhs(xx):
+        return m_plain.ode_drift(0.5, xx)
+
+    drift_p, div_p = trace_lib.hutchinson_divergence(plain_rhs, xs, e)
+    scale = float(jnp.max(jnp.abs(drift_p))) + 1e-12
+    rhs_dev = float(jnp.max(jnp.abs(drift_f - drift_p))) / scale
+    div_dev = float(jnp.max(jnp.abs(div_f - div_p))) / (
+        float(jnp.max(jnp.abs(div_p))) + 1e-12
+    )
+
+    # short solves: identical math => identical step counts
+    solve = jax.jit(
+        lambda m, xx, kk: m.log_prob(xx, key=kk, atol=1e-5, rtol=1e-5)
+    )
+    lp_f, st_f = solve(m_fused, xs, k)
+    lp_p, st_p = solve(m_plain, xs, k)
+    nfe_f, nfe_p = int(st_f.n_func_evals), int(st_p.n_func_evals)
+    dlp = float(jnp.mean(jnp.abs(lp_f - lp_p)))
+
+    print(
+        f"tpu_numerics_check: rhs_dev {rhs_dev:.2e} div_dev {div_dev:.2e} "
+        f"nfe fused/plain {nfe_f}/{nfe_p} mean|dlogp| {dlp:.2e}",
+        file=sys.stderr,
+    )
+    assert rhs_dev <= 1e-5, f"fused RHS deviates {rhs_dev:.2e} (bf16 trap?)"
+    assert div_dev <= 1e-4, f"fused divergence deviates {div_dev:.2e}"
+    assert nfe_f == nfe_p, f"step counts diverge: fused {nfe_f} plain {nfe_p}"
+    assert dlp <= 1e-4, f"fused log_prob deviates {dlp:.2e}"
+
+
 def main():
     import dataclasses
 
@@ -84,6 +149,7 @@ def main():
 
     key = jax.random.PRNGKey(0)
     model, x, _ = build_trained_model(key)
+    tpu_numerics_check(model, x)
     # Fastest verified TPU config at rtol=1e-5: the V4 fused Pallas RHS
     # with HIGHEST-precision matmuls — ~1.8x plain XLA at identical step
     # counts and mean |dlogp| ~6e-6 vs the plain path (BENCHMARKS.md).
