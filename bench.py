@@ -99,6 +99,7 @@ def tpu_numerics_check(model, x):
         model, trace_mode="hutchinson", use_fused_kernel=True
     )
     m_plain = dataclasses.replace(m_fused, use_fused_kernel=False)
+    m_3pass = dataclasses.replace(m_fused, kernel_compute_dtype="highf32")
     xs = x[:2048]
     k = jax.random.PRNGKey(7)
 
@@ -122,24 +123,46 @@ def tpu_numerics_check(model, x):
         float(jnp.max(jnp.abs(div_p))) + 1e-12
     )
 
-    # short solves: identical math => identical step counts
+    # 3-pass (highf32, the bench mode) deviation vs the plain RHS: the
+    # dropped lo*lo term sits at ~2^-18 relative — still far under the
+    # bf16-trap signature (~1e-3).
+    drift_3, div_3 = fused_drift(
+        model.params, model.net, jnp.asarray(0.5), xs, e=e, c0=c0, c1=c1,
+        compute_dtype="highf32",
+    )
+    rhs_dev3 = float(jnp.max(jnp.abs(drift_3 - drift_p))) / scale
+    div_dev3 = float(jnp.max(jnp.abs(div_3 - div_p))) / (
+        float(jnp.max(jnp.abs(div_p))) + 1e-12
+    )
+
+    # short solves: identical math => identical step counts (for all of
+    # plain XLA, the HIGHEST kernel, and the 3-pass kernel)
     solve = jax.jit(
         lambda m, xx, kk: m.log_prob(xx, key=kk, atol=1e-5, rtol=1e-5)
     )
     lp_f, st_f = solve(m_fused, xs, k)
     lp_p, st_p = solve(m_plain, xs, k)
+    lp_3, st_3 = solve(m_3pass, xs, k)
     nfe_f, nfe_p = int(st_f.n_func_evals), int(st_p.n_func_evals)
+    nfe_3 = int(st_3.n_func_evals)
     dlp = float(jnp.mean(jnp.abs(lp_f - lp_p)))
+    dlp3 = float(jnp.mean(jnp.abs(lp_3 - lp_p)))
 
     print(
         f"tpu_numerics_check: rhs_dev {rhs_dev:.2e} div_dev {div_dev:.2e} "
-        f"nfe fused/plain {nfe_f}/{nfe_p} mean|dlogp| {dlp:.2e}",
+        f"nfe fused/plain/3pass {nfe_f}/{nfe_p}/{nfe_3} "
+        f"mean|dlogp| {dlp:.2e} | 3pass rhs_dev {rhs_dev3:.2e} "
+        f"div_dev {div_dev3:.2e} mean|dlogp| {dlp3:.2e}",
         file=sys.stderr,
     )
     assert rhs_dev <= 1e-5, f"fused RHS deviates {rhs_dev:.2e} (bf16 trap?)"
     assert div_dev <= 1e-4, f"fused divergence deviates {div_dev:.2e}"
     assert nfe_f == nfe_p, f"step counts diverge: fused {nfe_f} plain {nfe_p}"
     assert dlp <= 1e-4, f"fused log_prob deviates {dlp:.2e}"
+    assert rhs_dev3 <= 2e-5, f"3pass RHS deviates {rhs_dev3:.2e} (bf16 trap?)"
+    assert div_dev3 <= 2e-4, f"3pass divergence deviates {div_dev3:.2e}"
+    assert nfe_3 == nfe_p, f"step counts diverge: 3pass {nfe_3} plain {nfe_p}"
+    assert dlp3 <= 1e-4, f"3pass log_prob deviates {dlp3:.2e}"
 
 
 def main():
@@ -151,10 +174,14 @@ def main():
     model, x, _ = build_trained_model(key)
     tpu_numerics_check(model, x)
     # Fastest verified TPU config at rtol=1e-5: the V4 fused Pallas RHS
-    # with HIGHEST-precision matmuls — ~1.8x plain XLA at identical step
-    # counts and mean |dlogp| ~6e-6 vs the plain path (BENCHMARKS.md).
+    # in 'highf32' (manual 3-pass bf16 split-dot) — ~2.3x plain XLA at
+    # step counts identical to both the plain and the HIGHEST-kernel
+    # paths, mean |dlogp| ~8e-6 vs the HIGHEST path (far below the ~5e-3
+    # truncation floor of any rtol=1e-5 solve; see BENCHMARKS.md and
+    # tpu_numerics_check above, which asserts all of this every run).
     model = dataclasses.replace(
-        model, trace_mode="hutchinson", use_fused_kernel=True
+        model, trace_mode="hutchinson", use_fused_kernel=True,
+        kernel_compute_dtype="highf32",
     )
 
     # 1M-row batch: tile the 50k reference set 20x (throughput saturates

@@ -208,7 +208,9 @@ def _fused_em_impl(
     operands += [w_out, b_out]
 
     kernel = lambda *refs: _kernel(
-        steps, n_hidden, d_out, jnp.dtype(compute_dtype), hw_rng, with_cond,
+        steps, n_hidden, d_out,
+        jnp.dtype("float32" if str(compute_dtype) == "highf32" else compute_dtype),
+        hw_rng, with_cond,
         refs, activation=activation,
     )
     out = pl.pallas_call(
@@ -271,7 +273,10 @@ def fused_em_sample(
     coeffs, b_eff_all = em_prep(params, cfg, sde, steps, no_sigma)
     E = cfg.embedding_dimensions
     layers = params["layers"]
-    wdt = jnp.dtype(compute_dtype)
+    # 'highf32' (3-pass likelihood mode, fused_mlp._compute_mode) maps to
+    # plain f32/HIGHEST here: the forward-only sampler has no parity
+    # contract tight enough to warrant the split-dot machinery.
+    wdt = jnp.dtype("float32" if str(compute_dtype) == "highf32" else compute_dtype)
     w_in = layers[0]["w"][E : E + D].astype(wdt)
     cond_proj = None
     if conditional is not None:

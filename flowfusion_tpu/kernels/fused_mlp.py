@@ -69,6 +69,33 @@ def supports_config(units: Sequence[int], activation: str = "silu") -> bool:
     )
 
 
+def _compute_mode(compute_dtype: str):
+    """(operand dtype, matmul precision) for a kernel compute mode.
+
+    'float32'  — f32 operands, Precision.HIGHEST (bf16x6 passes on the
+                 MXU): the reference parity mode.
+    'highf32'  — f32 operands, manual 3-pass bf16 split-dot ("bf16x3"):
+                 each operand is split into a bf16 leading half and a
+                 bf16 residual, and the three significant cross products
+                 are accumulated in f32 (the a_lo*b_lo term, ~2^-18
+                 relative, is dropped).  This emulates Precision.HIGH —
+                 which Mosaic does not accept inside Pallas — at half the
+                 MXU passes of HIGHEST; measured RHS deviation vs the
+                 HIGHEST path is ~2e-6 relative, below the rtol=1e-5
+                 solve's truncation floor (BENCHMARKS.md).
+    'bfloat16' — bf16 operands at full MXU rate (~1e-3 accuracy).
+    """
+    s = str(compute_dtype)
+    if s == "highf32":
+        return jnp.dtype(jnp.float32), "bf16_3pass"
+    cd = jnp.dtype(s)
+    return cd, (
+        jax.lax.Precision.HIGHEST
+        if cd == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def _check_conditional(n_cond: int, conditional) -> None:
     """Refuse a config/argument conditional mismatch loudly.
 
@@ -163,7 +190,7 @@ def _grid_plan(B: int, tile: int, max_sub: int = 16):
     return tile, n_sub, padded
 
 
-def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile, refs, n_tan: int = 0, activation: str = 'silu', n_tan2: int = 0):
+def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile, refs, n_tan: int = 0, activation: str = 'silu', n_tan2: int = 0, precision=None):
     """Kernel body.  Ref layout (all weights arrive pre-TRANSPOSED):
     [xT, (eT|vT), w_inT, b_eff, w_h1T.., b_h1.., w_outT, b_out, c0c1]
       -> [driftT, (div | jvT)]
@@ -227,20 +254,40 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
     # accumulation and all elementwise math stay f32.  NB: inside Pallas the
     # default dot precision is a single bf16 MXU pass even for f32 operands
     # (~1e-3 relative error — enough to inflate solver step counts); the
-    # parity mode must request HIGHEST (bf16x3 passes, XLA's f32 'highest').
-    prec = (
+    # parity mode must request a multi-pass precision (``precision``, set
+    # by the compute-mode table in ``_compute_mode``).
+    prec = precision if precision is not None else (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
 
-    def mm(w_, a_):
-        return jnp.dot(
-            w_,
-            a_.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
+    if prec == "bf16_3pass":
+        # Manual split-dot: w = w_hi + w_lo, a = a_hi + a_lo (bf16 halves),
+        # keep the three significant cross terms on the MXU with f32
+        # accumulation.  Identical weight slices recur across the unrolled
+        # layer chain; MLIR CSE dedups their splits.
+        def _split(v):
+            hi = v.astype(jnp.bfloat16)
+            lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+
+        def mm(w_, a_):
+            w_hi, w_lo = _split(w_)
+            a_hi, a_lo = _split(a_)
+            d = jnp.dot(w_hi, a_hi, preferred_element_type=jnp.float32)
+            d = d + jnp.dot(w_hi, a_lo, preferred_element_type=jnp.float32)
+            return d + jnp.dot(w_lo, a_hi, preferred_element_type=jnp.float32)
+
+    else:
+
+        def mm(w_, a_):
+            return jnp.dot(
+                w_,
+                a_.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
 
     def in_proj(xc, nrows=None):
         """sum_j w_inT[:, j] (H,1) * xc[j, :] (1,subtile) -> (H, subtile).
@@ -543,10 +590,10 @@ def _fused_drift_impl(
         out_shape.append(jax.ShapeDtypeStruct((1, B), jnp.float32))
         out_specs.append(batch_spec(1))
 
-    cd = jnp.dtype(compute_dtype)
+    cd, prec = _compute_mode(compute_dtype)
     kernel = lambda *refs: _kernel(
         n_hidden, mode, d_out, cd, n_sub, tile, refs, n_tan=n_tan,
-        activation=activation, n_tan2=n_tan2,
+        activation=activation, n_tan2=n_tan2, precision=prec,
     )
     if mode == "hutchpp":
         n_applies = 2 * n_tan + n_tan2  # A S, A Q, A U
@@ -984,7 +1031,7 @@ def _dispatch(
         if pad:
             e_in = jnp.pad(e_in, ((0, pad), (0, 0)))
 
-    wdt = jnp.dtype(compute_dtype)
+    wdt, _ = _compute_mode(compute_dtype)
     hidden_flat = []
     for l in layers[1:-1]:
         hidden_flat.append(l["w"].astype(wdt))

@@ -672,3 +672,49 @@ def test_sample_pc_fused_matches_plain_trajectories():
     np.testing.assert_allclose(
         np.asarray(rf.x_mean), np.asarray(rp.x_mean), atol=5e-4
     )
+
+
+def test_highf32_three_pass_mode_near_reference():
+    """'highf32' (manual 3-pass bf16 split-dot emulating Precision.HIGH,
+    which Mosaic rejects) must sit within ~1e-5 of the f32 reference —
+    an order tighter than single-pass bf16 (~1e-3), loose enough to
+    catch a regression to either extreme."""
+    cfg, params = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+    e = jnp.sign(jax.random.normal(jax.random.PRNGKey(2), (64, 2)))
+    t = jnp.asarray(0.4)
+    ref_d, ref_v = fused_drift_reference(
+        params, cfg, t, x, e=e, c0=-0.3, c1=0.9
+    )
+    d, v = fused_drift(
+        params, cfg, t, x, e=e, c0=-0.3, c1=0.9, tile=64,
+        interpret=INTERPRET, compute_dtype="highf32",
+    )
+    rd = float(jnp.max(jnp.abs(d - ref_d)) / jnp.max(jnp.abs(ref_d)))
+    rv = float(jnp.max(jnp.abs(v - ref_v)) / jnp.max(jnp.abs(ref_v)))
+    assert rd <= 1e-5, rd
+    assert rv <= 1e-5, rv
+
+
+def test_highf32_solver_path_runs():
+    """ScoreModel plumbed with kernel_compute_dtype='highf32' solves and
+    lands near the float32-kernel path."""
+    import dataclasses
+
+    from flowfusion_tpu.models.score import ScoreModel
+    from flowfusion_tpu.ops.sde import VPSDE
+
+    cfg, params = _setup(units=(128,))
+    m32 = ScoreModel(
+        params=params, net=cfg, sde=VPSDE(), trace_mode="hutchinson",
+        use_fused_kernel=True,
+    )
+    mhf = dataclasses.replace(m32, kernel_compute_dtype="highf32")
+    x = jax.random.normal(jax.random.PRNGKey(5), (32, 2))
+    k = jax.random.PRNGKey(6)
+    call = jax.jit(lambda mm, xx, kk: mm.log_prob(xx, key=kk, atol=1e-4, rtol=1e-4))
+    lp32, _ = call(m32, x, k)
+    lphf, _ = call(mhf, x, k)
+    np.testing.assert_allclose(
+        np.asarray(lphf), np.asarray(lp32), rtol=1e-4, atol=1e-3
+    )
