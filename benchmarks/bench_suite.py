@@ -109,6 +109,10 @@ def main():
         ("logprob/hutchinson/plain-f32", dict(trace_mode="hutchinson", use_fused_kernel=False)),
         ("logprob/hutchinson/fused-f32", dict(trace_mode="hutchinson", use_fused_kernel=True)),
         (
+            "logprob/hutchinson/fused-highf32",
+            dict(trace_mode="hutchinson", use_fused_kernel=True, kernel_compute_dtype="highf32"),
+        ),
+        (
             "logprob/hutchinson/fused-bf16",
             dict(trace_mode="hutchinson", use_fused_kernel=True, kernel_compute_dtype="bfloat16"),
         ),
