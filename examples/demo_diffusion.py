@@ -117,7 +117,7 @@ def main():
         report[mode] = float(jnp.sum(lp))
         print(
             f"log_prob[{mode:10s}]: {dt:6.2f}s  sum={report[mode]:.2f} "
-            f"(truth {truth:.2f})  rhs_evals={int(stats.n_func_evals)}"
+            f"(truth {truth:.2f})  rhs_evals={int(jnp.sum(stats.n_func_evals))}"
         )
 
     for mode in ("exact", "hutchinson", "hutchpp", "xtrace"):

@@ -85,7 +85,7 @@ def main():
     jax.block_until_ready(lp)
     print(
         f"flow log_prob: {time.time()-t0:.2f}s sum={float(jnp.sum(lp)):.2f} "
-        f"(truth {truth:.2f}) rhs_evals={int(stats.n_func_evals)}"
+        f"(truth {truth:.2f}) rhs_evals={int(jnp.sum(stats.n_func_evals))}"
     )
     rel = abs(float(jnp.sum(lp)) - truth) / abs(truth)
     print(f"relative error {rel:.4%}")

@@ -87,7 +87,7 @@ def main():
     print(
         f"log_prob (trace-free, single momentum draw): {time.time()-t0:.2f}s "
         f"sum={s:.2f} truth={truth:.2f} rel={(abs(s-truth)/abs(truth)):.3%} "
-        f"rhs_evals={int(stats.n_func_evals)}"
+        f"rhs_evals={int(jnp.sum(stats.n_func_evals))}"
     )
     t0 = time.time()
     lp16, _ = model.log_prob(k_lp, x_eval, n_momentum_samples=16)

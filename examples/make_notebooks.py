@@ -145,7 +145,7 @@ for mode in ("exact", "hutchinson", "hutchpp", "xtrace"):
     per_point[mode] = np.asarray(lp)
     rel = abs(float(jnp.sum(lp)) - truth) / abs(truth)
     print(f"{mode:10s}: {time.time()-t0:6.2f}s  sum={float(jnp.sum(lp)):13.2f}  "
-          f"rel.err={rel:.4%}  rhs_evals={int(stats.n_func_evals)}")"""),
+          f"rel.err={rel:.4%}  rhs_evals={int(jnp.sum(stats.n_func_evals))}")"""),
     ("code", """\
 # Per-point scatter of model density vs truth (reference notebook cell 18-21)
 lp_true = np.asarray(DEMO_GMM.log_prob(x_eval))
@@ -232,7 +232,7 @@ truth = float(jnp.sum(DEMO_GMM.log_prob(x_eval)))
 t0 = time.time(); lp, stats = flow.log_prob(x_eval, atol=1e-4, rtol=1e-4); jax.block_until_ready(lp)
 rel = abs(float(jnp.sum(lp)) - truth) / abs(truth)
 print(f"log_prob: {time.time()-t0:.2f}s  sum={float(jnp.sum(lp)):.2f} "
-      f"(truth {truth:.2f})  rel.err={rel:.4%}  rhs_evals={int(stats.n_func_evals)}")
+      f"(truth {truth:.2f})  rel.err={rel:.4%}  rhs_evals={int(jnp.sum(stats.n_func_evals))}")
 
 fig, axes = plt.subplots(1, 2, figsize=(8, 4))
 axes[0].hexbin(np.asarray(samples[:, 0]), np.asarray(samples[:, 1]), gridsize=40)

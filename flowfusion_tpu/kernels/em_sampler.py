@@ -46,6 +46,16 @@ __all__ = ["fused_em_sample", "em_prep"]
 _TWO_PI = 2.0 * np.pi
 
 
+def _em_weight_dtype(compute_dtype):
+    """Operand dtype for the EM kernel.  'highf32' (the 3-pass likelihood
+    mode, fused_mlp._compute_mode) maps to plain f32/HIGHEST here: the
+    forward-only sampler has no parity contract tight enough to warrant
+    the split-dot machinery."""
+    return jnp.dtype(
+        "float32" if str(compute_dtype) == "highf32" else compute_dtype
+    )
+
+
 def _normal_from_bits(shape):
     """Box--Muller on hardware random bits -> N(0,1) float32 of ``shape``.
 
@@ -208,8 +218,7 @@ def _fused_em_impl(
     operands += [w_out, b_out]
 
     kernel = lambda *refs: _kernel(
-        steps, n_hidden, d_out,
-        jnp.dtype("float32" if str(compute_dtype) == "highf32" else compute_dtype),
+        steps, n_hidden, d_out, _em_weight_dtype(compute_dtype),
         hw_rng, with_cond,
         refs, activation=activation,
     )
@@ -273,10 +282,7 @@ def fused_em_sample(
     coeffs, b_eff_all = em_prep(params, cfg, sde, steps, no_sigma)
     E = cfg.embedding_dimensions
     layers = params["layers"]
-    # 'highf32' (3-pass likelihood mode, fused_mlp._compute_mode) maps to
-    # plain f32/HIGHEST here: the forward-only sampler has no parity
-    # contract tight enough to warrant the split-dot machinery.
-    wdt = jnp.dtype("float32" if str(compute_dtype) == "highf32" else compute_dtype)
+    wdt = _em_weight_dtype(compute_dtype)
     w_in = layers[0]["w"][E : E + D].astype(wdt)
     cond_proj = None
     if conditional is not None:

@@ -79,6 +79,18 @@ class ODEFlow:
         default="float32", metadata=dict(static=True)
     )
 
+    def _fused_supported(self) -> bool:
+        """Config-level support envelope for the fused velocity kernel
+        (single source of truth for ``_fused_available`` and
+        ``_per_shard_variant``)."""
+        from ..kernels.fused_mlp import supports_config
+
+        return (
+            isinstance(self.net, VelocityMLPConfig)
+            and supports_config(self.net.hidden_units, self.net.activation)
+            and self.net.target_dimension + self.net.conditional_dimension <= 16
+        )
+
     def _fused_available(self) -> bool:
         """Auto on TPU single-device jit (like ScoreModel): the V4 fused
         velocity kernel measured 1.5x plain XLA for forward (sampling) RHS
@@ -89,14 +101,7 @@ class ODEFlow:
         (sampling) RHS, Hutchinson solves, and the Hutch++/XTrace solves
         (fused_velocity_tangents); exact-trace flow solves (the default
         ``trace_mode``) always use plain XLA, which compiles fine here."""
-        from ..kernels.fused_mlp import supports_config
-
-        supported = (
-            isinstance(self.net, VelocityMLPConfig)
-            and supports_config(self.net.hidden_units, self.net.activation)
-            and self.net.target_dimension + self.net.conditional_dimension <= 16
-        )
-        return _common.auto_fused(self.use_fused_kernel, supported)
+        return _common.auto_fused(self.use_fused_kernel, self._fused_supported())
 
     @classmethod
     def create(
@@ -196,17 +201,16 @@ class ODEFlow:
         from ..parallel import autoshard
 
         if not gradients and autoshard.should_route(xT, conditional):
-            opts = (
-                tuple(sorted(options.items())) if options is not None else None
-            )
-            return autoshard.routed_call(
-                _flow_sample_per_shard,
-                (rtol, atol, method, opts),
-                self,
-                xT,
-                conditional,
-                None,
-            )
+            opts = autoshard.hashable_options(options)
+            if opts is not autoshard.UNROUTABLE:
+                return autoshard.routed_call(
+                    _flow_sample_per_shard,
+                    (rtol, atol, method, opts),
+                    self,
+                    xT,
+                    conditional,
+                    None,
+                )
 
         if gradients:
             from ..ops.integrate.adjoint import odeint_adjoint
@@ -330,17 +334,12 @@ class ODEFlow:
         ScoreModel._per_shard_variant — same reasoning: inside shard_map
         each device runs a single-device program, so the fused kernel is
         safe and preferred on TPU)."""
-        if self.use_fused_kernel is None and jax.default_backend() == "tpu":
-            from ..kernels.fused_mlp import supports_config
-
-            supported = (
-                isinstance(self.net, VelocityMLPConfig)
-                and supports_config(self.net.hidden_units, self.net.activation)
-                and self.net.target_dimension + self.net.conditional_dimension
-                <= 16
-            )
-            if supported:
-                return dataclasses.replace(self, use_fused_kernel=True)
+        if (
+            self.use_fused_kernel is None
+            and jax.default_backend() == "tpu"
+            and self._fused_supported()
+        ):
+            return dataclasses.replace(self, use_fused_kernel=True)
         return self
 
     def log_prob_per_sample(
@@ -425,17 +424,16 @@ class ODEFlow:
         from ..parallel import autoshard
 
         if not adjoint and autoshard.should_route(x, conditional, key):
-            opts = (
-                tuple(sorted(options.items())) if options is not None else None
-            )
-            return autoshard.routed_call(
-                _flow_logprob_per_shard,
-                (atol, rtol, method, opts),
-                self,
-                x,
-                conditional,
-                key,
-            )
+            opts = autoshard.hashable_options(options)
+            if opts is not autoshard.UNROUTABLE:
+                return autoshard.routed_call(
+                    _flow_logprob_per_shard,
+                    (atol, rtol, method, opts),
+                    self,
+                    x,
+                    conditional,
+                    key,
+                )
 
         x_std = (x - self.target_shift) / self.target_scale
         xT, log_jac, stats = self.solve_ode_forward(

@@ -191,6 +191,20 @@ class PopulationModelDiffusion:
         # numerical-contract table; ScoreModel.log_prob's own defaults are
         # 1e-4 with min_step=1e-6).  Pass options={"min_step": ...} here to
         # opt into the guard; max_num_steps already bounds the loop.
+        from ..parallel import autoshard
+
+        if not adjoint and autoshard.should_route(x, conditional, key):
+            opts = autoshard.hashable_options(options)
+            if opts is not autoshard.UNROUTABLE:
+                return autoshard.routed_call(
+                    _pop_logprob_per_shard,
+                    (atol, rtol, method, opts, volume_corrected),
+                    self,
+                    x,
+                    conditional,
+                    key,
+                )
+
         x_std = (x - self.shift) / self.scale
         xT, dlp, stats = self.score_model.solve_odes_forward(
             x_std,
@@ -206,3 +220,29 @@ class PopulationModelDiffusion:
         if volume_corrected:
             lp = lp - jnp.sum(jnp.log(self.scale))
         return lp, stats
+
+
+def _pop_logprob_per_shard(atol, rtol, method, opts, volume_corrected):
+    """Per-shard wrapper-log_prob body for ``parallel.autoshard``
+    (module-level: its identity is the jit-cache key).  Inside shard_map
+    the inputs are tracers, so the recursive ``log_prob`` call stays on
+    the unrouted single-device path; the inner ScoreModel opts into the
+    fused kernel per shard on TPU (see ScoreModel._per_shard_variant)."""
+
+    def per_shard(model, xb, cb, kb):
+        m = dataclasses.replace(
+            model, score_model=model.score_model._per_shard_variant()
+        )
+        lp, stats = m.log_prob(
+            xb,
+            cb,
+            key=kb,
+            atol=atol,
+            rtol=rtol,
+            method=method,
+            options=dict(opts) if opts is not None else None,
+            volume_corrected=volume_corrected,
+        )
+        return lp, jax.tree_util.tree_map(lambda s: jnp.reshape(s, (1,)), stats)
+
+    return per_shard

@@ -447,18 +447,17 @@ class ScoreModel:
         from ..parallel import autoshard
 
         if not adjoint and autoshard.should_route(base_samples, conditional):
-            opts = (
-                tuple(sorted(options.items())) if options is not None else None
-            )
-            samples, stats = autoshard.routed_call(
-                _sample_ode_per_shard,
-                (atol, rtol, method, opts),
-                self,
-                base_samples,
-                conditional,
-                None,
-            )
-            return samples, stats
+            opts = autoshard.hashable_options(options)
+            if opts is not autoshard.UNROUTABLE:
+                samples, stats = autoshard.routed_call(
+                    _sample_ode_per_shard,
+                    (atol, rtol, method, opts),
+                    self,
+                    base_samples,
+                    conditional,
+                    None,
+                )
+                return samples, stats
 
         z = base_samples * self.sde.prior_scale
 
@@ -717,18 +716,17 @@ class ScoreModel:
         from ..parallel import autoshard
 
         if not adjoint and autoshard.should_route(x0_samples, conditional, key):
-            opts = (
-                tuple(sorted(options.items())) if options is not None else None
-            )
-            lp, stats = autoshard.routed_call(
-                _logprob_per_shard,
-                (atol, rtol, method, opts),
-                self,
-                x0_samples,
-                conditional,
-                key,
-            )
-            return lp, stats
+            opts = autoshard.hashable_options(options)
+            if opts is not autoshard.UNROUTABLE:
+                lp, stats = autoshard.routed_call(
+                    _logprob_per_shard,
+                    (atol, rtol, method, opts),
+                    self,
+                    x0_samples,
+                    conditional,
+                    key,
+                )
+                return lp, stats
 
         if options is None:
             options = {"min_step": 1e-6}

@@ -183,3 +183,33 @@ def routed_sample(
     batch_out, shard_out = jfn(model, cond_p, keys)
     batch_out = jax.tree_util.tree_map(lambda a: a[:batch], batch_out)
     return batch_out, shard_out
+
+
+UNROUTABLE = object()
+"""Sentinel: options cannot be made hashable — caller must fall back to
+the unrouted path instead of feeding them to the lru-cached wrapper."""
+
+
+def hashable_options(options: Optional[dict]):
+    """Coerce a solver-options dict into an lru-cache-safe statics tuple.
+
+    Scalar jax/numpy values (e.g. ``jnp.float32(1e-6)``) are converted to
+    Python scalars; anything unhashable (non-scalar arrays, lists) yields
+    ``UNROUTABLE`` so routing is skipped rather than raising a confusing
+    ``TypeError: unhashable type`` only on multi-device realms.
+    """
+    if options is None:
+        return None
+    items = []
+    for k in sorted(options):
+        v = options[k]
+        if hasattr(v, "dtype") and hasattr(v, "ndim"):
+            if v.ndim != 0:
+                return UNROUTABLE
+            v = v.item()
+        try:
+            hash(v)
+        except TypeError:
+            return UNROUTABLE
+        items.append((k, v))
+    return tuple(items)

@@ -145,3 +145,47 @@ def test_param_update_reuses_cache(score_model):
     info1 = autoshard._cached_sharded_fn.cache_info()
     assert info1.misses == info0.misses
     assert info1.hits > info0.hits
+
+
+def test_unhashable_options_fall_back_to_unrouted(score_model):
+    """Solver options with jax-scalar values must not crash the routing
+    layer's lru cache — scalars are coerced, non-scalars skip routing."""
+    x = jax.random.normal(jax.random.PRNGKey(7), (32, 2))
+    # 0-d jax scalar: coerced to a Python float, still routed
+    lp, stats = score_model.log_prob(
+        x, key=jax.random.PRNGKey(8), options={"min_step": jnp.float32(1e-6)}
+    )
+    assert lp.shape == (32,)
+    assert stats.n_func_evals.shape == (N_DEV,)
+    # non-scalar option value: unroutable, falls back to the single solve,
+    # which then rejects the unknown key with the solver's own clear error
+    # (NOT an lru-cache 'unhashable type' TypeError from the routing layer)
+    with pytest.raises(ValueError, match="unknown solver options"):
+        score_model.log_prob(
+            x, key=jax.random.PRNGKey(8), options={"step_grid": jnp.ones((3,))}
+        )
+
+
+def test_population_wrapper_logprob_routes(score_model):
+    """The wrapper's production log_prob path routes too (round-2 review:
+    it bypassed ScoreModel.log_prob and so missed autoshard)."""
+    from flowfusion_tpu.models.population import PopulationModelDiffusion
+
+    m = PopulationModelDiffusion(
+        score_model=dataclasses.replace(score_model, trace_mode="exact"),
+        shift=jnp.asarray([1.0, -1.0]),
+        scale=jnp.asarray([2.0, 0.5]),
+        conditional_shift=None,
+        conditional_scale=None,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(9), (37, 2))
+    lp, stats = m.log_prob(x)
+    assert lp.shape == (37,)
+    assert stats.n_func_evals.shape == (N_DEV,)
+    assert bool(jnp.all(jnp.isfinite(lp)))
+
+    # routed and unrouted (jit-pinned) agree to solver tolerance
+    lp_direct, _ = jax.jit(lambda mm, xx: mm.log_prob(xx))(m, x)
+    np.testing.assert_allclose(
+        np.asarray(lp), np.asarray(lp_direct), atol=5e-3
+    )

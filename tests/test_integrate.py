@@ -107,12 +107,37 @@ def test_max_num_steps_bails_out():
     assert not bool(stats.succeeded)
 
 
-@pytest.mark.parametrize("method", ["bosh3", "fehlberg2", "adaptive_heun"])
+@pytest.mark.parametrize("method", ["bosh3", "fehlberg2", "adaptive_heun", "tsit5"])
 def test_other_adaptive_methods(method):
     ys, stats = odeint(
         lambda t, y: -y, jnp.ones(3), [0.0, 1.0], rtol=1e-5, atol=1e-6, method=method
     )
     np.testing.assert_allclose(ys[-1], np.exp(-1.0), rtol=1e-3)
+
+
+def test_tsit5_oscillator_and_order():
+    """Tsitouras 5(4): tight-tolerance accuracy on the oscillator and a
+    5th-order-consistent accuracy gain vs bosh3 at equal tolerance
+    (guards the 28 hand-typed tableau coefficients)."""
+    # y'' = -y as a system: y(t) = cos t, y'(t) = -sin t
+    rhs = lambda t, y: jnp.stack([y[1], -y[0]])
+    y0 = jnp.asarray([1.0, 0.0])
+    ys, stats = odeint(
+        rhs, y0, [0.0, 2.0], rtol=1e-7, atol=1e-9, method="tsit5"
+    )
+    np.testing.assert_allclose(
+        np.asarray(ys[-1]), [np.cos(2.0), -np.sin(2.0)], atol=5e-6
+    )
+    assert bool(stats.succeeded)
+
+    # equal loose tolerance: the 5th-order pair lands much closer than the
+    # 3rd-order one (and within ~10x of dopri5, its order twin)
+    exact = float(np.cos(1.0))
+    def end_err(method):
+        ys, _ = odeint(rhs, y0, [0.0, 1.0], rtol=1e-4, atol=1e-6, method=method)
+        return abs(float(ys[-1][0]) - exact)
+    assert end_err("tsit5") < end_err("bosh3")
+    assert end_err("tsit5") < 10 * end_err("dopri5") + 1e-12
 
 
 @pytest.mark.parametrize("method,order", [("euler", 1), ("midpoint", 2), ("heun3", 3), ("rk4", 4)])
