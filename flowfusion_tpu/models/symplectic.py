@@ -61,15 +61,30 @@ class SymplecticFlowModel:
         default="float32", metadata=dict(static=True)
     )
 
-    def _fused_available(self) -> bool:
+    def _fused_supported(self) -> bool:
         from ..kernels.fused_mlp import supports_config
 
-        supported = (
+        return (
             isinstance(self.net, SymplecticMLPConfig)
             and supports_config(self.net.units, self.net.activation)
             and self.net.n_data_dims + self.net.n_conditionals <= 16
         )
-        return _common.auto_fused(self.use_fused_kernel, supported)
+
+    def _fused_available(self) -> bool:
+        return _common.auto_fused(self.use_fused_kernel, self._fused_supported())
+
+    def _per_shard_variant(self) -> "SymplecticFlowModel":
+        """Model each device runs under auto-sharding (see
+        ScoreModel._per_shard_variant: inside shard_map each device runs a
+        single-device program, so the fused kernel is safe and preferred
+        on TPU)."""
+        if (
+            self.use_fused_kernel is None
+            and jax.default_backend() == "tpu"
+            and self._fused_supported()
+        ):
+            return dataclasses.replace(self, use_fused_kernel=True)
+        return self
 
     def _solve_dynamics(self, conditional):
         """RHS for the no-grad solve paths: fused kernel when available."""
@@ -232,6 +247,21 @@ class SymplecticFlowModel:
         K = int(n_momentum_samples)
         if K < 1:
             raise ValueError("n_momentum_samples must be >= 1")
+
+        from ..parallel import autoshard
+
+        if not adjoint and autoshard.should_route(x, conditional, key):
+            opts = autoshard.hashable_options(options)
+            if opts is not autoshard.UNROUTABLE:
+                return autoshard.routed_call(
+                    _sympl_logprob_per_shard,
+                    (atol, rtol, method, opts, K),
+                    self,
+                    x,
+                    conditional,
+                    key,
+                )
+
         q0 = (x - self.shift) / self.scale
         cond = self._norm_cond(conditional)
         if K > 1:
@@ -273,3 +303,23 @@ class SymplecticFlowModel:
                 lp.reshape(K, x.shape[0]), axis=0
             ) - jnp.log(float(K))
         return lp - jnp.sum(jnp.log(self.scale)), stats
+
+
+def _sympl_logprob_per_shard(atol, rtol, method, opts, K):
+    """Per-shard symplectic log_prob body for ``parallel.autoshard``
+    (module-level: its identity is the jit-cache key)."""
+
+    def per_shard(model, xb, cb, kb):
+        lp, stats = model._per_shard_variant().log_prob(
+            kb,
+            xb,
+            conditional=cb,
+            atol=atol,
+            rtol=rtol,
+            method=method,
+            options=dict(opts) if opts is not None else None,
+            n_momentum_samples=K,
+        )
+        return lp, jax.tree_util.tree_map(lambda s: jnp.reshape(s, (1,)), stats)
+
+    return per_shard

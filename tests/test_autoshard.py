@@ -189,3 +189,14 @@ def test_population_wrapper_logprob_routes(score_model):
     np.testing.assert_allclose(
         np.asarray(lp), np.asarray(lp_direct), atol=5e-3
     )
+
+
+def test_symplectic_logprob_routes():
+    from flowfusion_tpu.models.symplectic import SymplecticFlowModel
+
+    m = SymplecticFlowModel.create(jax.random.PRNGKey(0), n_data_dims=2, units=(128,))
+    x = jax.random.normal(jax.random.PRNGKey(1), (29, 2))
+    lp, stats = m.log_prob(jax.random.PRNGKey(2), x, n_momentum_samples=2)
+    assert lp.shape == (29,)
+    assert stats.n_func_evals.shape == (N_DEV,)
+    assert bool(jnp.all(jnp.isfinite(lp)))

@@ -53,7 +53,8 @@ def test_log_prob_identity_dynamics():
     lp, stats = m.log_prob(jax.random.PRNGKey(0), x)
     expected = np.sum(-0.5 * np.asarray(x) ** 2 - 0.5 * np.log(2 * np.pi), axis=1)
     np.testing.assert_allclose(lp, expected, atol=1e-5)
-    assert bool(stats.succeeded)
+    # eager multi-device calls route per shard: one succeeded flag each
+    assert bool(jnp.all(stats.succeeded))
 
 
 def test_log_prob_scale_correction():
@@ -162,9 +163,11 @@ def test_log_prob_adjoint_gradients():
     # at least one grad leaf is materially nonzero
     assert max(float(jnp.abs(l).max()) for l in leaves) > 0.0
 
-    # adjoint value agrees with the forward-only solve
+    # adjoint value agrees with the forward-only solve (jit pins the
+    # forward call to the unrouted path, so both draw the SAME momentum
+    # p0 from `key` — the routed path folds the key per shard)
     lp_adj, _ = model.log_prob(key, x, adjoint=True)
-    lp_fwd, _ = model.log_prob(key, x)
+    lp_fwd, _ = jax.jit(lambda mm, kk, xx: mm.log_prob(kk, xx))(model, key, x)
     np.testing.assert_allclose(
         np.asarray(lp_adj), np.asarray(lp_fwd), atol=1e-4
     )
