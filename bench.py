@@ -124,8 +124,10 @@ def tpu_numerics_check(model, x):
     )
 
     # 3-pass (highf32, the bench mode) deviation vs the plain RHS: the
-    # dropped lo*lo term sits at ~2^-18 relative — still far under the
-    # bf16-trap signature (~1e-3).
+    # dropped lo*lo split-dot term sits at ~2^-18 relative, and the
+    # throughput modes' tanh-form sigmoid (see kernels/fused_mlp.py
+    # _act_pair_fn) adds ~1e-5 — together still ~50x under the
+    # bf16-trap signature (~1e-3) these bounds exist to catch.
     drift_3, div_3 = fused_drift(
         model.params, model.net, jnp.asarray(0.5), xs, e=e, c0=c0, c1=c1,
         compute_dtype="highf32",
@@ -159,7 +161,7 @@ def tpu_numerics_check(model, x):
     assert div_dev <= 1e-4, f"fused divergence deviates {div_dev:.2e}"
     assert nfe_f == nfe_p, f"step counts diverge: fused {nfe_f} plain {nfe_p}"
     assert dlp <= 1e-4, f"fused log_prob deviates {dlp:.2e}"
-    assert rhs_dev3 <= 2e-5, f"3pass RHS deviates {rhs_dev3:.2e} (bf16 trap?)"
+    assert rhs_dev3 <= 5e-5, f"3pass RHS deviates {rhs_dev3:.2e} (bf16 trap?)"
     assert div_dev3 <= 2e-4, f"3pass divergence deviates {div_dev3:.2e}"
     assert nfe_3 == nfe_p, f"step counts diverge: 3pass {nfe_3} plain {nfe_p}"
     assert dlp3 <= 1e-4, f"3pass log_prob deviates {dlp3:.2e}"
@@ -174,9 +176,9 @@ def main():
     model, x, _ = build_trained_model(key)
     tpu_numerics_check(model, x)
     # Fastest verified TPU config at rtol=1e-5: the V4 fused Pallas RHS
-    # in 'highf32' (manual 3-pass bf16 split-dot) — ~2.3x plain XLA at
+    # in 'highf32' (manual 3-pass bf16 split-dot + tanh-form sigmoid) —
     # step counts identical to both the plain and the HIGHEST-kernel
-    # paths, mean |dlogp| ~8e-6 vs the HIGHEST path (far below the ~5e-3
+    # paths, mean |dlogp| ~7e-5 vs plain XLA (far below the ~5e-3
     # truncation floor of any rtol=1e-5 solve; see BENCHMARKS.md and
     # tpu_numerics_check above, which asserts all of this every run).
     model = dataclasses.replace(

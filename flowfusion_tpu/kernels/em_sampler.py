@@ -123,7 +123,9 @@ def _kernel(steps: int, n_hidden: int, d_out: int, compute_dtype, hw_rng, with_c
             precision=prec,
         )
 
-    act = _act_value_fn(activation)
+    act = _act_value_fn(
+        activation, fast_sigmoid=(compute_dtype == jnp.bfloat16)
+    )
 
     def net(x, s):
         a = mm(x, w_in) + b_eff_ref[s, :][None, :]

