@@ -123,6 +123,11 @@ def main():
         configs.insert(0, ("logprob/exact/fused", dict(use_fused_kernel=True)))
         configs.append(("logprob/hutchpp/fused", dict(trace_mode="hutchpp", hpp_rank=1, hpp_vecs=1, use_fused_kernel=True)))
         configs.append(("logprob/xtrace/fused", dict(trace_mode="xtrace", xt_vecs=2, use_fused_kernel=True)))
+        # throughput mode for the sketch estimators: same 3-pass split-dot
+        # + tanh-sigmoid as the Hutchinson headline; step counts identical
+        # to strict f32 and mean |dlogp| ~3e-5 (verified off-device)
+        configs.append(("logprob/hutchpp/fused-highf32", dict(trace_mode="hutchpp", hpp_rank=1, hpp_vecs=1, use_fused_kernel=True, kernel_compute_dtype="highf32")))
+        configs.append(("logprob/xtrace/fused-highf32", dict(trace_mode="xtrace", xt_vecs=2, use_fused_kernel=True, kernel_compute_dtype="highf32")))
     else:
         configs.insert(0, ("logprob/exact/plain-f32", dict(use_fused_kernel=False)))
         configs.append(("logprob/hutchpp/plain-f32", dict(trace_mode="hutchpp", hpp_rank=1, hpp_vecs=1, use_fused_kernel=False)))

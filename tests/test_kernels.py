@@ -696,6 +696,40 @@ def test_highf32_three_pass_mode_near_reference():
     assert rv <= 1e-5, rv
 
 
+def test_highf32_sketch_modes_near_f32():
+    """The single-dispatch Hutch++/XTrace kernels in 'highf32' (3-pass
+    split-dot + tanh-sigmoid throughput mode, the benchmark-suite config)
+    must track the strict-f32 kernel closely — the in-kernel QR and
+    leave-one-out algebra run on split-dot products, so this guards both
+    the split arithmetic and the sketch algebra downstream of it."""
+    from flowfusion_tpu.kernels.fused_mlp import fused_drift_sketch
+
+    cfg, params = _setup()
+    B, D = 70, 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, D))
+    t = jnp.asarray(0.37)
+    c0, c1 = 0.2, -1.7
+    S = jnp.sign(jax.random.normal(jax.random.PRNGKey(2), (2, B, D)))
+    G = jnp.sign(jax.random.normal(jax.random.PRNGKey(3), (1, B, D)))
+    g = jax.random.normal(jax.random.PRNGKey(4), (2, B, D))
+    O = g / jnp.linalg.norm(g, axis=-1, keepdims=True) * jnp.sqrt(float(D))
+    for mode, probes in (("hutchpp", (S, G)), ("xtrace", (O,))):
+        drift32, div32 = fused_drift_sketch(
+            params, cfg, t, x, probes, mode, c0=c0, c1=c1, tile=64,
+            interpret=INTERPRET,
+        )
+        drifthf, divhf = fused_drift_sketch(
+            params, cfg, t, x, probes, mode, c0=c0, c1=c1, tile=64,
+            interpret=INTERPRET, compute_dtype="highf32",
+        )
+        rd = float(jnp.max(jnp.abs(drifthf - drift32))
+                   / jnp.max(jnp.abs(drift32)))
+        rv = float(jnp.max(jnp.abs(divhf - div32))
+                   / (jnp.max(jnp.abs(div32)) + 1e-12))
+        assert rd <= 5e-5, (mode, rd)
+        assert rv <= 5e-4, (mode, rv)
+
+
 def test_highf32_solver_path_runs():
     """ScoreModel plumbed with kernel_compute_dtype='highf32' solves and
     lands near the float32-kernel path."""
