@@ -151,6 +151,100 @@ def main():
         warn_if_implausible(name, best, args.quick)
         record(name, best)
 
+    # --- flow-matching CNF log-prob ----------------------------------
+    # Reference headline: flow exact-trace log_prob 10.79 s for 25k pts at
+    # atol=rtol=1e-4 (~2,317 evals/s; demo_flow.ipynb cell 14) — measured
+    # here at the same tolerances.
+    from flowfusion_tpu.models.flow import ODEFlow
+    from flowfusion_tpu.models.symplectic import SymplecticFlowModel
+    from flowfusion_tpu.utils.data import DEMO_GMM, standardization_stats
+
+    def quick_train(key, base, loss_call, xtr, steps, batch=4096):
+        """Brief jitted-scan training so the benchmark solves integrate a
+        realistic (trained) field — same protocol as bench.build_trained_model."""
+        import optax
+
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(base.params)
+
+        def step(carry, k):
+            params, opt_state = carry
+            kb, kl = jax.random.split(k)
+            idx = jax.random.randint(kb, (batch,), 0, xtr.shape[0])
+
+            def loss_fn(p):
+                return loss_call(dataclasses.replace(base, params=p), kl, xtr[idx])
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, upd), opt_state), loss
+
+        keys = jax.random.split(key, steps)
+        (params, _), _ = jax.lax.scan(step, (base.params, opt_state), keys)
+        return dataclasses.replace(base, params=params)
+
+    x_raw = DEMO_GMM.sample(jax.random.PRNGKey(11), n)
+    fshift, fscale = standardization_stats(x_raw)
+    flow = ODEFlow.create(
+        jax.random.PRNGKey(12), target_dimension=2, hidden_units=(128, 128),
+        target_shift=fshift, target_scale=fscale,
+    )
+    flow = quick_train(
+        jax.random.PRNGKey(13), flow,
+        lambda m, k, xb: m.flow_matching_loss(k, xb), x_raw, args.train_steps,
+    )
+
+    flow_lp = jax.jit(
+        lambda m, xx, k: m.log_prob(xx, key=k, atol=1e-4, rtol=1e-4)[0]
+    )
+    flow_lp_ps = jax.jit(
+        lambda m, xx, k: m.log_prob_per_sample(xx, key=k, atol=1e-4, rtol=1e-4)[0]
+    )
+    for name, f, m in (
+        ("flow-logprob/exact/batch-stepped", flow_lp, flow),
+        ("flow-logprob/exact/per-sample", flow_lp_ps, flow),
+    ):
+        keys = iter(jax.random.split(jax.random.PRNGKey(14), 16))
+        _sync(f(m, x_raw, next(keys)))
+        best = float("inf")
+        for i in range(3):
+            xi = x_raw + (i + 1) * 1e-6
+            t0 = time.perf_counter()
+            _sync(f(m, xi, next(keys)))
+            best = min(best, time.perf_counter() - t0)
+        warn_if_implausible(name, best, args.quick)
+        record(name, best)
+
+    # --- symplectic (trace-free) log-prob ----------------------------
+    # No reference timing exists (the reference never times this module);
+    # the row documents the cheapest likelihood in the framework.
+    sym = SymplecticFlowModel.create(
+        jax.random.PRNGKey(15), n_data_dims=2, units=(128, 128),
+        shift=fshift, scale=fscale,
+    )
+    sym = quick_train(
+        jax.random.PRNGKey(16), sym,
+        lambda m, k, xb: m.loss_fn(k, xb), x_raw, args.train_steps,
+    )
+    sym_lp = jax.jit(lambda m, k, xx: m.log_prob(k, xx)[0])
+    sym_configs = [("symplectic-logprob/fused", sym)]
+    if not on_tpu:
+        sym_configs = [
+            ("symplectic-logprob/plain-f32",
+             dataclasses.replace(sym, use_fused_kernel=False))
+        ]
+    for name, m in sym_configs:
+        keys = iter(jax.random.split(jax.random.PRNGKey(17), 16))
+        _sync(sym_lp(m, next(keys), x_raw))
+        best = float("inf")
+        for i in range(3):
+            xi = x_raw + (i + 1) * 1e-6
+            t0 = time.perf_counter()
+            _sync(sym_lp(m, next(keys), xi))
+            best = min(best, time.perf_counter() - t0)
+        warn_if_implausible(name, best, args.quick)
+        record(name, best)
+
     # --- EM sampling --------------------------------------------------
     # sample_sde takes no data argument, so vary the MODEL per iteration
     # (sub-tolerance param perturbation) as well as the key — key-only

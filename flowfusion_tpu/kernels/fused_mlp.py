@@ -1105,11 +1105,17 @@ def fused_velocity(
     x: jax.Array,
     conditional: Optional[jax.Array] = None,
     e: Optional[jax.Array] = None,
+    exact_divergence: bool = False,
     tile: Optional[int] = None,
     interpret: Optional[bool] = None,
     compute_dtype: str = "float32",
 ):
-    """Fused flow-matching velocity net v(x, t[, c]) (+ Hutchinson tangent).
+    """Fused flow-matching velocity net v(x, t[, c]) (+ divergence).
+
+    Divergence modes: pass ``e`` for the Hutchinson estimate, or
+    ``exact_divergence=True`` for the exact trace via d_out basis-tangent
+    chains (same in-kernel machinery as :func:`fused_drift`'s exact mode —
+    the reference flow module only offers exact divergence, flow.py:122-166).
 
     The flow nets take raw scalar time as an input *feature* appended after
     x (models/nets.py VelocityMLPConfig; reference flow.py:110-118), so for
@@ -1137,7 +1143,16 @@ def fused_velocity(
     else:
         w_in = w_in_x
 
-    mode = "hutchinson" if e is not None else "forward"
+    if e is not None and exact_divergence:
+        raise ValueError("pass a probe e OR exact_divergence, not both")
+    mode = (
+        "hutchinson" if e is not None
+        else ("exact" if exact_divergence else "forward")
+    )
+    if tile is None and mode == "exact":
+        # 1 forward + d_out tangent chains of live activations (same
+        # VMEM budget rule as fused_drift's exact mode)
+        tile = max(256, (3072 // (1 + D)) // 256 * 256)
     return _dispatch(
         x, e, w_in, b_eff, layers, conditional, mode, D, 0.0, 1.0, tile,
         interpret, compute_dtype, activation=cfg.activation,

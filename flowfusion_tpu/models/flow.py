@@ -91,17 +91,37 @@ class ODEFlow:
             and self.net.target_dimension + self.net.conditional_dimension <= 16
         )
 
-    def _fused_available(self) -> bool:
+    def _fused_available(self, for_exact: bool = False) -> bool:
         """Auto on TPU single-device jit (like ScoreModel): the V4 fused
         velocity kernel measured 1.5x plain XLA for forward (sampling) RHS
         and 1.7x for Hutchinson likelihood solves at 1M rows on v5e.  Auto
         stays off under multi-device jit (GSPMD cannot partition a
         pallas_call — use parallel.sharding.data_parallel_per_shard with
         ``use_fused_kernel=True``) and off-TPU.  Governs the forward
-        (sampling) RHS, Hutchinson solves, and the Hutch++/XTrace solves
-        (fused_velocity_tangents); exact-trace flow solves (the default
-        ``trace_mode``) always use plain XLA, which compiles fine here."""
-        return _common.auto_fused(self.use_fused_kernel, self._fused_supported())
+        (sampling) RHS and all four trace modes — exact-trace solves run
+        the basis-tangent kernel mode and are *required* to on TPU: the
+        pure-XLA exact flow graph crashes this platform's compiler
+        (TpuPriorityFusionQueue SIGILL) at >=50k-row batches, same family
+        as the diffusion exact graph (ScoreModel._fused_available)."""
+        if self.use_fused_kernel is not None:
+            return self.use_fused_kernel and self._fused_supported()
+        auto = _common.auto_fused(None, self._fused_supported())
+        if (
+            for_exact
+            and not auto
+            and self._fused_supported()
+            and jax.default_backend() == "tpu"
+        ):
+            # Exact trace on multi-device TPU: neither auto path works —
+            # see ScoreModel._fused_available for the full story.
+            raise ValueError(
+                "exact-trace flow solves on multi-device TPU must run the "
+                "fused kernel per shard: wrap the solve in parallel."
+                "data_parallel_per_shard with use_fused_kernel=True (or set "
+                "use_fused_kernel=False explicitly to force the plain-XLA "
+                "graph if your XLA build compiles it)"
+            )
+        return auto
 
     @classmethod
     def create(
@@ -285,7 +305,9 @@ class ODEFlow:
             )
             return xs[-1], ljs[-1], None
 
-        if self.trace_mode == "hutchinson" and self._fused_available():
+        if self.trace_mode in ("hutchinson", "exact") and self._fused_available(
+            for_exact=self.trace_mode == "exact"
+        ):
             from ..kernels.fused_mlp import fused_velocity
 
             cond_n = self._norm_cond(conditional)
@@ -293,7 +315,9 @@ class ODEFlow:
             def rhs(t, state):
                 xx, _ = state
                 return fused_velocity(
-                    self.params, self.net, t, xx, cond_n, e=probes[0],
+                    self.params, self.net, t, xx, cond_n,
+                    e=probes[0] if self.trace_mode == "hutchinson" else None,
+                    exact_divergence=self.trace_mode == "exact",
                     compute_dtype=self.kernel_compute_dtype,
                 )
 

@@ -279,6 +279,62 @@ def test_fused_velocity_matches_flow_dynamics():
     )
 
 
+def test_fused_velocity_exact_divergence_matches_reference():
+    """fused_velocity's basis-tangent exact mode (the TPU path for the
+    reference flow module's only divergence option, flow.py:122-166)
+    equals the plain exact estimator."""
+    from flowfusion_tpu.kernels.fused_mlp import fused_velocity
+    from flowfusion_tpu.models.flow import ODEFlow
+    from flowfusion_tpu.ops.trace import exact_divergence
+
+    for n_cond in (0, 2):
+        flow = ODEFlow.create(
+            jax.random.PRNGKey(0), target_dimension=2,
+            conditional_dimension=n_cond, hidden_units=(128, 128),
+        )
+        x = jax.random.normal(jax.random.PRNGKey(1), (48, 2))
+        c = (
+            jax.random.normal(jax.random.PRNGKey(2), (48, n_cond))
+            if n_cond else None
+        )
+        t = jnp.asarray(0.42)
+        v_fused, div_fused = fused_velocity(
+            flow.params, flow.net, t, x, flow._norm_cond(c),
+            exact_divergence=True, tile=48, interpret=INTERPRET,
+        )
+        v_ref, div_ref = exact_divergence(lambda q: flow.dynamics(t, q, c), x)
+        np.testing.assert_allclose(
+            np.asarray(v_fused), np.asarray(v_ref), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(div_fused), np.asarray(div_ref), rtol=1e-4, atol=2e-4
+        )
+
+
+@pytest.mark.slow
+def test_flow_fused_exact_logprob_matches_plain():
+    """The flow exact-trace solve through the fused basis-tangent kernel
+    (forced on TPU, where the plain exact flow graph SIGILLs the platform
+    compiler at 50k rows) matches the plain-XLA solve."""
+    import dataclasses
+
+    from flowfusion_tpu.models.flow import ODEFlow
+
+    flow = ODEFlow.create(
+        jax.random.PRNGKey(0), target_dimension=2, hidden_units=(128,),
+    )
+    flow_plain = dataclasses.replace(flow, use_fused_kernel=False)
+    flow_fused = dataclasses.replace(flow, use_fused_kernel=True)
+    x = jax.random.normal(jax.random.PRNGKey(4), (32, 2))
+    call = jax.jit(lambda mm, xx: mm.log_prob(xx, atol=1e-4, rtol=1e-4))
+    lp_p, st_p = call(flow_plain, x)
+    lp_f, st_f = call(flow_fused, x)
+    np.testing.assert_allclose(
+        np.asarray(lp_f), np.asarray(lp_p), rtol=1e-4, atol=1e-3
+    )
+    assert int(st_p.n_accepted) == int(st_f.n_accepted)
+
+
 @pytest.mark.slow
 def test_flow_fused_logprob_matches_plain():
     import dataclasses
