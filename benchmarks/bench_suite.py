@@ -133,21 +133,13 @@ def main():
         configs.append(("logprob/hutchpp/plain-f32", dict(trace_mode="hutchpp", hpp_rank=1, hpp_vecs=1, use_fused_kernel=False)))
         configs.append(("logprob/xtrace/plain-f32", dict(trace_mode="xtrace", xt_vecs=2, use_fused_kernel=False)))
 
+    lp_keys = jax.random.split(jax.random.PRNGKey(42), 4)
     for name, kw in configs:
         m = dataclasses.replace(model, **kw)
         f = lp(m)
-        keys = iter(jax.random.split(jax.random.PRNGKey(42), 16))
-        _sync(f(m, x, next(keys)))  # compile
-        best = float("inf")
-        for i in range(3):
-            k = next(keys)
-            # distinct data per iteration: the relay cache has been observed
-            # to hit on key-only variation (sub-tolerance shift, no effect
-            # on the measured work)
-            xi = x + (i + 1) * 1e-6
-            t0 = time.perf_counter()
-            _sync(f(m, xi, k))
-            best = min(best, time.perf_counter() - t0)
+        # distinct data per iteration (i*1e-6, sub-tolerance): the relay
+        # cache has been observed to hit on key-only variation
+        best = timeit(f, *[(m, x + i * 1e-6, lp_keys[i]) for i in range(4)])
         warn_if_implausible(name, best, args.quick)
         record(name, best)
 
@@ -200,18 +192,14 @@ def main():
     flow_lp_ps = jax.jit(
         lambda m, xx, k: m.log_prob_per_sample(xx, key=k, atol=1e-4, rtol=1e-4)[0]
     )
+    flow_keys = jax.random.split(jax.random.PRNGKey(14), 4)
     for name, f, m in (
         ("flow-logprob/exact/batch-stepped", flow_lp, flow),
         ("flow-logprob/exact/per-sample", flow_lp_ps, flow),
     ):
-        keys = iter(jax.random.split(jax.random.PRNGKey(14), 16))
-        _sync(f(m, x_raw, next(keys)))
-        best = float("inf")
-        for i in range(3):
-            xi = x_raw + (i + 1) * 1e-6
-            t0 = time.perf_counter()
-            _sync(f(m, xi, next(keys)))
-            best = min(best, time.perf_counter() - t0)
+        best = timeit(
+            f, *[(m, x_raw + i * 1e-6, flow_keys[i]) for i in range(4)]
+        )
         warn_if_implausible(name, best, args.quick)
         record(name, best)
 
@@ -233,15 +221,11 @@ def main():
             ("symplectic-logprob/plain-f32",
              dataclasses.replace(sym, use_fused_kernel=False))
         ]
+    sym_keys = jax.random.split(jax.random.PRNGKey(17), 4)
     for name, m in sym_configs:
-        keys = iter(jax.random.split(jax.random.PRNGKey(17), 16))
-        _sync(sym_lp(m, next(keys), x_raw))
-        best = float("inf")
-        for i in range(3):
-            xi = x_raw + (i + 1) * 1e-6
-            t0 = time.perf_counter()
-            _sync(sym_lp(m, next(keys), xi))
-            best = min(best, time.perf_counter() - t0)
+        best = timeit(
+            sym_lp, *[(m, sym_keys[i], x_raw + i * 1e-6) for i in range(4)]
+        )
         warn_if_implausible(name, best, args.quick)
         record(name, best)
 

@@ -201,7 +201,10 @@ def cmd_logprob(args):
     np.save(args.out, np.asarray(lp))
     print(
         f"saved {args.out}; sum={float(jnp.sum(lp)):.2f} "
-        f"rhs_evals={int(stats.n_func_evals)} ok={bool(stats.succeeded)}"
+        # sum/all over the leading device axis: eager multi-device calls
+        # autoshard and return per-shard stats (same fix as the demos)
+        f"rhs_evals={int(jnp.sum(stats.n_func_evals))} "
+        f"ok={bool(jnp.all(stats.succeeded))}"
     )
 
 

@@ -198,6 +198,13 @@ def _act_value_fn(activation: str, fast_sigmoid: bool = False):
     )
 
 
+def _exact_tile(d_out: int) -> int:
+    """VMEM-budgeted tile for the exact-trace mode: 1 forward + d_out
+    basis-tangent chains of live activations (shared by fused_drift and
+    fused_velocity so the budget can be retuned in one place)."""
+    return max(256, (3072 // (1 + d_out)) // 256 * 256)
+
+
 def _grid_plan(B: int, tile: int, max_sub: int = 16):
     """(tile, n_sub, padded_B): pack up to ``max_sub`` compute sub-tiles
     into each grid step (amortizes per-grid-step overhead) while keeping
@@ -713,8 +720,7 @@ def fused_drift(
         raise ValueError("pass a probe e OR exact_divergence, not both")
     mode = "hutchinson" if e is not None else ("exact" if exact_divergence else "forward")
     if tile is None and mode == "exact":
-        # exact: 1 forward + d_out tangent chains of live activations
-        tile = max(256, (3072 // (1 + D)) // 256 * 256)
+        tile = _exact_tile(D)
     elif tile is None and mode == "hutchinson":
         # Wider tangent tiles amortize per-grid-step overhead (measured
         # +4.5% on the 1M headline solve at 4096 vs 1024), but the x/e/
@@ -1150,9 +1156,7 @@ def fused_velocity(
         else ("exact" if exact_divergence else "forward")
     )
     if tile is None and mode == "exact":
-        # 1 forward + d_out tangent chains of live activations (same
-        # VMEM budget rule as fused_drift's exact mode)
-        tile = max(256, (3072 // (1 + D)) // 256 * 256)
+        tile = _exact_tile(D)
     return _dispatch(
         x, e, w_in, b_eff, layers, conditional, mode, D, 0.0, 1.0, tile,
         interpret, compute_dtype, activation=cfg.activation,

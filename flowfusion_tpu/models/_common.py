@@ -13,7 +13,9 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["auto_fused", "std_stats", "cond_stats", "norm_cond"]
+__all__ = [
+    "auto_fused", "fused_dispatch", "std_stats", "cond_stats", "norm_cond",
+]
 
 
 def auto_fused(use_fused_kernel: Optional[bool], supported: bool) -> bool:
@@ -34,6 +36,45 @@ def auto_fused(use_fused_kernel: Optional[bool], supported: bool) -> bool:
         and jax.default_backend() == "tpu"
         and len(jax.devices()) == 1
     )
+
+
+def fused_dispatch(
+    use_fused_kernel: Optional[bool],
+    supported: bool,
+    for_exact: bool = False,
+    what: str = "exact-trace solves",
+) -> bool:
+    """:func:`auto_fused` plus the exact-trace TPU guard, shared by
+    ScoreModel and ODEFlow.
+
+    On TPU the pure-XLA exact-trace graphs (diffusion and flow alike)
+    crash this platform's compiler (TpuPriorityFusionQueue SIGILL) at
+    large batches, so exact solves must ride the fused basis-tangent
+    kernel there.  Under multi-device jit auto-sharding neither path
+    works (GSPMD cannot partition a ``pallas_call``), so ``for_exact``
+    raises loudly — regardless of batch size, since the crash threshold
+    is batch- and fusion-dependent — instead of building a
+    compiler-killing graph.  Residual risk, by design: an *unsupported*
+    net config falls through to the plain graph (there is no kernel to
+    run), and explicit ``use_fused_kernel=False`` forces the plain graph.
+    """
+    if use_fused_kernel is not None:
+        return bool(use_fused_kernel) and supported
+    auto = auto_fused(None, supported)
+    if (
+        for_exact
+        and not auto
+        and supported
+        and jax.default_backend() == "tpu"
+    ):
+        raise ValueError(
+            f"{what} on multi-device TPU must run the fused kernel per "
+            "shard: wrap the solve in parallel.data_parallel_per_shard "
+            "with use_fused_kernel=True (or set use_fused_kernel=False "
+            "explicitly to force the plain-XLA graph if your XLA build "
+            "compiles it)"
+        )
+    return auto
 
 
 def std_stats(

@@ -102,26 +102,12 @@ class ODEFlow:
         the basis-tangent kernel mode and are *required* to on TPU: the
         pure-XLA exact flow graph crashes this platform's compiler
         (TpuPriorityFusionQueue SIGILL) at >=50k-row batches, same family
-        as the diffusion exact graph (ScoreModel._fused_available)."""
-        if self.use_fused_kernel is not None:
-            return self.use_fused_kernel and self._fused_supported()
-        auto = _common.auto_fused(None, self._fused_supported())
-        if (
-            for_exact
-            and not auto
-            and self._fused_supported()
-            and jax.default_backend() == "tpu"
-        ):
-            # Exact trace on multi-device TPU: neither auto path works —
-            # see ScoreModel._fused_available for the full story.
-            raise ValueError(
-                "exact-trace flow solves on multi-device TPU must run the "
-                "fused kernel per shard: wrap the solve in parallel."
-                "data_parallel_per_shard with use_fused_kernel=True (or set "
-                "use_fused_kernel=False explicitly to force the plain-XLA "
-                "graph if your XLA build compiles it)"
-            )
-        return auto
+        as the diffusion exact graph (see _common.fused_dispatch for the
+        full policy, including the multi-device raise)."""
+        return _common.fused_dispatch(
+            self.use_fused_kernel, self._fused_supported(),
+            for_exact=for_exact, what="exact-trace flow solves",
+        )
 
     @classmethod
     def create(

@@ -123,27 +123,10 @@ class ScoreModel:
         therefore selects the kernel on TPU for every supported config;
         ``use_fused_kernel=False`` forces plain XLA.
         """
-        if self.use_fused_kernel is not None:
-            return self.use_fused_kernel and self._fused_supported()
-        auto = _common.auto_fused(None, self._fused_supported())
-        if (
-            for_exact
-            and not auto
-            and self._fused_supported()
-            and jax.default_backend() == "tpu"
-        ):
-            # Exact trace on multi-device TPU: neither auto path works —
-            # the pure-XLA exact graph crashes this platform's compiler,
-            # and jit auto-sharding cannot partition the fused kernel.
-            # Refuse loudly instead of building a compiler-killing graph.
-            raise ValueError(
-                "exact-trace solves on multi-device TPU must run the fused "
-                "kernel per shard: wrap the solve in parallel."
-                "data_parallel_per_shard with use_fused_kernel=True (or set "
-                "use_fused_kernel=False explicitly to force the plain-XLA "
-                "graph if your XLA build compiles it)"
-            )
-        return auto
+        return _common.fused_dispatch(
+            self.use_fused_kernel, self._fused_supported(),
+            for_exact=for_exact, what="exact-trace solves",
+        )
 
     def _fused_coeffs(self, t):
         """(c0, c1) with prob-flow drift = c0 x + c1 net(t, x[, c])."""
