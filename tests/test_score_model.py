@@ -269,3 +269,42 @@ def test_sample_pc_zero_corrector_is_plain_em():
     )
     np.testing.assert_allclose(np.mean(np.asarray(res_c.x_mean)), 0.0, atol=0.05)
     np.testing.assert_allclose(np.std(np.asarray(res_c.x_mean)), 1.0, atol=0.07)
+
+
+def test_fused_dispatch_policy(monkeypatch):
+    """The shared dispatch policy (_common.fused_dispatch): explicit
+    override wins; auto is single-device-TPU-only; exact-trace on a
+    multi-device TPU realm raises loudly instead of building the
+    compiler-crashing plain graph; unsupported configs fall through to
+    the plain graph (documented residual risk)."""
+    from flowfusion_tpu.models import _common
+
+    # explicit override wins regardless of platform
+    assert _common.fused_dispatch(True, True) is True
+    assert _common.fused_dispatch(True, False) is False  # gated on support
+    assert _common.fused_dispatch(False, True) is False
+
+    # auto: off off-TPU (conftest pins the cpu backend)
+    assert jax.default_backend() != "tpu"
+    assert _common.fused_dispatch(None, True) is False
+    assert _common.fused_dispatch(None, True, for_exact=True) is False
+
+    # mock a multi-device TPU realm: exact must raise, non-exact auto-off
+    monkeypatch.setattr(
+        _common.jax, "default_backend", lambda: "tpu"
+    )
+    monkeypatch.setattr(
+        _common.jax, "devices", lambda: [object(), object()]
+    )
+    assert _common.fused_dispatch(None, True) is False
+    with pytest.raises(ValueError, match="exact-trace flow solves"):
+        _common.fused_dispatch(
+            None, True, for_exact=True, what="exact-trace flow solves"
+        )
+    # unsupported config: no kernel exists, so no raise — plain graph
+    assert _common.fused_dispatch(None, False, for_exact=True) is False
+
+    # mock a single-device TPU realm: auto on
+    monkeypatch.setattr(_common.jax, "devices", lambda: [object()])
+    assert _common.fused_dispatch(None, True) is True
+    assert _common.fused_dispatch(None, True, for_exact=True) is True
