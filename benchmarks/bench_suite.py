@@ -336,7 +336,9 @@ def main():
         record(f"train-step/bs{bs}(scanned)", per_step, per_what=1)
         record(f"train-throughput/bs{bs}", per_step, per_what=bs)
 
-    out_path = os.path.join(_HERE, "results.json")
+    # quick smoke runs must not clobber the committed full-batch snapshot
+    out_name = "results_quick.json" if args.quick else "results.json"
+    out_path = os.path.join(_HERE, out_name)
     with open(out_path, "w") as f:
         json.dump(
             {"backend": jax.default_backend(), "batch": n, "results": results}, f, indent=2
