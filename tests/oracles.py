@@ -280,3 +280,70 @@ def vesde_prior_logprob_f64(X, sigma_max=10.0):
         -0.5 * (X / sigma_max) ** 2 - 0.5 * np.log(2 * np.pi * sigma_max**2),
         axis=1,
     )
+
+
+def velocity_mlp_f64(params):
+    """(v(t, X), JVP columns) in float64 for a silu velocity MLP.
+
+    Input layout matches models/nets.py::apply_velocity_mlp (reference
+    flow.py:110-118): concat([x, t]) with raw scalar time as a feature.
+    """
+    layers = [
+        (np.asarray(l["w"], np.float64), np.asarray(l["b"], np.float64))
+        for l in params["layers"]
+    ]
+
+    def forward(t, X):
+        B = X.shape[0]
+        h = np.concatenate([X, np.full((B, 1), t)], axis=1)
+        for i, (w, b) in enumerate(layers):
+            h = h @ w + b
+            if i < len(layers) - 1:
+                h, _ = _silu_pair(h)
+        return h
+
+    def jvp(t, X, V):
+        """Tangent V on x only (the t feature sees no perturbation)."""
+        B = X.shape[0]
+        h = np.concatenate([X, np.full((B, 1), t)], axis=1)
+        dh = np.concatenate([V, np.zeros((B, 1))], axis=1)
+        for i, (w, b) in enumerate(layers):
+            h = h @ w + b
+            dh = dh @ w
+            if i < len(layers) - 1:
+                h, dact = _silu_pair(h)
+                dh = dact * dh
+        return dh
+
+    return forward, jvp
+
+
+def flow_likelihood_rhs_f64(params):
+    """Augmented RHS for numpy_dopri5 on flat state [x.ravel(), log_jac].
+
+    dx/dt = v(x, t), dlogjac/dt = div_x v (exact, D JVP columns) —
+    matching ODEFlow.solve_ode_forward with trace_mode='exact'
+    (reference flow.py:122-166, 308-384).
+    """
+    forward, jvp = velocity_mlp_f64(params)
+
+    def rhs(D):
+        def f(t, y):
+            B = (y.size) // (D + 1)
+            X = y[: B * D].reshape(B, D)
+            v = forward(t, X)
+            div = np.zeros(B)
+            for d in range(D):
+                V = np.zeros((B, D))
+                V[:, d] = 1.0
+                div += jvp(t, X, V)[:, d]
+            return np.concatenate([v.ravel(), div])
+
+        return f
+
+    return rhs
+
+
+def std_normal_logprob_f64(X):
+    """log N(0, I) summed over dims, (B,)."""
+    return np.sum(-0.5 * X**2 - 0.5 * np.log(2 * np.pi), axis=1)

@@ -104,3 +104,94 @@ def test_oracle_self_consistency(trained_field):
     o8, _ = _solve_oracle(model, xt, 1e-8)
     o9, _ = _solve_oracle(model, xt, 1e-9)
     assert np.abs(o8 - o9).mean() <= 1e-4
+
+
+@pytest.fixture(scope="module")
+def trained_flow_field():
+    import jax.numpy as jnp
+    import optax
+
+    from flowfusion_tpu.models.flow import ODEFlow
+    from flowfusion_tpu.utils.data import DEMO_GMM, standardization_stats
+
+    k_data, k_net, k_train = jax.random.split(jax.random.PRNGKey(3), 3)
+    x_raw = DEMO_GMM.sample(k_data, 4096)
+    shift, scale = standardization_stats(x_raw)
+    flow = ODEFlow.create(
+        k_net, target_dimension=2, hidden_units=(128, 128),
+        target_shift=shift, target_scale=scale,
+    )
+    tx = optax.adam(1e-3)
+
+    def step(carry, k):
+        params, opt = carry
+        kb, kl = jax.random.split(k)
+        idx = jax.random.randint(kb, (512,), 0, x_raw.shape[0])
+
+        def loss_fn(p):
+            return dataclasses.replace(flow, params=p).flow_matching_loss(
+                kl, x_raw[idx]
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return (optax.apply_updates(params, upd), opt), loss
+
+    (params, _), _ = jax.lax.scan(
+        step, (flow.params, tx.init(flow.params)),
+        jax.random.split(k_train, 200),
+    )
+    flow = dataclasses.replace(flow, params=params, use_fused_kernel=False)
+    return flow, x_raw[:64]
+
+
+def _flow_solve_oracle(flow, x, tol):
+    from oracles import (
+        flow_likelihood_rhs_f64,
+        numpy_dopri5,
+        std_normal_logprob_f64,
+    )
+
+    x_std = (np.asarray(x, np.float64) - np.asarray(flow.target_shift)) / (
+        np.asarray(flow.target_scale)
+    )
+    B, D = x_std.shape
+    rhs = flow_likelihood_rhs_f64(flow.params)(D)
+    y0 = np.concatenate([x_std.ravel(), np.zeros(B)])
+    ys, nsteps = numpy_dopri5(rhs, y0, [0.0, 1.0], tol, tol)
+    yT = ys[-1]
+    XT = yT[: B * D].reshape(B, D)
+    lp = (
+        std_normal_logprob_f64(XT)
+        + yT[B * D :]
+        - np.sum(np.log(np.asarray(flow.target_scale, np.float64)))
+    )
+    return lp, nsteps
+
+
+@pytest.mark.slow
+def test_flow_density_parity_contract(trained_flow_field):
+    """The density-parity contract extends to the flow module: the f32
+    exact-trace ODEFlow.log_prob tracks the float64 same-convention
+    oracle of the same trained velocity field (dop853 as parity mode,
+    dopri5 within the truncation envelope — same findings as the
+    diffusion battery above)."""
+    flow, xt = trained_flow_field
+    truth, _ = _flow_solve_oracle(flow, xt, 1e-8)
+
+    solve = lambda method: jax.jit(
+        lambda m, xx: m.log_prob(xx, atol=1e-5, rtol=1e-5, method=method)
+    )(flow, xt)
+    lp_45, _ = solve("dopri5")
+    lp_853, _ = solve("dop853")
+    o5, _ = _flow_solve_oracle(flow, xt, 1e-5)
+
+    err_45 = np.abs(np.asarray(lp_45, np.float64) - truth)
+    err_853 = np.abs(np.asarray(lp_853, np.float64) - truth)
+    err_o5 = np.abs(o5 - truth)
+
+    assert err_853.mean() <= 1e-4, err_853.mean()
+    assert err_45.mean() <= 3.0 * err_o5.mean() + 1e-4, (
+        err_45.mean(),
+        err_o5.mean(),
+    )
