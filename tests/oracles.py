@@ -347,3 +347,44 @@ def flow_likelihood_rhs_f64(params):
 def std_normal_logprob_f64(X):
     """log N(0, I) summed over dims, (B,)."""
     return np.sum(-0.5 * X**2 - 0.5 * np.log(2 * np.pi), axis=1)
+
+
+def symplectic_rhs_f64(params):
+    """f64 RHS for the separable-Hamiltonian field on flat (B*2D,) state.
+
+    v = [mlp_q(p, temb), -mlp_p(q, temb)] with Gaussian-Fourier t features
+    appended AFTER the state half (models/nets.py::apply_symplectic_mlp;
+    reference symplectic.py:82-123).  Trace-free by construction, so the
+    likelihood needs no divergence channel.
+    """
+    W = np.asarray(params["W"], np.float64)
+
+    def stack(key):
+        return [
+            (np.asarray(l["w"], np.float64), np.asarray(l["b"], np.float64))
+            for l in params[key]
+        ]
+
+    q_layers, p_layers = stack("q_layers"), stack("p_layers")
+
+    def mlp(layers, h):
+        for i, (w, b) in enumerate(layers):
+            h = h @ w + b
+            if i < len(layers) - 1:
+                h, _ = _silu_pair(h)
+        return h
+
+    def rhs(D):
+        def f(t, y):
+            B = y.size // (2 * D)
+            S = y.reshape(B, 2 * D)
+            q, p = S[:, :D], S[:, D:]
+            proj = np.full((B, 1), t) * W[None, :] * (2.0 * np.pi)
+            temb = np.concatenate([np.sin(proj), np.cos(proj)], axis=1)
+            v_q = mlp(q_layers, np.concatenate([p, temb], axis=1))
+            v_p = -mlp(p_layers, np.concatenate([q, temb], axis=1))
+            return np.concatenate([v_q, v_p], axis=1).ravel()
+
+        return f
+
+    return rhs

@@ -195,3 +195,47 @@ def test_flow_density_parity_contract(trained_flow_field):
         err_45.mean(),
         err_o5.mean(),
     )
+
+
+@pytest.mark.slow
+def test_symplectic_density_parity_contract():
+    """Trace-free likelihood vs a float64 oracle of the same field and
+    the SAME momentum draw: integrate the joint (q, p) state in f64 and
+    reproduce lp = log N(z1) - log N(p0) - sum(log scale).  Completes
+    the oracle trilogy (diffusion + flow above)."""
+    import jax.numpy as jnp
+
+    from oracles import numpy_dopri5, std_normal_logprob_f64, symplectic_rhs_f64
+    from flowfusion_tpu.models.symplectic import SymplecticFlowModel
+    from flowfusion_tpu.utils.data import DEMO_GMM, standardization_stats
+
+    k_data, k_net, k_lp = jax.random.split(jax.random.PRNGKey(5), 3)
+    x = DEMO_GMM.sample(k_data, 64)
+    shift, scale = standardization_stats(x)
+    model = SymplecticFlowModel.create(
+        k_net, n_data_dims=2, units=(128,), shift=shift, scale=scale,
+        use_fused_kernel=False,
+    )
+
+    lp_f32, _ = jax.jit(
+        lambda m, xx, kk: m.log_prob(kk, xx, atol=1e-7, rtol=1e-7)
+    )(model, x, k_lp)
+
+    # the oracle must see the exact p0 the model drew
+    q0 = (np.asarray(x, np.float64) - np.asarray(shift)) / np.asarray(scale)
+    p0 = np.asarray(
+        jax.random.normal(k_lp, q0.shape, jnp.float32), np.float64
+    )
+    B, D = q0.shape
+    rhs = symplectic_rhs_f64(model.params)(D)
+    y0 = np.concatenate([q0, p0], axis=1).ravel()
+    ys, _ = numpy_dopri5(rhs, y0, [0.0, 1.0], 1e-9, 1e-9)
+    z1 = ys[-1].reshape(B, 2 * D)
+    lp_oracle = (
+        std_normal_logprob_f64(z1)
+        - std_normal_logprob_f64(p0)
+        - np.sum(np.log(np.asarray(scale, np.float64)))
+    )
+    err = np.abs(np.asarray(lp_f32, np.float64) - lp_oracle)
+    assert err.mean() <= 1e-4, err.mean()
+    assert err.max() <= 1e-3, err.max()
