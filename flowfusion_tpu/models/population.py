@@ -73,6 +73,8 @@ class PopulationModelDiffusion:
         hpp_rank: int = 1,
         hpp_vecs: int = 1,
         xt_vecs: int = 1,
+        use_fused_kernel: Optional[bool] = None,
+        kernel_compute_dtype: str = "float32",
     ) -> "PopulationModelDiffusion":
         net = ScoreMLPConfig(
             n_dimensions=n_dimensions,
@@ -91,6 +93,8 @@ class PopulationModelDiffusion:
             hpp_rank=hpp_rank,
             hpp_vecs=hpp_vecs,
             xt_vecs=xt_vecs,
+            use_fused_kernel=use_fused_kernel,
+            kernel_compute_dtype=kernel_compute_dtype,
         )
         d_shift, d_scale = _common.std_stats(n_dimensions, shift, scale)
         c_shift, c_scale = _common.cond_stats(
