@@ -135,3 +135,17 @@ def test_wrapper_forward_adjoint_gradients():
     leaves = jax.tree_util.tree_leaves(g.score_model.params)
     assert leaves and all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
+def test_create_plumbs_kernel_knobs():
+    """The wrapper forwards use_fused_kernel / kernel_compute_dtype to the
+    underlying ScoreModel (serving-mode selection at the wrapper API)."""
+    from flowfusion_tpu.ops.sde import VPSDE
+
+    m = PopulationModelDiffusion.create(
+        jax.random.PRNGKey(0), VPSDE(), n_dimensions=2, units=(32,),
+        trace_mode="hutchinson", use_fused_kernel=False,
+        kernel_compute_dtype="highf32",
+    )
+    assert m.score_model.use_fused_kernel is False
+    assert m.score_model.kernel_compute_dtype == "highf32"
