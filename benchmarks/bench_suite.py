@@ -196,6 +196,11 @@ def main():
     for name, f, m in (
         ("flow-logprob/exact/batch-stepped", flow_lp, flow),
         ("flow-logprob/exact/per-sample", flow_lp_ps, flow),
+        (
+            "flow-logprob/exact/highf32",
+            flow_lp,
+            dataclasses.replace(flow, kernel_compute_dtype="highf32"),
+        ),
     ):
         best = timeit(
             f, *[(m, x_raw + i * 1e-6, flow_keys[i]) for i in range(4)]

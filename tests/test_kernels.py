@@ -808,3 +808,43 @@ def test_highf32_solver_path_runs():
     np.testing.assert_allclose(
         np.asarray(lphf), np.asarray(lp32), rtol=1e-4, atol=1e-3
     )
+
+
+def test_highf32_exact_mode_near_f32():
+    """The basis-tangent exact mode in 'highf32' (drift and velocity
+    kernels) tracks strict f32 — guards the split-dot arithmetic on the
+    exact tangent chains, which the hutchinson-mode highf32 test does
+    not exercise."""
+    from flowfusion_tpu.kernels.fused_mlp import fused_velocity
+    from flowfusion_tpu.models.flow import ODEFlow
+
+    cfg, params = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+    t = jnp.asarray(0.4)
+    d32, v32 = fused_drift(
+        params, cfg, t, x, exact_divergence=True, c0=-0.3, c1=0.9,
+        tile=64, interpret=INTERPRET,
+    )
+    dhf, vhf = fused_drift(
+        params, cfg, t, x, exact_divergence=True, c0=-0.3, c1=0.9,
+        tile=64, interpret=INTERPRET, compute_dtype="highf32",
+    )
+    assert float(jnp.max(jnp.abs(dhf - d32)) / jnp.max(jnp.abs(d32))) <= 5e-5
+    assert float(jnp.max(jnp.abs(vhf - v32))
+                 / (jnp.max(jnp.abs(v32)) + 1e-12)) <= 5e-4
+
+    flow = ODEFlow.create(
+        jax.random.PRNGKey(0), target_dimension=2, hidden_units=(128, 128),
+    )
+    f32 = fused_velocity(
+        flow.params, flow.net, t, x, exact_divergence=True, tile=64,
+        interpret=INTERPRET,
+    )
+    fhf = fused_velocity(
+        flow.params, flow.net, t, x, exact_divergence=True, tile=64,
+        interpret=INTERPRET, compute_dtype="highf32",
+    )
+    assert float(jnp.max(jnp.abs(fhf[0] - f32[0]))
+                 / jnp.max(jnp.abs(f32[0]))) <= 5e-5
+    assert float(jnp.max(jnp.abs(fhf[1] - f32[1]))
+                 / (jnp.max(jnp.abs(f32[1])) + 1e-12)) <= 5e-4
