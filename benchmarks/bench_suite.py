@@ -1,8 +1,10 @@
 """Benchmark suite: every headline workload, plain vs fused vs bf16.
 
 Prints a table (one row per configuration) and writes
-``benchmarks/results.json``.  The single-line driver metric lives in
-``bench.py``; this suite is for humans tuning the framework.
+``benchmarks/results.json`` (``results_quick.json`` under ``--quick``,
+so smoke runs never clobber the committed snapshot).  The single-line
+driver metric lives in ``bench.py``; this suite is for humans tuning
+the framework.
 
 Workloads (BASELINE.md / BASELINE.json configs):
   * probability-flow log-prob, hutchinson & (off-TPU) exact/hutchpp/xtrace
@@ -10,7 +12,7 @@ Workloads (BASELINE.md / BASELINE.json configs):
   * probability-flow ODE sampling
   * DSM train step throughput
 
-Usage:  python benchmarks/bench_suite.py [--batch 50000] [--steps 100]
+Usage:  python benchmarks/bench_suite.py [--batch 50000] [--steps 100] [--quick]
 """
 
 from __future__ import annotations

@@ -204,6 +204,34 @@ def _silu_pair(a):
     return a * s, s * (1.0 + a * (1.0 - s))
 
 
+def _f64_layers(layer_list):
+    return [
+        (np.asarray(l["w"], np.float64), np.asarray(l["b"], np.float64))
+        for l in layer_list
+    ]
+
+
+def _mlp_forward_f64(layers, h):
+    """Shared f64 silu MLP stack (linear last layer) — one definition for
+    every oracle net in this file."""
+    for i, (w, b) in enumerate(layers):
+        h = h @ w + b
+        if i < len(layers) - 1:
+            h, _ = _silu_pair(h)
+    return h
+
+
+def _mlp_jvp_f64(layers, h, dh):
+    """Forward-mode tangent through the same stack; returns d(out)."""
+    for i, (w, b) in enumerate(layers):
+        h = h @ w + b
+        dh = dh @ w
+        if i < len(layers) - 1:
+            h, dact = _silu_pair(h)
+            dh = dact * dh
+    return dh
+
+
 def score_mlp_f64(params):
     """(net(t, X), JVP columns) in float64 for a silu ScoreMLP.
 
@@ -212,34 +240,20 @@ def score_mlp_f64(params):
     models/nets.py::apply_score_mlp: concat([fourier_emb(t), x]).
     """
     W = np.asarray(params["W"], np.float64)
-    layers = [
-        (np.asarray(l["w"], np.float64), np.asarray(l["b"], np.float64))
-        for l in params["layers"]
-    ]
+    layers = _f64_layers(params["layers"])
 
-    def forward(t, X):
+    def _input(t, X):
         B = X.shape[0]
         proj = np.full((B, 1), t) * W[None, :] * (2.0 * np.pi)
-        h = np.concatenate([np.sin(proj), np.cos(proj), X], axis=1)
-        for i, (w, b) in enumerate(layers):
-            h = h @ w + b
-            if i < len(layers) - 1:
-                h, _ = _silu_pair(h)
-        return h
+        return np.concatenate([np.sin(proj), np.cos(proj), X], axis=1)
+
+    def forward(t, X):
+        return _mlp_forward_f64(layers, _input(t, X))
 
     def jvp(t, X, V):
         """Tangent V on x only (t-embedding sees no perturbation)."""
-        B = X.shape[0]
-        proj = np.full((B, 1), t) * W[None, :] * (2.0 * np.pi)
-        h = np.concatenate([np.sin(proj), np.cos(proj), X], axis=1)
-        dh = np.concatenate([np.zeros((B, W.size * 2)), V], axis=1)
-        for i, (w, b) in enumerate(layers):
-            h = h @ w + b
-            dh = dh @ w
-            if i < len(layers) - 1:
-                h, dact = _silu_pair(h)
-                dh = dact * dh
-        return dh
+        dh = np.concatenate([np.zeros((X.shape[0], W.size * 2)), V], axis=1)
+        return _mlp_jvp_f64(layers, _input(t, X), dh)
 
     return forward, jvp
 
@@ -288,32 +302,20 @@ def velocity_mlp_f64(params):
     Input layout matches models/nets.py::apply_velocity_mlp (reference
     flow.py:110-118): concat([x, t]) with raw scalar time as a feature.
     """
-    layers = [
-        (np.asarray(l["w"], np.float64), np.asarray(l["b"], np.float64))
-        for l in params["layers"]
-    ]
+    layers = _f64_layers(params["layers"])
 
     def forward(t, X):
         B = X.shape[0]
-        h = np.concatenate([X, np.full((B, 1), t)], axis=1)
-        for i, (w, b) in enumerate(layers):
-            h = h @ w + b
-            if i < len(layers) - 1:
-                h, _ = _silu_pair(h)
-        return h
+        return _mlp_forward_f64(
+            layers, np.concatenate([X, np.full((B, 1), t)], axis=1)
+        )
 
     def jvp(t, X, V):
         """Tangent V on x only (the t feature sees no perturbation)."""
         B = X.shape[0]
         h = np.concatenate([X, np.full((B, 1), t)], axis=1)
         dh = np.concatenate([V, np.zeros((B, 1))], axis=1)
-        for i, (w, b) in enumerate(layers):
-            h = h @ w + b
-            dh = dh @ w
-            if i < len(layers) - 1:
-                h, dact = _silu_pair(h)
-                dh = dact * dh
-        return dh
+        return _mlp_jvp_f64(layers, h, dh)
 
     return forward, jvp
 
@@ -358,21 +360,9 @@ def symplectic_rhs_f64(params):
     likelihood needs no divergence channel.
     """
     W = np.asarray(params["W"], np.float64)
-
-    def stack(key):
-        return [
-            (np.asarray(l["w"], np.float64), np.asarray(l["b"], np.float64))
-            for l in params[key]
-        ]
-
-    q_layers, p_layers = stack("q_layers"), stack("p_layers")
-
-    def mlp(layers, h):
-        for i, (w, b) in enumerate(layers):
-            h = h @ w + b
-            if i < len(layers) - 1:
-                h, _ = _silu_pair(h)
-        return h
+    q_layers = _f64_layers(params["q_layers"])
+    p_layers = _f64_layers(params["p_layers"])
+    mlp = _mlp_forward_f64
 
     def rhs(D):
         def f(t, y):
