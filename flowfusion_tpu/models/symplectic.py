@@ -305,6 +305,60 @@ class SymplecticFlowModel:
         return lp - jnp.sum(jnp.log(self.scale)), stats
 
 
+    def log_prob_per_sample(
+        self,
+        key: jax.Array,
+        x: jax.Array,
+        conditional: Optional[jax.Array] = None,
+        atol: float = 1e-5,
+        rtol: float = 1e-5,
+        method: str = "dopri5",
+        options: Optional[dict] = None,
+    ) -> Tuple[jax.Array, SolverStats]:
+        """log_prob with per-sample adaptive stepping (fast mode).
+
+        Each row gets its own dopri5 step sequence instead of the
+        reference's batch-global stepping — the symplectic twin of
+        ``ScoreModel.log_prob_per_sample`` / ``ODEFlow.log_prob_per_sample``
+        (the reference, symplectic.py:203-253, has only batch-global).
+        Trace-free, so the per-row state is just the joint (q, p) vector
+        plus the zero-dynamics conditional.  Returns (lp (B,), per-sample
+        SolverStats).
+        """
+        from ..ops.integrate import odeint_per_sample
+
+        q0 = (x - self.shift) / self.scale
+        cond_n = self._norm_cond(conditional)
+        p0 = jax.random.normal(key, q0.shape, q0.dtype)
+        state0 = jnp.concatenate([q0, p0], axis=-1)
+        cond = (
+            cond_n
+            if cond_n is not None
+            else jnp.zeros((x.shape[0], 0), x.dtype)
+        )
+        has_cond = cond_n is not None
+
+        def rhs_aug(t, state):
+            s, c_ = state
+            c_in = c_ if has_cond else None
+            return (self.dynamics(t, s, c_in), jnp.zeros_like(c_))
+
+        (ss, _), stats = odeint_per_sample(
+            rhs_aug,
+            (state0, cond),
+            [0.0, 1.0],
+            rtol=rtol,
+            atol=atol,
+            method=method,
+            options=options,
+        )
+        z1 = ss[:, -1]
+        lp = jnp.sum(_std_normal_logpdf(z1), axis=-1) - jnp.sum(
+            _std_normal_logpdf(p0), axis=-1
+        )
+        return lp - jnp.sum(jnp.log(self.scale)), stats
+
+
 def _sympl_logprob_per_shard(atol, rtol, method, opts, K):
     """Per-shard symplectic log_prob body for ``parallel.autoshard``
     (module-level: its identity is the jit-cache key)."""

@@ -191,3 +191,38 @@ def test_log_prob_multi_momentum_tightens_bound():
 
     with np.testing.assert_raises(ValueError):
         model.log_prob(jax.random.PRNGKey(0), x, n_momentum_samples=0)
+
+
+def test_log_prob_per_sample_matches_batch_global():
+    """Per-sample stepping agrees with the batch-global solve at tight
+    tolerances when both draw the SAME momentum (jit pins both calls to
+    the unrouted path so `key` produces identical p0)."""
+    model = _model(d=2)
+    x = jax.random.normal(jax.random.PRNGKey(3), (32, 2))
+    key = jax.random.PRNGKey(7)
+    lp_batch, _ = jax.jit(lambda m, k, xx: m.log_prob(k, xx, atol=1e-7, rtol=1e-7))(
+        model, key, x
+    )
+    lp_per, stats = jax.jit(
+        lambda m, k, xx: m.log_prob_per_sample(k, xx, atol=1e-7, rtol=1e-7)
+    )(model, key, x)
+    np.testing.assert_allclose(np.asarray(lp_per), np.asarray(lp_batch), atol=1e-4)
+    # per-sample stats: one step sequence per row
+    assert stats.n_func_evals.shape == (32,)
+    assert bool(jnp.all(stats.succeeded))
+
+
+def test_log_prob_per_sample_conditional():
+    model = _model(cond=3)
+    x = jax.random.normal(jax.random.PRNGKey(4), (16, 2))
+    c = jax.random.normal(jax.random.PRNGKey(5), (16, 3))
+    key = jax.random.PRNGKey(8)
+    lp_batch, _ = jax.jit(
+        lambda m, k, xx, cc: m.log_prob(k, xx, conditional=cc, atol=1e-7, rtol=1e-7)
+    )(model, key, x, c)
+    lp_per, _ = jax.jit(
+        lambda m, k, xx, cc: m.log_prob_per_sample(
+            k, xx, conditional=cc, atol=1e-7, rtol=1e-7
+        )
+    )(model, key, x, c)
+    np.testing.assert_allclose(np.asarray(lp_per), np.asarray(lp_batch), atol=1e-4)
