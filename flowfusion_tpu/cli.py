@@ -53,6 +53,7 @@ def _meta_path(ckpt: str) -> str:
 
 
 def cmd_train(args):
+    """``train`` subcommand: staged DSM/FM training from an .npy dataset."""
     import jax
     import jax.numpy as jnp
 
@@ -128,6 +129,7 @@ def _restore(args):
 
 
 def cmd_sample(args):
+    """``sample`` subcommand: draw from a checkpointed model into an .npy."""
     import jax
     import jax.numpy as jnp
 
@@ -183,6 +185,7 @@ def cmd_sample(args):
 
 
 def cmd_logprob(args):
+    """``logprob`` subcommand: log-densities of an .npy dataset under a checkpoint."""
     import jax
     import jax.numpy as jnp
 
@@ -209,6 +212,7 @@ def cmd_logprob(args):
 
 
 def main(argv=None):
+    """Entry point for ``python -m flowfusion_tpu``."""
     p = argparse.ArgumentParser(prog="flowfusion_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

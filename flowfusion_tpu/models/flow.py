@@ -125,6 +125,8 @@ class ODEFlow:
         use_fused_kernel: Optional[bool] = None,
         kernel_compute_dtype: str = "float32",
     ) -> "ODEFlow":
+        """Build a fresh ODEFlow: init the velocity net, store the
+        standardization statistics, pick the trace estimator."""
         from .nets import init_velocity_mlp
 
         net = VelocityMLPConfig(

@@ -129,13 +129,16 @@ class ScoreMLPConfig:
         )
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        """Initialize the parameter pytree (alias for ``init_score_mlp``)."""
         return init_score_mlp(key, self, dtype)
 
     def apply(self, params, t, x, conditional=None) -> jax.Array:
+        """Pure forward pass (alias for ``apply_score_mlp``)."""
         return apply_score_mlp(self, params, t, x, conditional)
 
 
 def init_score_mlp(key: jax.Array, cfg: ScoreMLPConfig, dtype=jnp.float32) -> dict:
+    """Parameter pytree for ``ScoreMLPConfig``: frozen Fourier ``W`` + layers."""
     k_w, k_net = jax.random.split(key)
     W = (
         jax.random.normal(k_w, (cfg.embedding_dimensions // 2,), dtype)
@@ -189,13 +192,16 @@ class VelocityMLPConfig:
         )
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        """Initialize the parameter pytree (alias for ``init_velocity_mlp``)."""
         return init_velocity_mlp(key, self, dtype)
 
     def apply(self, params, t, x, conditional=None) -> jax.Array:
+        """Pure forward pass (alias for ``apply_velocity_mlp``)."""
         return apply_velocity_mlp(self, params, t, x, conditional)
 
 
 def init_velocity_mlp(key: jax.Array, cfg: VelocityMLPConfig, dtype=jnp.float32):
+    """Parameter pytree for ``VelocityMLPConfig`` (plain layer stack)."""
     return {"layers": _init_mlp_stack(key, cfg.architecture, dtype)}
 
 
@@ -243,13 +249,16 @@ class SymplecticMLPConfig:
         )
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        """Initialize the parameter pytree (alias for ``init_symplectic_mlp``)."""
         return init_symplectic_mlp(key, self, dtype)
 
     def apply(self, params, t, state, conditional=None) -> jax.Array:
+        """Divergence-free joint field (alias for ``apply_symplectic_mlp``)."""
         return apply_symplectic_mlp(self, params, t, state, conditional)
 
 
 def init_symplectic_mlp(key: jax.Array, cfg: SymplecticMLPConfig, dtype=jnp.float32):
+    """Parameter pytree for ``SymplecticMLPConfig``: frozen ``W`` + q/p stacks."""
     k_w, k_q, k_p = jax.random.split(key, 3)
     W = (
         jax.random.normal(k_w, (cfg.embedding_dimensions // 2,), dtype)

@@ -76,6 +76,8 @@ class PopulationModelDiffusion:
         use_fused_kernel: Optional[bool] = None,
         kernel_compute_dtype: str = "float32",
     ) -> "PopulationModelDiffusion":
+        """Build the wrapper + its inner ScoreModel in one call (net init,
+        standardization stats, SDE, trace estimator, kernel knobs)."""
         net = ScoreMLPConfig(
             n_dimensions=n_dimensions,
             n_conditionals=n_conditionals,

@@ -113,6 +113,7 @@ class SymplecticFlowModel:
         use_fused_kernel: Optional[bool] = None,
         kernel_compute_dtype: str = "float32",
     ) -> "SymplecticFlowModel":
+        """Build a fresh SymplecticFlowModel with an initialized q/p net pair."""
         net = SymplecticMLPConfig(
             n_data_dims=n_data_dims,
             n_conditionals=n_conditionals,

@@ -53,6 +53,7 @@ class SDE:
 
     # --- marginal transition kernel -------------------------------------
     def marginal_prob_scalars(self, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """(nu(t), eta(t)): mean coefficient and std of p[x(t)|x(0)]."""
         raise NotImplementedError
 
     def sigma(self, t: jax.Array) -> jax.Array:
@@ -75,9 +76,11 @@ class SDE:
 
     # --- SDE coefficients ----------------------------------------------
     def drift(self, t: jax.Array, x: jax.Array) -> jax.Array:
+        """Forward-SDE drift f(x, t)."""
         raise NotImplementedError
 
     def diffusion(self, t: jax.Array, x: jax.Array) -> jax.Array:
+        """Forward-SDE diffusion g(t), broadcast to ``x``'s shape."""
         raise NotImplementedError
 
     def drift_coefficient(self, t: jax.Array) -> jax.Array:
@@ -115,6 +118,7 @@ class SDE:
         return -0.5 * (x / s) ** 2 - math.log(s) - 0.5 * _LOG_2PI
 
     def prior_sample(self, key: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
+        """Draw from the N(0, prior_scale^2) base distribution."""
         return jax.random.normal(key, shape, dtype) * self.prior_scale
 
 
@@ -187,6 +191,7 @@ class VPSDE(SDE):
     epsilon: float = 1e-3
 
     def beta(self, t: jax.Array) -> jax.Array:
+        """Linear noise schedule beta(t) (reference diffusion.py:1060-1082)."""
         t = jnp.asarray(t, jnp.float32)
         return self.beta_min + (self.beta_max - self.beta_min) * (t / self.T)
 

@@ -38,6 +38,7 @@ __all__ = ["should_route", "routed_call", "n_data_devices"]
 
 
 def n_data_devices() -> int:
+    """Number of devices an eager routed call shards the batch over."""
     return len(jax.devices())
 
 

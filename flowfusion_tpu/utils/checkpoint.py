@@ -84,6 +84,7 @@ def save_orbax(path: str, model: Any) -> None:
 
 
 def load_orbax(path: str, template: Any) -> Any:
+    """Restore a pytree saved with ``save_orbax`` into ``template``'s structure."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()

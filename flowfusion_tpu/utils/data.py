@@ -37,6 +37,7 @@ class GMM:
         return w / w.sum(), np.asarray(self.means), np.asarray(self.covs)
 
     def sample(self, key: jax.Array, n: int) -> jax.Array:
+        """Draw ``n`` mixture samples (component choice + Cholesky noise)."""
         w, mu, cov = self._np()
         kc, kz = jax.random.split(key)
         comps = jax.random.choice(kc, len(w), (n,), p=jnp.asarray(w))
@@ -47,6 +48,7 @@ class GMM:
         )
 
     def log_prob(self, x: jax.Array) -> jax.Array:
+        """Closed-form mixture log-density (the analytic test oracle)."""
         w, mu, cov = self._np()
         inv = jnp.asarray(np.linalg.inv(cov))
         logdet = jnp.asarray(np.log(np.linalg.det(cov)))

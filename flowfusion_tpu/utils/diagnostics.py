@@ -96,6 +96,7 @@ class Timer:
         return self
 
     def block_on(self, x):
+        """Synchronize on ``x`` so the timed window covers its execution."""
         jax.block_until_ready(x)
         return x
 

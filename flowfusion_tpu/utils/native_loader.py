@@ -98,9 +98,11 @@ class NativeBatchLoader:
 
     @staticmethod
     def available() -> bool:
+        """Whether the C++ extension built (or was already present)."""
         return _build_and_load() is not None
 
     def next(self) -> np.ndarray:
+        """Blocking fetch of the next prefetched (batch, n_cols) array."""
         out = np.empty((self.batch, self.n_cols), np.float32)
         rc = self._lib.ffdl_next(
             self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
@@ -114,6 +116,7 @@ class NativeBatchLoader:
             yield self.next()
 
     def close(self) -> None:
+        """Stop the prefetch thread and release the mmap."""
         if getattr(self, "_handle", None):
             self._lib.ffdl_close(self._handle)
             self._handle = None
