@@ -57,6 +57,7 @@ MODULE_GROUPS = {
         "flowfusion_tpu.utils.data",
         "flowfusion_tpu.utils.checkpoint",
         "flowfusion_tpu.utils.convert",
+        "flowfusion_tpu.utils.serving",
         "flowfusion_tpu.utils.stats",
         "flowfusion_tpu.utils.diagnostics",
         "flowfusion_tpu.utils.native_loader",
