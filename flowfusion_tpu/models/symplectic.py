@@ -177,10 +177,14 @@ class SymplecticFlowModel:
         conditional: Optional[jax.Array] = None,
         num_steps: int = 1,
         method: str = "euler",
+        base: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Sampler t: 1 -> 0, default ONE Euler step (symplectic.py:165-201).
 
         ``shape`` = (batch, n_data_dims); noise is drawn jointly for (q, p).
+        ``base`` (batch, 2*n_data_dims) overrides the joint noise draw
+        (``key`` is then unused) — for deterministic replay and the AOT
+        serving artifacts (``utils.serving.export_sampler``).
 
         ``method='leapfrog'`` uses Stormer--Verlet instead (capability the
         reference lacks): second-order and exactly volume-preserving, so
@@ -189,7 +193,10 @@ class SymplecticFlowModel:
         evaluations vs Euler's 1 full one.
         """
         batch, d = shape
-        x = jax.random.normal(key, (batch, 2 * d), jnp.float32)
+        if base is not None:
+            x = base
+        else:
+            x = jax.random.normal(key, (batch, 2 * d), jnp.float32)
         cond = self._norm_cond(conditional)
 
         if method == "leapfrog":

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 __all__ = [
     "export_log_prob",
     "deserialize_log_prob",
+    "export_sampler",
+    "deserialize_sampler",
     "save_artifact",
     "load_artifact",
 ]
@@ -148,6 +150,121 @@ def deserialize_log_prob(blob: bytes) -> Callable[..., jax.Array]:
         if conditional is not None:
             args.append(jnp.asarray(conditional, jnp.float32))
         args.append(jnp.asarray([seed], jnp.int32))
+        return exported.call(*args)
+
+    call.exported = exported
+    return call
+
+
+def _sampler_closure(model, atol, rtol, method, options, has_cond):
+    """(base[, cond]) -> samples closure: the deterministic base->data map
+    of each family (probability-flow ODE / CNF / symplectic Euler)."""
+    from ..models.flow import ODEFlow
+    from ..models.population import PopulationModelDiffusion
+    from ..models.score import ScoreModel
+    from ..models.symplectic import SymplecticFlowModel
+
+    if isinstance(model, ScoreModel):
+
+        def fn(base, cond):
+            return model.sample_ode_from_base(
+                base, conditional=cond, atol=atol, rtol=rtol,
+                method=method, options=options,
+            )[0]
+
+    elif isinstance(model, ODEFlow):
+
+        def fn(base, cond):
+            return model.sample(
+                base, conditional=cond, rtol=rtol, atol=atol,
+                method=method, options=options,
+            )[0]
+
+    elif isinstance(model, PopulationModelDiffusion):
+
+        def fn(base, cond):
+            # wrapper hard-codes 1e-5 tolerances (reference parity)
+            return model.forward(
+                base, conditional=cond, method=method, options=options
+            )[0]
+
+    elif isinstance(model, SymplecticFlowModel):
+
+        def fn(base, cond):
+            steps = (options or {}).get("num_steps", 1)
+            return model.sample(
+                None, (base.shape[0], base.shape[1] // 2),
+                conditional=cond, num_steps=steps, base=base,
+            )
+
+    else:
+        raise TypeError(f"unsupported model type {type(model).__name__}")
+
+    if has_cond:
+        return fn
+    return lambda base: fn(base, None)
+
+
+def export_sampler(
+    model,
+    *,
+    batch: Optional[int] = None,
+    atol: float = 1e-4,
+    rtol: float = 1e-4,
+    method: str = "dopri5",
+    options: Optional[dict] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Serialize ``model``'s deterministic base->data sampler.
+
+    The exported callable takes standard-normal base noise
+    ``(batch, D)`` — ``(batch, 2 D)`` joint (q, p) noise for the
+    symplectic family — plus the conditional when the model has one, and
+    returns samples in data units.  Keeping the noise an *input* (rather
+    than an internal draw) makes the artifact deterministic, replayable,
+    and batch-polymorphic (``batch=None`` exports a symbolic batch dim).
+    Solver tolerances follow each family's sampling defaults unless
+    overridden; the population wrapper pins 1e-5 (reference parity).
+    For the symplectic family pass ``options={'num_steps': k}``.
+    """
+    from jax import export as jexp
+
+    from ..models.symplectic import SymplecticFlowModel
+
+    d = _data_dim(model)
+    if isinstance(model, SymplecticFlowModel):
+        d = 2 * d
+    c = _cond_dim(model)
+    fn = _sampler_closure(model, atol, rtol, method, options, has_cond=c > 0)
+
+    b = batch if batch is not None else 8
+    specs = [jax.ShapeDtypeStruct((b, d), jnp.float32)]
+    shapes = [f"b, {d}"]
+    if c > 0:
+        specs.append(jax.ShapeDtypeStruct((b, c), jnp.float32))
+        shapes.append(f"b, {c}")
+
+    if batch is None:
+        specs = jexp.symbolic_args_specs(tuple(specs), tuple(shapes))
+        if not isinstance(specs, (tuple, list)):
+            specs = (specs,)
+
+    exported = jexp.export(
+        jax.jit(fn), platforms=list(platforms) if platforms else None
+    )(*specs)
+    return exported.serialize()
+
+
+def deserialize_sampler(blob: bytes) -> Callable[..., jax.Array]:
+    """Rehydrate an ``export_sampler`` artifact: ``f(base[, conditional])``."""
+    from jax import export as jexp
+
+    exported = jexp.deserialize(blob)
+
+    def call(base, conditional=None):
+        args = [jnp.asarray(base, jnp.float32)]
+        if conditional is not None:
+            args.append(jnp.asarray(conditional, jnp.float32))
         return exported.call(*args)
 
     call.exported = exported

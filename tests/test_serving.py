@@ -115,3 +115,50 @@ def test_seed_changes_probe_draw():
     a, b, c = f(x, seed=1), f(x, seed=1), f(x, seed=2)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert float(jnp.abs(a - c).max()) > 0.0
+
+
+def test_sampler_roundtrip_all_families():
+    """export_sampler: artifact output equals the live deterministic
+    base->data map, with symbolic batch."""
+    m = _score_model()
+    f = serving.deserialize_sampler(serving.export_sampler(m, atol=1e-3, rtol=1e-3))
+    base = jax.random.normal(jax.random.PRNGKey(0), (24, 2))
+    ref = jax.jit(
+        lambda mm, bb: mm.sample_ode_from_base(bb, atol=1e-3, rtol=1e-3)[0]
+    )(m, base)
+    # symbolic-batch lowering fuses differently than the concrete jit:
+    # agreement is f32-rounding-level (rel ~1e-6), not bitwise
+    np.testing.assert_allclose(np.asarray(f(base)), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+    flow = ODEFlow.create(
+        jax.random.PRNGKey(4), target_dimension=2, hidden_units=(32,)
+    )
+    g = serving.deserialize_sampler(
+        serving.export_sampler(flow, atol=1e-3, rtol=1e-3)
+    )
+    ref = jax.jit(lambda mm, bb: mm.sample(bb, atol=1e-3, rtol=1e-3)[0])(flow, base)
+    np.testing.assert_allclose(np.asarray(g(base)), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+    sym = SymplecticFlowModel.create(
+        jax.random.PRNGKey(6), n_data_dims=2, units=(32,)
+    )
+    joint = jax.random.normal(jax.random.PRNGKey(1), (24, 4))
+    h = serving.deserialize_sampler(
+        serving.export_sampler(sym, options={"num_steps": 3})
+    )
+    ref = jax.jit(
+        lambda mm, bb: mm.sample(None, (24, 2), num_steps=3, base=bb)
+    )(sym, joint)
+    np.testing.assert_allclose(np.asarray(h(joint)), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+
+def test_sampler_conditional_population():
+    m = PopulationModelDiffusion.create(
+        jax.random.PRNGKey(1), VPSDE(), n_dimensions=2, n_conditionals=3,
+        units=(32,),
+    )
+    f = serving.deserialize_sampler(serving.export_sampler(m))
+    base = jax.random.normal(jax.random.PRNGKey(2), (16, 2))
+    c = jax.random.normal(jax.random.PRNGKey(3), (16, 3))
+    ref = jax.jit(lambda mm, bb, cc: mm.forward(bb, conditional=cc)[0])(m, base, c)
+    np.testing.assert_allclose(np.asarray(f(base, c)), np.asarray(ref), rtol=1e-5, atol=1e-4)
