@@ -79,10 +79,16 @@ def _public_names(mod):
 
 
 def _sig(obj) -> str:
+    import re
+
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
     except (TypeError, ValueError):
         return "(...)"
+    # memory addresses in default-value reprs are run-dependent noise
+    # (e.g. "<function _rms_norm at 0x7f...>"); strip them so the output
+    # is deterministic and the committed pages can be sync-checked.
+    return re.sub(r"<function ([\w.]+) at 0x[0-9a-f]+>", r"\1", sig)
 
 
 def _doc(obj) -> str:
@@ -120,15 +126,16 @@ def _render_class(name: str, cls) -> list[str]:
     # dataclass fields are the constructor surface for the pytree models
     fields = getattr(cls, "__dataclass_fields__", None)
     if fields:
+        import dataclasses as dc
+
         rows = []
         for fname, f in fields.items():
-            default = f.default
-            if default is inspect.Parameter.empty or repr(default).startswith(
-                "<dataclasses._MISSING_TYPE"
-            ):
-                rows.append(f"| `{fname}` | — |")
+            if f.default is not dc.MISSING:
+                rows.append(f"| `{fname}` | `{f.default!r}` |")
+            elif f.default_factory is not dc.MISSING:
+                rows.append(f"| `{fname}` | `{f.default_factory()!r}` |")
             else:
-                rows.append(f"| `{fname}` | `{default!r}` |")
+                rows.append(f"| `{fname}` | — |")
         out += ["| field | default |", "|---|---|", *rows, ""]
     for mname, m in sorted(vars(cls).items()):
         if mname.startswith("_"):

@@ -44,7 +44,30 @@ __all__ = [
 ]
 
 
-def _logprob_closure(model, atol, rtol, method, options, has_cond):
+def _plain_xla_variant(model):
+    """The model with the fused Pallas kernels switched off.
+
+    Symbolic-batch exports must lower through plain XLA: a ``pallas_call``
+    needs a concrete grid, so a default-configured model on a single
+    TPU device (where ``_common.auto_fused`` resolves to the kernel)
+    would fail to export with a symbolic ``b`` dimension.
+    """
+    from ..models.population import PopulationModelDiffusion
+
+    if isinstance(model, PopulationModelDiffusion):
+        return dataclasses.replace(
+            model,
+            score_model=dataclasses.replace(
+                model.score_model, use_fused_kernel=False
+            ),
+        )
+    if hasattr(model, "use_fused_kernel"):
+        return dataclasses.replace(model, use_fused_kernel=False)
+    return model
+
+
+def _logprob_closure(model, atol, rtol, method, options, has_cond,
+                     volume_corrected):
     """(x[, cond], seed) -> lp closure with the model baked in, dispatching
     on the family's log_prob signature."""
     from ..models.flow import ODEFlow
@@ -54,7 +77,16 @@ def _logprob_closure(model, atol, rtol, method, options, has_cond):
 
     kw = dict(atol=atol, rtol=rtol, method=method, options=options)
 
-    if isinstance(model, (ScoreModel, ODEFlow, PopulationModelDiffusion)):
+    if isinstance(model, PopulationModelDiffusion):
+
+        def fn(x, cond, seed):
+            key = jax.random.PRNGKey(seed[0])
+            return model.log_prob(
+                x, conditional=cond, key=key,
+                volume_corrected=volume_corrected, **kw,
+            )[0]
+
+    elif isinstance(model, (ScoreModel, ODEFlow)):
 
         def fn(x, cond, seed):
             key = jax.random.PRNGKey(seed[0])
@@ -98,24 +130,36 @@ def export_log_prob(
     rtol: float = 1e-5,
     method: str = "dopri5",
     options: Optional[dict] = None,
+    volume_corrected: bool = False,
     platforms: Optional[Sequence[str]] = None,
 ) -> bytes:
     """Serialize ``model``'s log-density entry point as an AOT artifact.
 
     ``batch=None`` exports with a *symbolic* batch dimension (one artifact,
-    any batch size; plain-XLA path).  A concrete ``batch`` pins the shape —
-    required when the model routes through a fused Pallas kernel.
-    ``platforms`` defaults to the current backend (pass e.g.
-    ``("tpu", "cpu")`` for a multi-platform artifact).
+    any batch size); the fused Pallas kernels are switched off for the
+    export in that case (a ``pallas_call`` needs a concrete grid).  A
+    concrete ``batch`` pins the shape and keeps the model's kernel
+    configuration as-is.  ``platforms`` defaults to the current backend
+    (pass e.g. ``("tpu", "cpu")`` for a multi-platform artifact).
+
+    ``volume_corrected`` is forwarded to the population wrapper's
+    ``log_prob`` (False = the reference's standardized-unit densities;
+    True = data-unit densities); the other families are always in data
+    units.
 
     The exported callable's signature is ``(x[, conditional], seed)`` with
     ``seed`` an int32 array of shape (1,).
     """
     from jax import export as jexp
 
+    if batch is None:
+        model = _plain_xla_variant(model)
     d = _data_dim(model)
     c = _cond_dim(model)
-    fn = _logprob_closure(model, atol, rtol, method, options, has_cond=c > 0)
+    fn = _logprob_closure(
+        model, atol, rtol, method, options, has_cond=c > 0,
+        volume_corrected=volume_corrected,
+    )
 
     b = batch if batch is not None else 8  # placeholder, symbolized below
     specs = [jax.ShapeDtypeStruct((b, d), jnp.float32)]
@@ -189,12 +233,17 @@ def _sampler_closure(model, atol, rtol, method, options, has_cond):
             )[0]
 
     elif isinstance(model, SymplecticFlowModel):
+        # fixed-step family: the stepper comes from options ('euler',
+        # 'leapfrog', ...), not the adaptive `method` arg, which the
+        # symplectic sampler has no use for.
+        steps = (options or {}).get("num_steps", 1)
+        stepper = (options or {}).get("method", "euler")
 
         def fn(base, cond):
-            steps = (options or {}).get("num_steps", 1)
             return model.sample(
                 None, (base.shape[0], base.shape[1] // 2),
-                conditional=cond, num_steps=steps, base=base,
+                conditional=cond, num_steps=steps, method=stepper,
+                base=base,
             )
 
     else:
@@ -225,12 +274,18 @@ def export_sampler(
     and batch-polymorphic (``batch=None`` exports a symbolic batch dim).
     Solver tolerances follow each family's sampling defaults unless
     overridden; the population wrapper pins 1e-5 (reference parity).
-    For the symplectic family pass ``options={'num_steps': k}``.
+    The symplectic family is fixed-step: pass
+    ``options={'num_steps': k, 'method': 'euler' | 'leapfrog'}``
+    (``atol/rtol/method`` do not apply to it).  As with
+    ``export_log_prob``, ``batch=None`` switches the fused Pallas
+    kernels off for the export.
     """
     from jax import export as jexp
 
     from ..models.symplectic import SymplecticFlowModel
 
+    if batch is None:
+        model = _plain_xla_variant(model)
     d = _data_dim(model)
     if isinstance(model, SymplecticFlowModel):
         d = 2 * d

@@ -162,3 +162,69 @@ def test_sampler_conditional_population():
     c = jax.random.normal(jax.random.PRNGKey(3), (16, 3))
     ref = jax.jit(lambda mm, bb, cc: mm.forward(bb, conditional=cc)[0])(m, base, c)
     np.testing.assert_allclose(np.asarray(f(base, c)), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+
+def test_symbolic_export_disables_fused_kernel():
+    """A model pinned to the fused Pallas kernel still exports with a
+    symbolic batch: export_* switch to the plain-XLA variant (a
+    pallas_call cannot lower with a symbolic grid)."""
+    cfg = ScoreMLPConfig(n_dimensions=2, units=(128,))
+    m = ScoreModel(
+        params=init_score_mlp(jax.random.PRNGKey(0), cfg),
+        net=cfg,
+        sde=VESDE(),
+        trace_mode="hutchinson",
+        use_fused_kernel=True,
+    )
+    f = serving.deserialize_log_prob(
+        serving.export_log_prob(m, atol=1e-3, rtol=1e-3)
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    m_plain = ScoreModel(
+        params=m.params, net=cfg, sde=VESDE(), trace_mode="hutchinson",
+        use_fused_kernel=False,
+    )
+    lp_ref = jax.jit(
+        lambda mm, xx, kk: mm.log_prob(xx, key=kk, atol=1e-3, rtol=1e-3)[0]
+    )(m_plain, x, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(
+        np.asarray(f(x, seed=5)), np.asarray(lp_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_population_volume_corrected_export():
+    m = PopulationModelDiffusion.create(
+        jax.random.PRNGKey(1), VPSDE(), n_dimensions=2, units=(32,),
+        trace_mode="hutchinson", scale=jnp.asarray([2.0, 3.0]),
+    )
+    f_std = serving.deserialize_log_prob(
+        serving.export_log_prob(m, atol=1e-3, rtol=1e-3)
+    )
+    f_vol = serving.deserialize_log_prob(
+        serving.export_log_prob(m, atol=1e-3, rtol=1e-3, volume_corrected=True)
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 2))
+    diff = np.asarray(f_vol(x, seed=3)) - np.asarray(f_std(x, seed=3))
+    np.testing.assert_allclose(
+        diff, -float(np.log(2.0) + np.log(3.0)), atol=1e-5
+    )
+
+
+def test_symplectic_leapfrog_export():
+    sym = SymplecticFlowModel.create(
+        jax.random.PRNGKey(6), n_data_dims=2, units=(32,)
+    )
+    joint = jax.random.normal(jax.random.PRNGKey(1), (12, 4))
+    h = serving.deserialize_sampler(
+        serving.export_sampler(
+            sym, options={"num_steps": 2, "method": "leapfrog"}
+        )
+    )
+    ref = jax.jit(
+        lambda mm, bb: mm.sample(
+            None, (12, 2), num_steps=2, method="leapfrog", base=bb
+        )
+    )(sym, joint)
+    np.testing.assert_allclose(
+        np.asarray(h(joint)), np.asarray(ref), rtol=1e-5, atol=1e-4
+    )
