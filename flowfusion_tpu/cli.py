@@ -6,6 +6,7 @@ production entry points:
     python -m flowfusion_tpu train   --data x.f32 --dim 2 --out ckpt.npz
     python -m flowfusion_tpu sample  --ckpt ckpt.npz --n 50000 --out s.npy
     python -m flowfusion_tpu logprob --ckpt ckpt.npz --data x.f32 --out lp.npy
+    python -m flowfusion_tpu export  --ckpt ckpt.npz --out lp.stablehlo
 
 Data files are row-major float32 binaries (``utils.native_loader.write_f32``)
 or .npy arrays.  Checkpoints are self-contained .npz pytrees
@@ -211,6 +212,31 @@ def cmd_logprob(args):
     )
 
 
+def cmd_export(args):
+    """``export`` subcommand: compile a checkpoint into an AOT serving
+    artifact (``utils.serving``) — parameters, solver and trace config
+    baked in, servable without this package's model code."""
+    from .utils import serving
+
+    model, meta = _restore(args)
+    if args.what == "logprob":
+        blob = serving.export_log_prob(
+            model,
+            batch=args.batch,
+            atol=args.tol,
+            rtol=args.tol,
+            volume_corrected=args.volume_corrected,
+        )
+    else:
+        blob = serving.export_sampler(model, batch=args.batch)
+    serving.save_artifact(args.out, blob)
+    batch_desc = args.batch if args.batch is not None else "symbolic"
+    print(
+        f"saved {args.out} ({len(blob)} bytes, {args.what}, "
+        f"batch={batch_desc}, dim={meta['dim']}, cond_dim={meta['cond_dim']})"
+    )
+
+
 def main(argv=None):
     """Entry point for ``python -m flowfusion_tpu``."""
     p = argparse.ArgumentParser(prog="flowfusion_tpu")
@@ -261,6 +287,24 @@ def main(argv=None):
     pl.add_argument("--seed", type=int, default=0)
     pl.add_argument("--out", required=True)
     pl.set_defaults(fn=cmd_logprob)
+
+    pe = sub.add_parser(
+        "export", help="compile a checkpoint into an AOT serving artifact"
+    )
+    pe.add_argument("--ckpt", required=True)
+    pe.add_argument("--what", choices=["logprob", "sampler"], default="logprob")
+    pe.add_argument(
+        "--batch", type=int, default=None,
+        help="pin the batch size (default: symbolic — serves any size)",
+    )
+    pe.add_argument("--tol", type=float, default=1e-5)
+    pe.add_argument(
+        "--trace", default=None,
+        choices=["exact", "hutchinson", "hutchpp", "xtrace"],
+    )
+    pe.add_argument("--volume-corrected", action="store_true")
+    pe.add_argument("--out", required=True)
+    pe.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -81,3 +81,34 @@ def test_cli_conditional_sample_requires_and_uses_cond_data(tmp_path):
           "--cond-data", cond_path, "--out", out])
     s = np.load(out)
     assert s.shape == (32, 2) and np.all(np.isfinite(s))
+
+
+@pytest.mark.slow
+def test_cli_export_roundtrip(tmp_path):
+    """'export' compiles a checkpoint into a serving artifact that a
+    model-free consumer can call (symbolic batch)."""
+    x = np.asarray(DEMO_GMM.sample(jax.random.PRNGKey(1), 1000), np.float32)
+    data = str(tmp_path / "x.f32")
+    write_f32(data, x)
+    ckpt = str(tmp_path / "model.npz")
+    main([
+        "train", "--data", data, "--dim", "2", "--units", "32",
+        "--trace", "hutchinson", "--stages", "64:1e-3", "--epochs", "2",
+        "--out", ckpt,
+    ])
+
+    art = str(tmp_path / "lp.stablehlo")
+    main(["export", "--ckpt", ckpt, "--tol", "1e-3", "--out", art])
+
+    from flowfusion_tpu.utils import serving
+
+    f = serving.deserialize_log_prob(serving.load_artifact(art))
+    for batch in (8, 64):
+        lp = f(x[:batch], seed=3)
+        assert lp.shape == (batch,) and np.all(np.isfinite(np.asarray(lp)))
+
+    art_s = str(tmp_path / "sampler.stablehlo")
+    main(["export", "--ckpt", ckpt, "--what", "sampler", "--out", art_s])
+    g = serving.deserialize_sampler(serving.load_artifact(art_s))
+    s = g(np.random.default_rng(0).standard_normal((32, 2)).astype(np.float32))
+    assert s.shape == (32, 2) and np.all(np.isfinite(np.asarray(s)))
