@@ -848,3 +848,48 @@ def test_highf32_exact_mode_near_f32():
                  / jnp.max(jnp.abs(f32[0]))) <= 5e-5
     assert float(jnp.max(jnp.abs(fhf[1] - f32[1]))
                  / (jnp.max(jnp.abs(f32[1])) + 1e-12)) <= 5e-4
+
+
+@pytest.mark.slow
+def test_fused_velocity_tangents_matches_jvp_reference():
+    """fused_velocity_tangents (the flow twin of fused_drift_tangents:
+    velocity + K arbitrary J V probe chains in one dispatch) equals
+    jax.jvp on the plain velocity net."""
+    from flowfusion_tpu.kernels.fused_mlp import fused_velocity_tangents
+    from flowfusion_tpu.models.nets import (
+        VelocityMLPConfig,
+        apply_velocity_mlp,
+        init_velocity_mlp,
+    )
+
+    for n_cond in (0, 2):
+        cfg = VelocityMLPConfig(
+            target_dimension=2,
+            conditional_dimension=n_cond,
+            hidden_units=(128, 128),
+        )
+        params = init_velocity_mlp(jax.random.PRNGKey(0), cfg)
+        B = 70  # ragged (padding path)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, 2))
+        cond = (
+            jax.random.normal(jax.random.PRNGKey(5), (B, n_cond))
+            if n_cond
+            else None
+        )
+        V = jax.random.normal(jax.random.PRNGKey(2), (3, B, 2))
+        t = jnp.asarray(0.41)
+
+        def v_fn(xx):
+            return apply_velocity_mlp(cfg, params, t, xx, cond)
+
+        v_cols, jv_cols = fused_velocity_tangents(
+            params, cfg, t, x, V, cond, tile=64, interpret=INTERPRET
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_cols.T), np.asarray(v_fn(x)), atol=2e-5
+        )
+        for k in range(3):
+            _, jv_ref = jax.jvp(v_fn, (x,), (V[k],))
+            np.testing.assert_allclose(
+                np.asarray(jv_cols[k].T), np.asarray(jv_ref), atol=2e-5
+            )

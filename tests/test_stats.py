@@ -133,3 +133,33 @@ def test_demo_gmm_matches_independent_numpy_oracle():
     np.testing.assert_allclose(
         np.cov(s_lib.T), np.cov(s_orc.T), atol=0.08
     )
+
+
+def test_train_val_test_split_partitions():
+    from flowfusion_tpu.utils.data import train_val_test_split
+
+    x = jnp.arange(100.0)[:, None]
+    tr, va, te = train_val_test_split(jax.random.PRNGKey(0), x)
+    assert tr.shape[0] == 25 and va.shape[0] == 25 and te.shape[0] == 50
+    merged = np.sort(np.concatenate([tr, va, te]).ravel())
+    np.testing.assert_array_equal(merged, np.arange(100.0))
+
+
+def test_assert_all_finite_names_the_bad_leaf():
+    from flowfusion_tpu.utils.diagnostics import assert_all_finite
+
+    good = {"a": jnp.ones(3), "b": {"c": jnp.zeros(2)}}
+    assert_all_finite(good, "params")  # no raise
+    bad = {"a": jnp.ones(3), "b": {"c": jnp.asarray([1.0, np.nan])}}
+    with pytest.raises(FloatingPointError, match=r"params.*\['b'\]\['c'\]"):
+        assert_all_finite(bad, "params")
+
+
+def test_trace_annotation_and_timer():
+    from flowfusion_tpu.utils.diagnostics import Timer, trace_annotation
+
+    with trace_annotation("unit-test-region"):
+        y = jnp.sum(jnp.ones((8, 8)))
+    with Timer() as t:
+        t.block_on(y)
+    assert t.seconds >= 0.0
