@@ -167,11 +167,62 @@ def tpu_numerics_check(model, x):
     assert dlp3 <= 1e-4, f"3pass log_prob deviates {dlp3:.2e}"
 
 
+def _device_preflight(timeout_s: int = 180) -> None:
+    """Fail fast (with a diagnosis) if the device path is wedged.
+
+    The axon relay has been observed to hang indefinitely — even an 8x8
+    matmul never returns (2026-08-17 outage).  A healthy backend finishes
+    the first tiny op (backend init + compile included) in seconds; if it
+    doesn't within ``timeout_s``, exit nonzero with a clear message
+    instead of letting the driver's whole time budget burn on a hang.
+
+    Runs in a subprocess: the hang sits inside a blocking native RPC, so
+    an in-process SIGALRM handler would never get to run — the probe must
+    be killable from outside.
+    """
+    import subprocess
+    import sys
+
+    # honour JAX_PLATFORMS in the child explicitly: this sandbox's
+    # sitecustomize force-prefers the axon platform over the env var, and
+    # the probe must test the same backend the parent will bench on.
+    probe = (
+        "import os, jax;"
+        "p = os.environ.get('JAX_PLATFORMS');"
+        "p and jax.config.update('jax_platforms', p);"
+        "import jax.numpy as jnp, numpy as np;"
+        "x = jnp.ones((8, 8)) @ jnp.ones((8, 8));"
+        "print(float(np.asarray(x)[0, 0]))"
+    )
+    try:
+        subprocess.run(
+            [sys.executable, "-c", probe],
+            timeout=timeout_s,
+            check=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench preflight: device backend unresponsive for {timeout_s}s "
+            "(tiny matmul never completed) — relay/tunnel outage, not a "
+            "framework failure; rerun when the device path recovers",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+    except subprocess.CalledProcessError as e:
+        print(f"bench preflight: device probe failed (rc={e.returncode})",
+              file=sys.stderr)
+        sys.exit(3)
+    print("bench preflight: backend responsive", file=sys.stderr)
+
+
 def main():
     import dataclasses
 
     from flowfusion_tpu.parallel.sharding import make_mesh, shard_batch
 
+    _device_preflight()
     key = jax.random.PRNGKey(0)
     model, x, _ = build_trained_model(key)
     tpu_numerics_check(model, x)
