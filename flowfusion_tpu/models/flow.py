@@ -372,14 +372,30 @@ class ODEFlow:
         discretization error profile; the reference flow module
         (flow.py:308-438) has no equivalent.  Returns (lp (B,),
         per-sample SolverStats).
+
+        Eager multi-device calls shard the batch over all devices
+        (``parallel.autoshard``); stats stay (B,)-shaped.
         """
         from ..ops.integrate import odeint_per_sample
+        from ..parallel import autoshard
 
         if self.trace_mode not in ("exact", "hutchinson"):
             raise NotImplementedError(
                 "per-sample stepping supports trace_mode 'exact' and "
                 "'hutchinson' (sketch-based estimators are batch-coupled)"
             )
+        if autoshard.should_route(x, conditional, key):
+            opts = autoshard.hashable_options(options)
+            if opts is not autoshard.UNROUTABLE:
+                (lp, stats), _ = autoshard.routed_call(
+                    _flow_logprob_per_sample_per_shard,
+                    (atol, rtol, method, opts),
+                    self,
+                    x,
+                    conditional,
+                    key,
+                )
+                return lp, stats
         x_std = (x - self.target_shift) / self.target_scale
         probes = trace_lib.make_probes(self.trace_mode, key, x_std)
         e = probes[0] if probes else jnp.zeros_like(x_std)
@@ -455,6 +471,25 @@ class ODEFlow:
         prior = jnp.sum(-0.5 * xT**2 - 0.5 * _LOG_2PI, axis=1)
         lp = prior + log_jac - jnp.sum(jnp.log(self.target_scale))
         return lp, stats
+
+
+def _flow_logprob_per_sample_per_shard(atol, rtol, method, opts):
+    """Per-shard log_prob_per_sample body for ``parallel.autoshard``
+    (module-level: its identity is the jit-cache key)."""
+
+    def per_shard(model, xb, cb, kb):
+        lp, stats = model.log_prob_per_sample(
+            xb,
+            cb,
+            key=kb,
+            atol=atol,
+            rtol=rtol,
+            method=method,
+            options=dict(opts) if opts is not None else None,
+        )
+        return (lp, stats), ()
+
+    return per_shard
 
 
 def _flow_logprob_per_shard(atol, rtol, method, opts):

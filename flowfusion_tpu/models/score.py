@@ -625,14 +625,31 @@ class ScoreModel:
         reference's batch-global stepping (ops.integrate.odeint_per_sample)
         — same estimator, different discretization error profile.  Returns
         (lp (B,), per-sample SolverStats).
+
+        Eager multi-device calls shard the batch over all devices like
+        ``log_prob`` (``parallel.autoshard``); stats stay (B,)-shaped
+        (per row, not per shard — the mode is per-sample by definition).
         """
         from ..ops.integrate import odeint_per_sample
+        from ..parallel import autoshard
 
         if self.trace_mode not in ("exact", "hutchinson"):
             raise NotImplementedError(
                 "per-sample stepping supports trace_mode 'exact' and "
                 "'hutchinson' (sketch-based estimators are batch-coupled)"
             )
+        if autoshard.should_route(x0_samples, conditional, key):
+            opts = autoshard.hashable_options(options)
+            if opts is not autoshard.UNROUTABLE:
+                (lp, stats), _ = autoshard.routed_call(
+                    _logprob_per_sample_per_shard,
+                    (atol, rtol, method, opts),
+                    self,
+                    x0_samples,
+                    conditional,
+                    key,
+                )
+                return lp, stats
         if options is None:
             options = {"min_step": 1e-6}
 
@@ -725,6 +742,28 @@ class ScoreModel:
         )
         lp = dlp + jnp.sum(self.sde.prior_log_prob(xT), axis=1)
         return lp, stats
+
+
+def _logprob_per_sample_per_shard(atol, rtol, method, opts):
+    """Per-shard log_prob_per_sample body for ``parallel.autoshard``
+    (module-level: its identity is the jit-cache key).  Both outputs are
+    row-shaped, so everything rides in the batch pytree."""
+
+    def per_shard(model, xb, cb, kb):
+        # no _per_shard_variant: the per-sample path runs plain per-row
+        # closures (the fused kernels are batch-tiled, not per-row)
+        lp, stats = model.log_prob_per_sample(
+            xb,
+            cb,
+            key=kb,
+            atol=atol,
+            rtol=rtol,
+            method=method,
+            options=dict(opts) if opts is not None else None,
+        )
+        return (lp, stats), ()
+
+    return per_shard
 
 
 def _logprob_per_shard(atol, rtol, method, opts):

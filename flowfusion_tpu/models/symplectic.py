@@ -332,8 +332,25 @@ class SymplecticFlowModel:
         Trace-free, so the per-row state is just the joint (q, p) vector
         plus the zero-dynamics conditional.  Returns (lp (B,), per-sample
         SolverStats).
+
+        Eager multi-device calls shard the batch over all devices
+        (``parallel.autoshard``); stats stay (B,)-shaped.
         """
         from ..ops.integrate import odeint_per_sample
+        from ..parallel import autoshard
+
+        if autoshard.should_route(x, conditional, key):
+            opts = autoshard.hashable_options(options)
+            if opts is not autoshard.UNROUTABLE:
+                (lp, stats), _ = autoshard.routed_call(
+                    _sympl_logprob_per_sample_per_shard,
+                    (atol, rtol, method, opts),
+                    self,
+                    x,
+                    conditional,
+                    key,
+                )
+                return lp, stats
 
         q0 = (x - self.shift) / self.scale
         cond_n = self._norm_cond(conditional)
@@ -365,6 +382,25 @@ class SymplecticFlowModel:
             _std_normal_logpdf(p0), axis=-1
         )
         return lp - jnp.sum(jnp.log(self.scale)), stats
+
+
+def _sympl_logprob_per_sample_per_shard(atol, rtol, method, opts):
+    """Per-shard log_prob_per_sample body for ``parallel.autoshard``
+    (module-level: its identity is the jit-cache key)."""
+
+    def per_shard(model, xb, cb, kb):
+        lp, stats = model.log_prob_per_sample(
+            kb,
+            xb,
+            conditional=cb,
+            atol=atol,
+            rtol=rtol,
+            method=method,
+            options=dict(opts) if opts is not None else None,
+        )
+        return (lp, stats), ()
+
+    return per_shard
 
 
 def _sympl_logprob_per_shard(atol, rtol, method, opts, K):

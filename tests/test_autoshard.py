@@ -200,3 +200,38 @@ def test_symplectic_logprob_routes():
     assert lp.shape == (29,)
     assert stats.n_func_evals.shape == (N_DEV,)
     assert bool(jnp.all(jnp.isfinite(lp)))
+
+
+def test_log_prob_per_sample_routes_all_families(score_model):
+    """Eager per-sample calls shard the batch too; stats stay (B,)-shaped
+    (per row, not per shard) and values match the jit-pinned unrouted
+    path at per-sample-mode tolerances."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (37, 2))  # ragged batch
+    key = jax.random.PRNGKey(4)
+
+    lp, stats = score_model.log_prob_per_sample(x, key=key, atol=1e-5, rtol=1e-5)
+    assert lp.shape == (37,) and stats.n_func_evals.shape == (37,)
+    assert bool(jnp.all(jnp.isfinite(lp))) and bool(jnp.all(stats.succeeded))
+    # the routed path folds the key per shard, so compare against an
+    # exact-trace run where the probe draw is irrelevant
+    m_exact = dataclasses.replace(score_model, trace_mode="exact")
+    lp_r, _ = m_exact.log_prob_per_sample(x, atol=1e-6, rtol=1e-6)
+    lp_u, _ = jax.jit(
+        lambda mm, xx: mm.log_prob_per_sample(xx, atol=1e-6, rtol=1e-6)
+    )(m_exact, x)
+    np.testing.assert_allclose(np.asarray(lp_r), np.asarray(lp_u), atol=1e-4)
+
+    flow = ODEFlow.create(
+        jax.random.PRNGKey(5), target_dimension=2, hidden_units=(32,),
+        trace_mode="exact",
+    )
+    lp_f, stats_f = flow.log_prob_per_sample(x, atol=1e-5, rtol=1e-5)
+    assert lp_f.shape == (37,) and stats_f.n_func_evals.shape == (37,)
+    assert bool(jnp.all(jnp.isfinite(lp_f)))
+
+    from flowfusion_tpu.models.symplectic import SymplecticFlowModel
+
+    sym = SymplecticFlowModel.create(jax.random.PRNGKey(6), n_data_dims=2, units=(32,))
+    lp_s, stats_s = sym.log_prob_per_sample(key, x, atol=1e-5, rtol=1e-5)
+    assert lp_s.shape == (37,) and stats_s.n_func_evals.shape == (37,)
+    assert bool(jnp.all(jnp.isfinite(lp_s)))
