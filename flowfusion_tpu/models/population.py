@@ -227,6 +227,36 @@ class PopulationModelDiffusion:
             lp = lp - jnp.sum(jnp.log(self.scale))
         return lp, stats
 
+    def log_prob_per_sample(
+        self,
+        x: jax.Array,
+        conditional: Optional[jax.Array] = None,
+        key: Optional[jax.Array] = None,
+        atol: float = 1e-5,
+        rtol: float = 1e-5,
+        method: str = "dopri5",
+        options: Optional[dict] = None,
+        volume_corrected: bool = False,
+    ) -> Tuple[jax.Array, SolverStats]:
+        """Wrapper-level per-sample fast mode (beyond-reference).
+
+        Standardizes like ``log_prob`` and delegates to
+        ``ScoreModel.log_prob_per_sample`` (each row steps at its own
+        pace); same standardized-units default and ``volume_corrected``
+        switch.  Returns (lp (B,), per-sample SolverStats).
+        """
+        lp, stats = self.score_model.log_prob_per_sample(
+            (x - self.shift) / self.scale,
+            conditional=self._norm_cond(conditional),
+            key=key,
+            atol=atol,
+            rtol=rtol,
+            method=method,
+            options=options,
+        )
+        if volume_corrected:
+            lp = lp - jnp.sum(jnp.log(self.scale))
+        return lp, stats
 
 def _pop_logprob_per_shard(atol, rtol, method, opts, volume_corrected):
     """Per-shard wrapper-log_prob body for ``parallel.autoshard``

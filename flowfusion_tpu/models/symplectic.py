@@ -191,7 +191,24 @@ class SymplecticFlowModel:
         coarse-step sampling stays consistent with the trace-free log-prob
         identity.  Needs num_steps >= 1; at num_steps=1 it costs 3 half
         evaluations vs Euler's 1 full one.
+
+        Eager multi-device calls split the batch over all devices
+        (``parallel.autoshard``; each shard draws from its own fold of
+        ``key``).  ``base`` pins the noise and skips routing.
         """
+        from ..parallel import autoshard
+
+        if base is None and autoshard.should_route(key, conditional):
+            samples, _ = autoshard.routed_sample(
+                _sympl_sample_per_shard,
+                lambda local: (local, shape[1], num_steps, method),
+                self,
+                key,
+                shape[0],
+                conditional,
+            )
+            return samples
+
         batch, d = shape
         if base is not None:
             x = base
@@ -382,6 +399,19 @@ class SymplecticFlowModel:
             _std_normal_logpdf(p0), axis=-1
         )
         return lp - jnp.sum(jnp.log(self.scale)), stats
+
+
+def _sympl_sample_per_shard(local_rows, d, num_steps, method):
+    """Per-shard sample body for ``parallel.autoshard``."""
+
+    def per_shard(model, cb, kb):
+        q0 = model._per_shard_variant().sample(
+            kb, (local_rows, d), conditional=cb,
+            num_steps=num_steps, method=method,
+        )
+        return q0, ()
+
+    return per_shard
 
 
 def _sympl_logprob_per_sample_per_shard(atol, rtol, method, opts):

@@ -235,3 +235,19 @@ def test_log_prob_per_sample_routes_all_families(score_model):
     lp_s, stats_s = sym.log_prob_per_sample(key, x, atol=1e-5, rtol=1e-5)
     assert lp_s.shape == (37,) and stats_s.n_func_evals.shape == (37,)
     assert bool(jnp.all(jnp.isfinite(lp_s)))
+
+
+def test_symplectic_sample_routes():
+    from flowfusion_tpu.models.symplectic import SymplecticFlowModel
+
+    sym = SymplecticFlowModel.create(jax.random.PRNGKey(0), n_data_dims=2, units=(32,))
+    q = sym.sample(jax.random.PRNGKey(1), (37, 2), num_steps=2)
+    assert q.shape == (37, 2)
+    assert bool(jnp.all(jnp.isfinite(q)))
+    # shards draw different keys: rows must not repeat across shards
+    per = 37 // N_DEV
+    if per >= 1 and N_DEV >= 2:
+        assert not np.allclose(np.asarray(q[:per]), np.asarray(q[per : 2 * per]))
+    # leapfrog routes too
+    q2 = sym.sample(jax.random.PRNGKey(2), (19, 2), num_steps=2, method="leapfrog")
+    assert q2.shape == (19, 2) and bool(jnp.all(jnp.isfinite(q2)))

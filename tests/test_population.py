@@ -149,3 +149,41 @@ def test_create_plumbs_kernel_knobs():
     )
     assert m.score_model.use_fused_kernel is False
     assert m.score_model.kernel_compute_dtype == "highf32"
+
+
+def test_wrapper_log_prob_per_sample_matches_batch_global():
+    """The wrapper-level per-sample fast mode agrees with the batch-global
+    wrapper log_prob at tight tolerances, honours volume correction, and
+    returns per-row stats."""
+    import dataclasses
+
+    m = PopulationModelDiffusion.create(
+        jax.random.PRNGKey(0),
+        VPSDE(),
+        n_dimensions=2,
+        units=(32,),
+        scale=jnp.asarray([2.0, 0.5]),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (24, 2))
+    lp_b, _ = jax.jit(
+        lambda mm, xx: mm.log_prob(xx, atol=1e-7, rtol=1e-7)
+    )(m, x)
+    lp_p, stats = jax.jit(
+        lambda mm, xx: mm.log_prob_per_sample(xx, atol=1e-7, rtol=1e-7)
+    )(m, x)
+    assert stats.n_func_evals.shape == (24,)
+    np.testing.assert_allclose(np.asarray(lp_p), np.asarray(lp_b), atol=1e-4)
+
+    lp_v, _ = jax.jit(
+        lambda mm, xx: mm.log_prob_per_sample(
+            xx, atol=1e-5, rtol=1e-5, volume_corrected=True
+        )
+    )(m, x)
+    lp_u, _ = jax.jit(
+        lambda mm, xx: mm.log_prob_per_sample(xx, atol=1e-5, rtol=1e-5)
+    )(m, x)
+    np.testing.assert_allclose(
+        np.asarray(lp_u - lp_v),
+        float(np.log(2.0) + np.log(0.5)),
+        atol=1e-5,
+    )
