@@ -200,7 +200,7 @@ def _device_preflight(timeout_s: int = 180) -> None:
             timeout=timeout_s,
             check=True,
             stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
         )
     except subprocess.TimeoutExpired:
         print(
@@ -211,17 +211,28 @@ def _device_preflight(timeout_s: int = 180) -> None:
         )
         sys.exit(3)
     except subprocess.CalledProcessError as e:
-        print(f"bench preflight: device probe failed (rc={e.returncode})",
-              file=sys.stderr)
+        tail = (e.stderr or b"").decode(errors="replace").strip().splitlines()
+        print(
+            f"bench preflight: device probe failed (rc={e.returncode}):\n"
+            + "\n".join(tail[-8:]),
+            file=sys.stderr,
+        )
         sys.exit(3)
     print("bench preflight: backend responsive", file=sys.stderr)
 
 
 def main():
     import dataclasses
+    import os
 
     from flowfusion_tpu.parallel.sharding import make_mesh, shard_batch
 
+    # Honour JAX_PLATFORMS in THIS process too (sitecustomize force-prefers
+    # axon over the env var), so the parent benches the same backend the
+    # preflight child just probed.
+    p = os.environ.get("JAX_PLATFORMS")
+    if p:
+        jax.config.update("jax_platforms", p)
     _device_preflight()
     key = jax.random.PRNGKey(0)
     model, x, _ = build_trained_model(key)

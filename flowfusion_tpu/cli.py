@@ -228,7 +228,14 @@ def cmd_export(args):
             volume_corrected=args.volume_corrected,
         )
     else:
-        blob = serving.export_sampler(model, batch=args.batch)
+        if args.volume_corrected:
+            raise SystemExit(
+                "--volume-corrected only applies to --what logprob "
+                "(samplers return data-unit draws already)"
+            )
+        blob = serving.export_sampler(
+            model, batch=args.batch, atol=args.tol, rtol=args.tol
+        )
     serving.save_artifact(args.out, blob)
     batch_desc = args.batch if args.batch is not None else "symbolic"
     print(

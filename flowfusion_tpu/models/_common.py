@@ -103,3 +103,27 @@ def norm_cond(conditional, shift, scale):
     if conditional is None:
         return None
     return (conditional - shift) / scale
+
+
+def logprob_per_sample_per_shard(atol, rtol, method, opts):
+    """Shared per-shard ``log_prob_per_sample`` body for
+    ``parallel.autoshard`` (module-level: its identity is the jit-cache
+    key).  Used by ScoreModel and ODEFlow, whose fast modes share the
+    ``(x, conditional, key=...)`` signature; both outputs are row-shaped,
+    so everything rides in the batch pytree.  No ``_per_shard_variant``:
+    the per-sample path runs plain per-row closures (the fused kernels
+    are batch-tiled, not per-row)."""
+
+    def per_shard(model, xb, cb, kb):
+        lp, stats = model.log_prob_per_sample(
+            xb,
+            cb,
+            key=kb,
+            atol=atol,
+            rtol=rtol,
+            method=method,
+            options=dict(opts) if opts is not None else None,
+        )
+        return (lp, stats), ()
+
+    return per_shard

@@ -388,7 +388,7 @@ class ODEFlow:
             opts = autoshard.hashable_options(options)
             if opts is not autoshard.UNROUTABLE:
                 (lp, stats), _ = autoshard.routed_call(
-                    _flow_logprob_per_sample_per_shard,
+                    _common.logprob_per_sample_per_shard,
                     (atol, rtol, method, opts),
                     self,
                     x,
@@ -471,25 +471,6 @@ class ODEFlow:
         prior = jnp.sum(-0.5 * xT**2 - 0.5 * _LOG_2PI, axis=1)
         lp = prior + log_jac - jnp.sum(jnp.log(self.target_scale))
         return lp, stats
-
-
-def _flow_logprob_per_sample_per_shard(atol, rtol, method, opts):
-    """Per-shard log_prob_per_sample body for ``parallel.autoshard``
-    (module-level: its identity is the jit-cache key)."""
-
-    def per_shard(model, xb, cb, kb):
-        lp, stats = model.log_prob_per_sample(
-            xb,
-            cb,
-            key=kb,
-            atol=atol,
-            rtol=rtol,
-            method=method,
-            options=dict(opts) if opts is not None else None,
-        )
-        return (lp, stats), ()
-
-    return per_shard
 
 
 def _flow_logprob_per_shard(atol, rtol, method, opts):

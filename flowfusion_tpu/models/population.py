@@ -245,6 +245,9 @@ class PopulationModelDiffusion:
         pace); same standardized-units default and ``volume_corrected``
         switch.  Returns (lp (B,), per-sample SolverStats).
         """
+        # {} (not None) preserves the wrapper contract of NO min_step
+        # guard (see log_prob above): ScoreModel.log_prob_per_sample
+        # would otherwise default options=None to {'min_step': 1e-6}.
         lp, stats = self.score_model.log_prob_per_sample(
             (x - self.shift) / self.scale,
             conditional=self._norm_cond(conditional),
@@ -252,7 +255,7 @@ class PopulationModelDiffusion:
             atol=atol,
             rtol=rtol,
             method=method,
-            options=options,
+            options={} if options is None else options,
         )
         if volume_corrected:
             lp = lp - jnp.sum(jnp.log(self.scale))

@@ -642,7 +642,7 @@ class ScoreModel:
             opts = autoshard.hashable_options(options)
             if opts is not autoshard.UNROUTABLE:
                 (lp, stats), _ = autoshard.routed_call(
-                    _logprob_per_sample_per_shard,
+                    _common.logprob_per_sample_per_shard,
                     (atol, rtol, method, opts),
                     self,
                     x0_samples,
@@ -742,28 +742,6 @@ class ScoreModel:
         )
         lp = dlp + jnp.sum(self.sde.prior_log_prob(xT), axis=1)
         return lp, stats
-
-
-def _logprob_per_sample_per_shard(atol, rtol, method, opts):
-    """Per-shard log_prob_per_sample body for ``parallel.autoshard``
-    (module-level: its identity is the jit-cache key).  Both outputs are
-    row-shaped, so everything rides in the batch pytree."""
-
-    def per_shard(model, xb, cb, kb):
-        # no _per_shard_variant: the per-sample path runs plain per-row
-        # closures (the fused kernels are batch-tiled, not per-row)
-        lp, stats = model.log_prob_per_sample(
-            xb,
-            cb,
-            key=kb,
-            atol=atol,
-            rtol=rtol,
-            method=method,
-            options=dict(opts) if opts is not None else None,
-        )
-        return (lp, stats), ()
-
-    return per_shard
 
 
 def _logprob_per_shard(atol, rtol, method, opts):

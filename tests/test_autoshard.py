@@ -99,9 +99,11 @@ def test_sample_sde_routes(score_model):
     assert res.x.shape == (37, 2)
     assert res.nan_encountered.shape == ()  # API shape preserved
     assert bool(jnp.all(jnp.isfinite(res.x_mean)))
-    # shards draw different keys: rows must not repeat across shards
-    per = 37 // N_DEV
-    if per >= 1 and N_DEV >= 2:
+    # shards draw different keys: rows must not repeat across shards.
+    # shard size is ceil(37 / N_DEV) (the batch is padded up), so the
+    # windows [0:per) and [per:2*per) are exactly shards 0 and 1.
+    per = -(-37 // N_DEV)
+    if N_DEV >= 2 and 2 * per <= 37:
         assert not np.allclose(
             np.asarray(res.x_mean[:per]), np.asarray(res.x_mean[per : 2 * per])
         )
@@ -245,8 +247,9 @@ def test_symplectic_sample_routes():
     assert q.shape == (37, 2)
     assert bool(jnp.all(jnp.isfinite(q)))
     # shards draw different keys: rows must not repeat across shards
-    per = 37 // N_DEV
-    if per >= 1 and N_DEV >= 2:
+    # (windows aligned to the padded shard size ceil(37 / N_DEV))
+    per = -(-37 // N_DEV)
+    if N_DEV >= 2 and 2 * per <= 37:
         assert not np.allclose(np.asarray(q[:per]), np.asarray(q[per : 2 * per]))
     # leapfrog routes too
     q2 = sym.sample(jax.random.PRNGKey(2), (19, 2), num_steps=2, method="leapfrog")

@@ -158,9 +158,14 @@ def test_log_prob_per_sample_real_net_conditional():
     )
     x = jax.random.normal(jax.random.PRNGKey(1), (6, 2))
     c = jnp.linspace(-1, 1, 6)[:, None]
-    lp, stats = flow.log_prob_per_sample(
-        x, conditional=c, key=jax.random.PRNGKey(2), atol=1e-4, rtol=1e-4
-    )
+    # jit pins BOTH calls to the unrouted path so they draw the SAME
+    # probes from the key (eager multi-device calls autoshard and fold
+    # the key per shard — different probes by design)
+    lp, stats = jax.jit(
+        lambda mm, xx, cc, kk: mm.log_prob_per_sample(
+            xx, conditional=cc, key=kk, atol=1e-4, rtol=1e-4
+        )
+    )(flow, x, c, jax.random.PRNGKey(2))
     assert lp.shape == (6,)
     assert np.all(np.isfinite(np.asarray(lp)))
     # same probes (jit keeps log_prob on the unrouted single-solve path),

@@ -184,10 +184,12 @@ def test_log_prob_per_sample_hutchinson_conditional():
     )
     x = jax.random.normal(jax.random.PRNGKey(1), (6, 2))
     c = jnp.linspace(-1, 1, 6)[:, None]
-    lp, stats = m.log_prob_per_sample(x, conditional=c, key=jax.random.PRNGKey(2))
-    # jit keeps log_prob on the unrouted single-solve path, so both calls
-    # draw the SAME probes from the key (the routed multi-device path
-    # folds the key per shard — different probes by design).
+    # jit pins BOTH calls to the unrouted path, so they draw the SAME
+    # probes from the key (eager multi-device calls autoshard and fold
+    # the key per shard — different probes by design).
+    lp, stats = jax.jit(
+        lambda mm, xx, cc, kk: mm.log_prob_per_sample(xx, conditional=cc, key=kk)
+    )(m, x, c, jax.random.PRNGKey(2))
     lp_g, _ = jax.jit(lambda mm, xx, cc, kk: mm.log_prob(xx, cc, key=kk))(
         m, x, c, jax.random.PRNGKey(2)
     )
