@@ -194,3 +194,29 @@ def test_fit_clamps_oversized_stage_batch():
     )
     assert len(hist) == 1
     assert np.all(np.isfinite(hist[0].train_losses))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
+def test_orbax_checkpoint_round_trip_sharded(tmp_path):
+    """Checkpoints written from SHARDED arrays (production multi-device
+    training state) restore correctly into a fresh single-host template."""
+    pytest.importorskip("orbax.checkpoint")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from flowfusion_tpu.parallel.sharding import make_mesh
+    from flowfusion_tpu.utils import checkpoint as ckpt
+
+    m = _model()
+    mesh = make_mesh()
+    # replicate params over the mesh, as a data-parallel train step leaves them
+    m_sharded = jax.device_put(
+        m, jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), m)
+    )
+    path = str(tmp_path / "ckpt_sharded")
+    ckpt.save_orbax(path, m_sharded)
+
+    restored = ckpt.load_orbax(path, _model())
+    a = jax.tree_util.tree_leaves(m)
+    b = jax.tree_util.tree_leaves(restored)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
