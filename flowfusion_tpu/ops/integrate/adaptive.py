@@ -18,9 +18,11 @@ numerical conventions match torchdiffeq 0.2.x so that densities agree to the
   * no clipping of steps onto output times: the solver overshoots and
     evaluates outputs from 4th-order dense interpolation (Shampine midpoint
     fit for dopri5, cubic Hermite otherwise).  Exception: tableaus with
-    ``clip_steps`` (dop853) land exactly on each output time instead —
-    their order exceeds the interpolant's.
-  * FSAL reuse for dopri5/bosh3/dop853.
+    ``clip_steps`` (dop853, tsit5) land exactly on each output time
+    instead — their order exceeds (or their coefficients don't supply)
+    the interpolant's.
+  * FSAL reuse wherever the tableau supports it (dopri5/bosh3/dop853/
+    tsit5 — see ``tableaus.is_fsal``).
 
 Differences from torchdiffeq (deliberate, TPU-motivated):
   * the entire adaptive loop is compiled — no Python dispatch per step;
@@ -41,9 +43,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .fixed import _tree_axpy
 from .tableaus import ButcherTableau, get_adaptive_tableau
 
-__all__ = ["odeint_adaptive", "SolverStats"]
+__all__ = ["odeint_adaptive", "odeint_per_sample", "SolverStats"]
 
 
 class SolverStats(NamedTuple):
@@ -82,10 +85,6 @@ def _weighted_sum(trees: Sequence[Any], weights: Sequence[float], scale) -> Any:
         return scale * acc
 
     return jax.tree_util.tree_map(combine, *[t for _, t in terms])
-
-
-def _tree_axpy(y: Any, scale, x: Any) -> Any:
-    return jax.tree_util.tree_map(lambda a, b: a + scale * b, y, x)
 
 
 def _tree_select(pred: jax.Array, a: Any, b: Any) -> Any:
@@ -325,17 +324,23 @@ def odeint_adaptive(
     cfg = _AdaptiveOptions(
         rtol=float(rtol),
         atol=float(atol),
-        safety=float(opts.pop("safety", 0.9)),
-        ifactor=float(opts.pop("ifactor", 10.0)),
-        dfactor=float(opts.pop("dfactor", 0.2)),
-        min_step=float(opts.pop("min_step", 0.0)),
-        max_step=float(opts.pop("max_step", float("inf"))),
-        max_num_steps=int(opts.pop("max_num_steps", 2**14)),
-        controller=str(opts.pop("controller", "i")),
+        # defaults come from the dataclass declaration — single source
+        safety=float(opts.pop("safety", _AdaptiveOptions.safety)),
+        ifactor=float(opts.pop("ifactor", _AdaptiveOptions.ifactor)),
+        dfactor=float(opts.pop("dfactor", _AdaptiveOptions.dfactor)),
+        min_step=float(opts.pop("min_step", _AdaptiveOptions.min_step)),
+        max_step=float(opts.pop("max_step", _AdaptiveOptions.max_step)),
+        max_num_steps=int(opts.pop("max_num_steps", _AdaptiveOptions.max_num_steps)),
+        controller=str(opts.pop("controller", _AdaptiveOptions.controller)),
         beta=(lambda b: None if b is None else float(b))(opts.pop("beta", None)),
     )
     if cfg.controller not in ("i", "pi"):
         raise ValueError(f"unknown controller {cfg.controller!r}; use 'i' or 'pi'")
+    if cfg.beta is not None and cfg.controller != "pi":
+        raise ValueError(
+            "options={'beta': ...} is the PI controller's damping weight; "
+            "pass options={'controller': 'pi', 'beta': ...}"
+        )
     if opts:
         raise ValueError(f"unknown solver options: {sorted(opts)}")
 
@@ -392,7 +397,8 @@ def odeint_adaptive(
             # method's order exceeds the quartic interpolant's).  The
             # landing time is assigned (not accumulated) so the loop exit
             # is exact in f32 — no ulp-sized trailing steps.
-            t_new = jnp.where(c.t1 + dt >= target, target, c.t1 + dt)
+            landed = c.t1 + dt >= target
+            t_new = jnp.where(landed, target, c.t1 + dt)
             dt = t_new - c.t1
         else:
             t_new = c.t1 + dt
@@ -443,9 +449,12 @@ def odeint_adaptive(
             # scale; resuming the next interval from controller(clipped_dt)
             # would restart from ~ulp sizes after an exact landing.  Keep
             # the larger of the controller proposal and the pre-clip dt.
-            was_clipped = dt < jnp.clip(c.dt, cfg.min_step, cfg.max_step)
+            # The flag is the landing predicate itself: re-deriving it from
+            # `dt < clip(c.dt)` is spuriously true on ordinary steps (dt
+            # was round-tripped through t1 + dt, losing ~ulp(t1)), which
+            # would override the controller's shrink-on-accept.
             dt_next = jnp.where(
-                was_clipped & accept, jnp.maximum(dt_next, c.dt), dt_next
+                landed & accept, jnp.maximum(dt_next, c.dt), dt_next
             )
         return _RKCarry(
             t0=jnp.where(accept, c.t1, c.t0),
@@ -464,41 +473,46 @@ def odeint_adaptive(
             prev_rejected=~accept,
         )
 
-    n_out = len(ts)
-    out_buf = jax.tree_util.tree_map(
-        lambda y: jnp.zeros((n_out,) + y.shape, y.dtype).at[0].set(y), y0
-    )
-
-    def write_out(buf, idx, val):
-        return jax.tree_util.tree_map(
-            lambda b, v: b.at[idx].set(v), buf, val
-        )
-
-    total_steps = jnp.asarray(0, jnp.int32)
-    for i in range(1, n_out):
-        target = ts_j[i]
+    # One lax.scan over the output grid: the while_loop body (which inlines
+    # the RHS n_stages times) is traced ONCE regardless of len(ts), instead
+    # of unrolling a full copy per output interval — compile time and
+    # program size stay flat for trajectory requests (ts = linspace(...)).
+    def solve_to(scan_carry, target):
+        c, steps = scan_carry
 
         def cond(state):
-            c, steps = state
-            return (c.t1 < target) & (steps < cfg.max_num_steps)
+            cc, st = state
+            return (cc.t1 < target) & (st < cfg.max_num_steps)
 
         def body(state):
-            c, steps = state
-            return attempt_step(c, target), steps + 1
+            cc, st = state
+            return attempt_step(cc, target), st + 1
 
-        carry, total_steps = jax.lax.while_loop(cond, body, (carry, total_steps))
+        c, steps = jax.lax.while_loop(cond, body, (c, steps))
         if tab.clip_steps:
             # The solver landed exactly on ``target`` (by assignment): read
             # the state straight off the carry at the method's own order.
-            y_at = carry.y
+            y_at = c.y
         else:
-            # First requested time may coincide with t0 before any step.
+            # Interpolate only once a step was ACCEPTED: until then
+            # t0 == t1 and coeffs are zeros, so _interp_eval would divide
+            # by a zero-width span (NaN) — e.g. when every attempt was
+            # rejected until max_num_steps (NaN-poisoned RHS).
             y_at = jax.lax.cond(
-                carry.n_acc + carry.n_rej > 0,
-                lambda: _interp_eval(carry.coeffs, carry.t0, carry.t1, target),
-                lambda: carry.y,
+                c.n_acc > 0,
+                lambda: _interp_eval(c.coeffs, c.t0, c.t1, target),
+                lambda: c.y,
             )
-        out_buf = write_out(out_buf, i, y_at)
+        return (c, steps), y_at
+
+    (carry, _), ys_rest = jax.lax.scan(
+        solve_to, (carry, jnp.asarray(0, jnp.int32)), ts_j[1:]
+    )
+    out_buf = jax.tree_util.tree_map(
+        lambda y, rest: jnp.concatenate([y[None].astype(rest.dtype), rest]),
+        y0,
+        ys_rest,
+    )
 
     stats = SolverStats(
         n_func_evals=carry.nfe,

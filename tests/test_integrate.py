@@ -440,3 +440,36 @@ def test_euler_maruyama_progress_bar_ticks():
             progress=True, **args,
         )
     np.testing.assert_array_equal(np.asarray(r_bar.x), np.asarray(r_quiet.x))
+
+
+def test_all_rejected_solve_returns_honest_fallback_not_nan():
+    """A RHS that is NaN from the first attempt: every step rejects, the
+    loop exhausts max_num_steps, and the output must be the honest
+    fallback y0 with succeeded=False — NOT NaN from interpolating the
+    zero-width [t0, t1] span (regression)."""
+    y0 = jnp.ones((4,))
+
+    def bad_rhs(t, y):
+        return jnp.full_like(y, jnp.nan)
+
+    ys, stats = odeint(
+        bad_rhs, y0, [0.0, 1.0], rtol=1e-5, atol=1e-5,
+        options={"max_num_steps": 16},
+    )
+    assert not bool(stats.succeeded)
+    np.testing.assert_array_equal(np.asarray(ys[-1]), np.asarray(y0))
+
+
+def test_beta_without_pi_controller_raises():
+    """options={'beta': ...} only means something to the PI controller;
+    with the default I controller it must raise, not be silently
+    swallowed."""
+    y0 = jnp.ones((2,))
+    f = lambda t, y: -y
+    with pytest.raises(ValueError, match="controller"):
+        odeint(f, y0, [0.0, 1.0], options={"beta": 0.08})
+    # and with the PI controller it is accepted
+    ys, stats = odeint(
+        f, y0, [0.0, 1.0], options={"controller": "pi", "beta": 0.08}
+    )
+    assert bool(stats.succeeded)
