@@ -30,6 +30,14 @@ import sys
 # directory up from this script and is not necessarily pip-installed.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honour JAX_PLATFORMS if the user set it (this sandbox's sitecustomize
+# force-prefers its TPU relay over the env var, same workaround as
+# bench.py) — must run before the first jax device query.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 import argparse
 import dataclasses
