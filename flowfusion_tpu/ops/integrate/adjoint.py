@@ -14,8 +14,15 @@ at every requested time.  Forward and backward both run on-device in the
 same ``lax.while_loop`` adaptive solver (``odeint_adaptive``).
 
 ``func`` must take its differentiable parameters explicitly:
-``func(t, y, params)``.  Output times are static floats, so no gradients
-w.r.t. ``ts`` exist by construction (matching this library's API).
+``func(t, y, params)``.  Values it *closes over* (e.g. a conditioning
+batch) are hoisted with ``jax.closure_convert`` so gradients flow into
+them too instead of raising ``CustomVJPException``.  Output times are
+static floats, so no gradients w.r.t. ``ts`` exist by construction
+(matching this library's API).
+
+Failure surface: a solve that exhausts ``max_num_steps`` (forward or any
+backward interval) poisons its outputs with NaN — stats cannot cross the
+custom-vjp boundary, and silently-finite wrong gradients would be worse.
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .adaptive import odeint_adaptive
+from .tableaus import ADAPTIVE_TABLEAUS
 
 __all__ = ["odeint_adjoint"]
 
@@ -48,9 +56,26 @@ def odeint_adjoint(
     """Differentiable odeint: returns only ``ys`` (stats are not
     differentiable and intentionally omitted from the custom-vjp surface).
     """
+    if method not in ADAPTIVE_TABLEAUS:
+        raise ValueError(
+            f"odeint_adjoint is adaptive-only; method {method!r} is not one "
+            f"of {sorted(ADAPTIVE_TABLEAUS)} (fixed-step/multistep methods "
+            "are differentiable directly through lax.scan — call odeint "
+            "without adjoint instead)"
+        )
     ts = tuple(float(t) for t in np.asarray(ts, np.float64))
+    # Hoist anything func closes over (conditioning batches, standardization
+    # stats, ...) into explicit differentiable arguments, so cotangents can
+    # flow into them through the custom_vjp boundary.
+    t0 = jnp.asarray(ts[0], jnp.float32)
+    converted, consts = jax.closure_convert(func, t0, y0, params)
+
+    def func_pc(t, y, params_and_consts):
+        p, c = params_and_consts
+        return converted(t, y, p, *c)
+
     return _odeint_adjoint(
-        func,
+        func_pc,
         ts,
         float(rtol),
         float(atol),
@@ -59,7 +84,7 @@ def odeint_adjoint(
         float(adjoint_rtol if adjoint_rtol is not None else rtol),
         float(adjoint_atol if adjoint_atol is not None else atol),
         y0,
-        params,
+        (params, tuple(consts)),
     )
 
 
@@ -69,11 +94,23 @@ def _hashable_options(options):
     return tuple(sorted(options.items()))
 
 
+def _poison_on_failure(tree, stats):
+    """NaN-poison a solve's outputs when it exhausted max_num_steps.
+
+    SolverStats cannot cross the custom-vjp boundary, so an exhausted
+    solve would otherwise yield silently-finite wrong values/gradients;
+    NaN makes the failure loud in the loss instead.
+    """
+    return jax.tree_util.tree_map(
+        lambda a: jnp.where(stats.succeeded, a, jnp.nan), tree
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _odeint_adjoint(
     func, ts, rtol, atol, method, options, adj_rtol, adj_atol, y0, params
 ):
-    ys, _ = odeint_adaptive(
+    ys, stats = odeint_adaptive(
         lambda t, y: func(t, y, params),
         y0,
         ts,
@@ -82,7 +119,7 @@ def _odeint_adjoint(
         method=method,
         options=dict(options) if options else None,
     )
-    return ys
+    return _poison_on_failure(ys, stats)
 
 
 def _fwd(func, ts, rtol, atol, method, options, adj_rtol, adj_atol, y0, params):
@@ -116,9 +153,14 @@ def _bwd(func, ts, rtol, atol, method, options, adj_rtol, adj_atol, res, g_ys):
 
     # Integrate each interval [ts[i], ts[i-1]] backwards, re-seeding the
     # state with the stored forward solution at the interval's right edge.
+    # NOTE: this Python loop unrolls one adaptive solve per output interval
+    # (the intervals have different endpoints, so folding it into lax.scan
+    # would need a time-rescaled RHS).  Every production adjoint call site
+    # uses a 2-point grid, where the loop has length 1; dense-trajectory
+    # adjoints pay compile time linear in len(ts).
     for i in range(n - 1, 0, -1):
         aug0 = (y_at(i), a_y, a_p)
-        aug_ys, _ = odeint_adaptive(
+        aug_ys, bwd_stats = odeint_adaptive(
             aug_dynamics,
             aug0,
             [ts[i], ts[i - 1]],
@@ -127,7 +169,9 @@ def _bwd(func, ts, rtol, atol, method, options, adj_rtol, adj_atol, res, g_ys):
             method=method,
             options=dict(options) if options else None,
         )
-        _, a_y, a_p = jax.tree_util.tree_map(lambda a: a[-1], aug_ys)
+        _, a_y, a_p = _poison_on_failure(
+            jax.tree_util.tree_map(lambda a: a[-1], aug_ys), bwd_stats
+        )
         if i - 1 > 0:
             a_y = jax.tree_util.tree_map(jnp.add, a_y, g_at(i - 1))
 

@@ -102,3 +102,64 @@ def test_adjoint_jits():
     v, g = loss_and_grad(jnp.asarray(1.0))
     np.testing.assert_allclose(v, 2 * np.exp(-1), rtol=1e-5)
     np.testing.assert_allclose(g, -2 * np.exp(-1), rtol=1e-4)
+
+
+def test_adjoint_decreasing_grid_gradient():
+    """Production sampling integrates DECREASING grids (flow t:1->0,
+    score t:1->eps); closed form: y(0) = y0*exp(a) for dy/dt = -a*y
+    from t=1 to 0, so d/da mean(y(0)) = mean(y0)*exp(a)."""
+    a0 = 0.7
+    y0 = jnp.asarray([1.0, 2.0, -0.5])
+
+    def loss(a):
+        ys = odeint_adjoint(
+            lambda t, y, p: -p * y, y0, [1.0, 0.0], a,
+            rtol=1e-8, atol=1e-10,
+        )
+        return jnp.mean(ys[-1])
+
+    g = jax.grad(loss)(jnp.asarray(a0))
+    expected = float(np.mean(np.asarray(y0)) * np.exp(a0))
+    np.testing.assert_allclose(float(g), expected, rtol=1e-4)
+    np.testing.assert_allclose(float(loss(jnp.asarray(a0))), expected, rtol=1e-4)
+
+
+def test_adjoint_gradient_flows_into_closed_over_values():
+    """Values func closes over (the models close over the conditioning
+    batch) are closure-converted: grads flow instead of raising
+    CustomVJPException."""
+    y0 = jnp.asarray([[1.0, -1.0]])
+
+    def loss(cond):
+        # cond enters ONLY through the closure, like the model call sites
+        def f(t, y, p):
+            return -p * y + cond
+        ys = odeint_adjoint(f, y0, [0.0, 1.0], jnp.asarray(0.5),
+                            rtol=1e-7, atol=1e-9)
+        return jnp.sum(ys[-1])
+
+    cond = jnp.asarray([[0.3, 0.1]])
+    g = jax.grad(loss)(cond)
+    # d y(1) / d cond = (1 - exp(-a)) / a elementwise
+    a = 0.5
+    expected = (1.0 - np.exp(-a)) / a
+    np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-4)
+
+
+def test_adjoint_rejects_fixed_step_methods():
+    with np.testing.assert_raises(ValueError):
+        odeint_adjoint(
+            lambda t, y, p: -y, jnp.ones(2), [0.0, 1.0], None, method="rk4"
+        )
+
+
+def test_adjoint_failure_poisons_output_not_silent():
+    """Exhausting max_num_steps must surface as NaN (stats cannot cross
+    the custom-vjp boundary), never as silently-finite wrong values."""
+    y0 = jnp.ones((3,))
+
+    ys = odeint_adjoint(
+        lambda t, y, p: jnp.full_like(y, jnp.nan), y0, [0.0, 1.0], None,
+        options={"max_num_steps": 8},
+    )
+    assert bool(jnp.all(jnp.isnan(ys[-1])))
