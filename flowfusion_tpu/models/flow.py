@@ -69,6 +69,11 @@ class ODEFlow:
     conditional_scale: Optional[jax.Array]
     net: VelocityMLPConfig = dataclasses.field(metadata=dict(static=True))
     trace_mode: str = dataclasses.field(default="exact", metadata=dict(static=True))
+    # Sketch-estimator probe counts (same knobs as ScoreModel: Hutch++
+    # rank/residual probes, XTrace test vectors).
+    hpp_rank: int = dataclasses.field(default=1, metadata=dict(static=True))
+    hpp_vecs: int = dataclasses.field(default=1, metadata=dict(static=True))
+    xt_vecs: int = dataclasses.field(default=1, metadata=dict(static=True))
     # Fused Pallas velocity kernel (kernels/fused_mlp.fused_velocity):
     # None = auto on TPU for stock configs; used for sampling and for
     # hutchinson-mode likelihood solves.
@@ -122,6 +127,9 @@ class ODEFlow:
         conditional_shift=None,
         conditional_scale=None,
         trace_mode: str = "exact",
+        hpp_rank: int = 1,
+        hpp_vecs: int = 1,
+        xt_vecs: int = 1,
         use_fused_kernel: Optional[bool] = None,
         kernel_compute_dtype: str = "float32",
     ) -> "ODEFlow":
@@ -150,6 +158,9 @@ class ODEFlow:
             conditional_scale=c_scale,
             net=net,
             trace_mode=trace_mode,
+            hpp_rank=hpp_rank,
+            hpp_vecs=hpp_vecs,
+            xt_vecs=xt_vecs,
             use_fused_kernel=use_fused_kernel,
             kernel_compute_dtype=kernel_compute_dtype,
         )
@@ -273,12 +284,23 @@ class ODEFlow:
         ``x`` must already be standardized (same contract as the reference).
         ``adjoint=True`` differentiates through the solve (stats None).
         """
-        probes = trace_lib.make_probes(self.trace_mode, key, x)
+        probes = trace_lib.make_probes(
+            self.trace_mode, key, x,
+            hpp_rank=self.hpp_rank, hpp_vecs=self.hpp_vecs,
+            xt_vecs=self.xt_vecs,
+        )
         est = trace_lib.divergence_fn(self.trace_mode)
 
         lj0 = jnp.zeros((x.shape[0],), x.dtype)
 
         if adjoint:
+            if self.trace_mode == "xtrace":
+                raise NotImplementedError(
+                    "trace_mode='xtrace' has no gradient (its sketch is "
+                    "fully stop-gradient'ed, see ops.trace.xtrace_divergence)"
+                    " — use 'exact', 'hutchinson', or 'hutchpp' for "
+                    "adjoint/training solves"
+                )
             from ..ops.integrate.adjoint import odeint_adjoint
 
             def func(t, state, params):
@@ -397,7 +419,11 @@ class ODEFlow:
                 )
                 return lp, stats
         x_std = (x - self.target_shift) / self.target_scale
-        probes = trace_lib.make_probes(self.trace_mode, key, x_std)
+        probes = trace_lib.make_probes(
+            self.trace_mode, key, x_std,
+            hpp_rank=self.hpp_rank, hpp_vecs=self.hpp_vecs,
+            xt_vecs=self.xt_vecs,
+        )
         e = probes[0] if probes else jnp.zeros_like(x_std)
         cond = (
             conditional

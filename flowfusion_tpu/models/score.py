@@ -520,6 +520,13 @@ class ScoreModel:
         est = trace_lib.divergence_fn(self.trace_mode)
 
         if adjoint:
+            if self.trace_mode == "xtrace":
+                raise NotImplementedError(
+                    "trace_mode='xtrace' has no gradient (its sketch is "
+                    "fully stop-gradient'ed, see ops.trace.xtrace_divergence)"
+                    " — use 'exact', 'hutchinson', or 'hutchpp' for "
+                    "adjoint/training solves"
+                )
             # The adjoint path differentiates through the RHS, so it always
             # uses the plain-XLA estimators (the Pallas kernels have no
             # autodiff rule).  NB the adjoint-mode exact-trace graph is

@@ -139,6 +139,12 @@ def _qr_cols(cols):
     """
     m = len(cols)
     D, B = cols[0].shape
+    if m > D:
+        raise ValueError(
+            f"QR of {m} columns in dimension {D}: at most D orthonormal "
+            "columns exist — reduce the probe count (make_probes clamps "
+            "automatically; direct callers must too)"
+        )
     dtype = cols[0].dtype
     scale = jnp.sqrt(sum(jnp.sum(c * c, axis=0) for c in cols))  # (B,)
     floor = jnp.maximum(scale * 1e-6, 1e-30)
@@ -209,15 +215,21 @@ def _tri_inv_entries(R, k):
     return inv
 
 
-def hutchpp_core(apply_cols, s_cols, g_cols) -> jax.Array:
+def hutchpp_core(apply_cols, s_cols, g_cols, measure_cols=None) -> jax.Array:
     """Hutch++ divergence from a column operator.
 
     ``apply_cols``: list of (D, B) columns -> list of (D, B) columns of
-    A v (already stop-gradient'ed — the reference ``.detach()``s every
-    sketch, diffusion.py:336-400).  ``s_cols``/``g_cols``: sketch and
-    residual probe columns.  Returns the (B,) trace estimate
-    tr(Q^T A Q) + (1/m) tr(U^T A U), U = (I - QQ^T) G.
+    A v, used to BUILD the sketch (the reference ``.detach()``s sketch
+    construction, diffusion.py:336-400 — pass a stop-gradient'ed
+    operator here).  ``measure_cols`` (default: ``apply_cols``) applies
+    A in the final quadratic forms tr(Q^T A Q) + (1/m) tr(U^T A U) —
+    pass the *differentiable* operator there so the divergence carries
+    gradients (Q and U are constants; the measurement is linear in A).
+    ``s_cols``/``g_cols``: sketch and residual probe columns.  Returns
+    the (B,) trace estimate, U = (I - QQ^T) G.
     """
+    if measure_cols is None:
+        measure_cols = apply_cols
     m = len(g_cols)
     y_cols = apply_cols(s_cols)
     q_cols, _ = _qr_cols(y_cols)
@@ -231,7 +243,7 @@ def hutchpp_core(apply_cols, s_cols, g_cols) -> jax.Array:
 
     # U depends only on Q and the probes, so A Q and A U share one
     # operator application (one fused-kernel dispatch / one JVP group).
-    applied = apply_cols(q_cols + u_cols)
+    applied = measure_cols(q_cols + u_cols)
     aq_cols, au_cols = applied[: len(q_cols)], applied[len(q_cols) :]
 
     trace_lr = sum(jnp.sum(q * aq, axis=0) for q, aq in zip(q_cols, aq_cols))
@@ -248,17 +260,27 @@ def hutchpp_divergence(
     """Hutch++: tr(Q^T A Q) + (1/m) tr(U^T A U), U = (I - QQ^T) G.
 
     ``S``: (r, B, D) sketch probes, ``G``: (m, B, D) residual probes.
+
+    Differentiable: the sketch construction (Q from A S) is
+    stop-gradient'ed like the reference's ``.detach()``, but the
+    measurement applications A Q / A U carry gradients, so
+    d(div)/d(params of f) is the unbiased estimator gradient — usable
+    under the adjoint solves.
     """
     x_dot, jv = _linearized(f, x)
     sg = jax.lax.stop_gradient
 
-    def apply_cols(cols):
+    def sketch_cols(cols):
         return [sg(jv(c.T).T) for c in cols]
 
+    def measure(cols):
+        return [jv(c.T).T for c in cols]
+
     div = hutchpp_core(
-        apply_cols,
+        sketch_cols,
         [S[i].T for i in range(S.shape[0])],
         [G[i].T for i in range(G.shape[0])],
+        measure_cols=measure,
     )
     return x_dot, div
 
@@ -275,6 +297,12 @@ def xtrace_divergence(
       est_j = tr(H) - S_j^T H S_j + (w_j^T s_j)(s_j^T r_j) - t_j^T x_j
               + x_j^T H x_j
     averaged over j, with S the column-normalized inv(R).
+
+    NOT differentiable: every application of A is stop-gradient'ed (Q
+    and R both come out of the QR of A O, so there is no clean
+    sketch/measurement split like Hutch++'s) — the divergence VALUE is
+    correct but its gradient is zero.  The models therefore reject
+    trace_mode='xtrace' under adjoint solves.
     """
     x_dot, jv = _linearized(f, x)
     sg = jax.lax.stop_gradient
@@ -345,10 +373,17 @@ def make_probes(
     'exact' -> (); 'hutchinson' -> (e,); 'hutchpp' -> (S, G);
     'xtrace' -> (O,).  Raises if a stochastic mode is given no key.
     """
+    if mode not in ("exact", "hutchinson", "hutchpp", "xtrace"):
+        raise ValueError(f"unknown trace mode {mode!r}")
     if mode == "exact":
         return ()
     if key is None:
         raise ValueError(f"trace mode {mode!r} needs a PRNG key for its probes")
+    if mode in ("hutchpp", "xtrace") and x.ndim != 2:
+        raise ValueError(
+            f"sketch trace modes consume (B, D) batches; got x.ndim={x.ndim} "
+            "— flatten trailing dims first"
+        )
     batch = x.shape[0]
     D = x.reshape(batch, -1).shape[1]
     if mode == "hutchinson":
@@ -383,4 +418,8 @@ def divergence_fn(mode: str):
         "hutchpp": hutchpp_divergence,
         "xtrace": xtrace_divergence,
     }
+    if mode not in table:
+        raise ValueError(
+            f"unknown trace mode {mode!r}; use one of {sorted(table)}"
+        )
     return table[mode]

@@ -163,3 +163,48 @@ def test_adjoint_failure_poisons_output_not_silent():
         options={"max_num_steps": 8},
     )
     assert bool(jnp.all(jnp.isnan(ys[-1])))
+
+
+def test_model_adjoint_rejects_xtrace_and_supports_hutchpp():
+    """xtrace has no gradient (fully detached sketch) and must be
+    rejected loudly under adjoint; hutchpp's measurement terms DO carry
+    gradients — its adjoint log_prob gradient must be close to the
+    exact-trace adjoint gradient (regression: it used to be
+    divergence-blind, silently dropping the whole volume term)."""
+    import dataclasses
+
+    from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
+    from flowfusion_tpu.models.score import ScoreModel
+    from flowfusion_tpu.ops.sde import VPSDE
+
+    cfg = ScoreMLPConfig(n_dimensions=2, units=(16,))
+    m = ScoreModel(
+        params=init_score_mlp(jax.random.PRNGKey(0), cfg), net=cfg,
+        sde=VPSDE(), trace_mode="xtrace",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+    with np.testing.assert_raises(NotImplementedError):
+        m.solve_odes_forward(x, key=jax.random.PRNGKey(2), adjoint=True)
+
+    def grad_for(mode, hpp_rank=2, hpp_vecs=2):
+        mm = dataclasses.replace(m, trace_mode=mode, hpp_rank=hpp_rank,
+                                 hpp_vecs=hpp_vecs)
+
+        def loss(model):
+            lp, _ = model.log_prob(
+                x, key=jax.random.PRNGKey(3), atol=1e-6, rtol=1e-6,
+                adjoint=True,
+            )
+            return jnp.mean(lp)
+
+        return jax.grad(loss)(mm).params
+
+    g_exact = grad_for("exact")
+    g_hpp = grad_for("hutchpp")  # rank 2 = D: sketch captures full range
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_exact), jax.tree_util.tree_leaves(g_hpp)
+    ):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=2e-2
+        )

@@ -174,3 +174,26 @@ def test_log_prob_per_sample_real_net_conditional():
         flow, x, c, jax.random.PRNGKey(2)
     )
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_g), atol=5e-2)
+
+
+def test_flow_sketch_probe_knobs_are_honoured():
+    """hpp_rank/hpp_vecs/xt_vecs on ODEFlow reach make_probes (they were
+    previously locked to 1)."""
+    flow = ODEFlow.create(
+        jax.random.PRNGKey(0), target_dimension=3, hidden_units=(16,),
+        trace_mode="xtrace", xt_vecs=3,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (12, 3))
+    lp, stats = jax.jit(
+        lambda mm, xx, kk: mm.log_prob(xx, key=kk, atol=1e-3, rtol=1e-3)
+    )(flow, x, jax.random.PRNGKey(2))
+    assert np.all(np.isfinite(np.asarray(lp)))
+
+    flow2 = ODEFlow.create(
+        jax.random.PRNGKey(0), target_dimension=3, hidden_units=(16,),
+        trace_mode="hutchpp", hpp_rank=2, hpp_vecs=3,
+    )
+    lp2, _ = jax.jit(
+        lambda mm, xx, kk: mm.log_prob(xx, key=kk, atol=1e-3, rtol=1e-3)
+    )(flow2, x, jax.random.PRNGKey(2))
+    assert np.all(np.isfinite(np.asarray(lp2)))

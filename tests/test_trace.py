@@ -155,3 +155,69 @@ def test_xtrace_probes_never_degenerate_low_dim():
     np.testing.assert_allclose(
         float(jnp.mean(div)), float(jnp.trace(A)), atol=0.2
     )
+
+
+def test_hutchpp_divergence_gradient_matches_exact():
+    """Hutch++ measurements carry gradients (only the sketch construction
+    is detached): with full-rank probes the estimate is exact, so its
+    parameter gradient must match the exact-divergence gradient."""
+    D = 3
+
+    def f_of(a):
+        return lambda x: jnp.tanh(x * a) + 0.3 * a * x**2
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, D))
+    kS, kG = jax.random.split(jax.random.PRNGKey(1))
+    # r = D sketch probes => Q spans the full range => exact estimate
+    S = jnp.sign(jax.random.normal(kS, (D, 8, D)))
+    G = jnp.sign(jax.random.normal(kG, (2, 8, D)))
+
+    def div_hpp(a):
+        _, div = hutchpp_divergence(f_of(a), x, S, G)
+        return jnp.sum(div)
+
+    def div_exact(a):
+        _, div = exact_divergence(f_of(a), x)
+        return jnp.sum(div)
+
+    a0 = jnp.asarray(0.7)
+    np.testing.assert_allclose(float(div_hpp(a0)), float(div_exact(a0)), rtol=1e-5)
+    g_hpp = float(jax.grad(div_hpp)(a0))
+    g_exact = float(jax.grad(div_exact)(a0))
+    assert g_exact != 0.0
+    np.testing.assert_allclose(g_hpp, g_exact, rtol=1e-4)
+
+
+def test_xtrace_divergence_has_no_gradient_by_design():
+    """XTrace is value-only (fully detached); its gradient is exactly 0 —
+    the models reject it under adjoint for this reason."""
+    D = 3
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, D))
+    O = jax.random.normal(jax.random.PRNGKey(1), (2, 8, D))
+    O = O / jnp.linalg.norm(O, axis=-1, keepdims=True) * jnp.sqrt(float(D))
+
+    def div_of(a):
+        _, div = xtrace_divergence(lambda xx: jnp.tanh(a * xx), x, O)
+        return jnp.sum(div)
+
+    assert float(jax.grad(div_of)(jnp.asarray(0.5))) == 0.0
+
+
+def test_qr_cols_rejects_more_columns_than_dims():
+    from flowfusion_tpu.ops.trace import _qr_cols
+
+    cols = [jnp.ones((2, 4)) for _ in range(3)]  # m=3 > D=2
+    with pytest.raises(ValueError, match="orthonormal"):
+        _qr_cols(cols)
+
+
+def test_mode_validation_messages():
+    from flowfusion_tpu.ops.trace import divergence_fn, make_probes
+
+    x = jnp.ones((4, 2))
+    with pytest.raises(ValueError, match="unknown trace mode"):
+        make_probes("hutch", None, x)  # typo: mode checked BEFORE key
+    with pytest.raises(ValueError, match="unknown trace mode"):
+        divergence_fn("hutch")
+    with pytest.raises(ValueError, match=r"\(B, D\)"):
+        make_probes("hutchpp", jax.random.PRNGKey(0), jnp.ones((4, 2, 2)))
