@@ -205,6 +205,72 @@ def _exact_tile(d_out: int) -> int:
     return max(256, (3072 // (1 + d_out)) // 256 * 256)
 
 
+def _score_first_layer(params, cfg, t, conditional):
+    """Score-net first-layer fold shared by every fused_drift* wrapper.
+
+    Returns ``(w_in, b_eff)``: the scalar solver time's Fourier embedding
+    absorbed into the bias (torch input order [temb|x|cond]) and the
+    [x|cond] weight rows concatenated for the kernel's in_proj."""
+    from ..models.nets import fourier_time_embedding
+
+    E = cfg.embedding_dimensions
+    D = cfg.n_dimensions
+    layers = params["layers"]
+    t = jnp.asarray(t, jnp.float32).reshape(())
+    temb = fourier_time_embedding(t[None], params["W"])[0]
+    w1 = layers[0]["w"]
+    b_eff = layers[0]["b"] + temb @ w1[:E]
+    w_in = w1[E : E + D]
+    if conditional is not None:
+        w_in = jnp.concatenate([w_in, w1[E + D :]], axis=0)
+    return w_in, b_eff
+
+
+def _velocity_first_layer(params, cfg, t, conditional):
+    """Velocity-net first-layer fold shared by every fused_velocity*
+    wrapper (input order [x|t|cond]; t is a raw scalar feature)."""
+    D = cfg.target_dimension
+    layers = params["layers"]
+    t = jnp.asarray(t, jnp.float32).reshape(())
+    w1 = layers[0]["w"]
+    b_eff = layers[0]["b"] + t * w1[D]
+    w_in = w1[:D]
+    if conditional is not None:
+        w_in = jnp.concatenate([w_in, w1[D + 1 :]], axis=0)
+    return w_in, b_eff
+
+
+def _stack_sketch_probes(probes, sketch_mode, D):
+    """Validate and feature-stack sketch probes: (V, n_tan, n_tan2).
+
+    Mirrors the host path's guards (ops/trace): the QR can orthonormalize
+    at most D columns, and Hutch++ divides by the residual-probe count.
+    Silent failure modes otherwise: 0 residual probes -> 0/0 = NaN
+    divergence; >D sketch columns -> rounding-noise 'basis'.
+    """
+    if sketch_mode == "hutchpp":
+        S, G = probes
+        if G.shape[0] < 1:
+            raise ValueError(
+                "hutchpp needs at least one residual probe (G); got 0 "
+                "(the trace estimate divides by the residual count)"
+            )
+        if S.shape[0] > D:
+            raise ValueError(
+                f"hutchpp sketch rank {S.shape[0]} > D={D}: at most D "
+                "orthonormal columns exist — reduce hpp_rank"
+            )
+        return jnp.concatenate([S, G], axis=0), S.shape[0], G.shape[0]
+    if sketch_mode == "xtrace":
+        (O,) = probes
+        if not 1 <= O.shape[0] <= D:
+            raise ValueError(
+                f"xtrace needs 1 <= m <= D={D} probes; got {O.shape[0]}"
+            )
+        return O, O.shape[0], 0
+    raise ValueError(f"unknown sketch mode {sketch_mode!r}")
+
+
 def _grid_plan(B: int, tile: int, max_sub: int = 16):
     """(tile, n_sub, padded_B): pack up to ``max_sub`` compute sub-tiles
     into each grid step (amortizes per-grid-step overhead) while keeping
@@ -341,9 +407,11 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
         ops/trace._qr_cols, INCLUDING the rank-deficient basis-completion
         fallback (degenerate columns — e.g. parallel Rademacher draws at
         D = 2 — are replaced by the largest-residual canonical basis
-        vector orthogonalized against the accepted columns, exactly as
-        the host path does, so fused and plain solves agree sample-for-
-        sample even on degenerate sketches)."""
+        vector orthogonalized against the accepted columns — the same
+        construction as the host path, so fused and plain solves agree
+        on degenerate sketches up to f32 rounding: the host maintains
+        completion residuals incrementally while this kernel rebuilds
+        them per column, so the last-ulp rounding can differ)."""
         k = len(cols)
         scale = jnp.sqrt(sum(jnp.sum(c * c, axis=0) for c in cols))
         floor = jnp.maximum(scale * 1e-6, 1e-30)
@@ -496,7 +564,10 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
             return 0
         a = in_proj(xc) + b_eff[:]  # (H, subtile)
         if with_tangent:
-            tangents = [in_proj(e_ref[:, sl])]
+            # probe tangents have zero conditional components: e_ref
+            # carries only d_out rows and projects through the x-weight
+            # columns (no host-side zero-padding over the conditional)
+            tangents = [in_proj(e_ref[:, sl], nrows=d_out)]
         elif mode == "tangents":
             tangents = [
                 in_proj(e_ref[k * d_out : (k + 1) * d_out, sl], nrows=d_out)
@@ -527,8 +598,12 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
 
         if with_tangent:
             je = mm(w_out[:], dh * tangents[0])  # (d_out, subtile) = J e
-            acc = jnp.sum(je * e_ref[:d_out, sl], axis=0)  # d_out-row reduce
-            div_ref[0, sl] = c0 * jnp.float32(d_out) + c1 * acc
+            ec = e_ref[:d_out, sl]
+            acc = jnp.sum(je * ec, axis=0)  # d_out-row reduce
+            # e^T (c0 I + c1 J_net) e: the c0 term is c0 |e|^2 (equal to
+            # c0 D only for Rademacher probes — plain-path parity for any
+            # probe distribution, see ops/trace.hutchinson_divergence)
+            div_ref[0, sl] = c0 * jnp.sum(ec * ec, axis=0) + c1 * acc
         elif mode == "tangents":
             for k in range(n_tan):
                 vc = e_ref[k * d_out : (k + 1) * d_out, sl]
@@ -598,7 +673,8 @@ def _fused_drift_impl(
     in_specs = [batch_spec(D)]
     operands = [x]
     if with_tangent:
-        in_specs.append(batch_spec(D))
+        # probe rows = d_out (no conditional columns — see _dispatch)
+        in_specs.append(batch_spec(d_out))
         operands.append(e)
     elif mode == "tangents" or sketch:
         in_specs.append(batch_spec((n_tan + n_tan2) * d_out))
@@ -682,18 +758,16 @@ def fused_drift(
 
     ``params``/``cfg`` are a ScoreMLP parameter pytree and config
     (models/nets.py).  ``t`` must be a scalar (batch-global solver time).
-    Returns ``drift`` or ``(drift, div)`` when a probe ``e`` is given.
+    Returns ``drift``, or ``(drift, div)`` in either divergence mode
+    (probe ``e`` given OR ``exact_divergence=True``).
 
     The conditional, when present, is folded into the first layer like x
     (columns E+D..E+D+C of the torch-ordered input weight matrix).
     """
-    from ..models.nets import fourier_time_embedding
-
     if interpret is None:
         # Auto: compile on TPU, interpret elsewhere (tests / CPU meshes).
         interpret = jax.default_backend() != "tpu"
 
-    E = cfg.embedding_dimensions
     D = cfg.n_dimensions
     layers = params["layers"]
     if not supports_config(cfg.units, cfg.activation):
@@ -702,19 +776,7 @@ def fused_drift(
             f"activation={cfg.activation}"
         )
     _check_conditional(cfg.n_conditionals, conditional)
-
-    t = jnp.asarray(t, jnp.float32).reshape(())
-    temb = fourier_time_embedding(t[None], params["W"])[0]  # (E,)
-
-    w1 = layers[0]["w"]  # (E + D + C, H) in torch input order [temb|x|cond]
-    b_eff = layers[0]["b"] + temb @ w1[:E]
-    w_in_x = w1[E : E + D]
-    if conditional is not None:
-        # fold cond through its own weight slice; the kernel consumes the
-        # concatenated [x|cond] input built in _dispatch.
-        w_in = jnp.concatenate([w_in_x, w1[E + D :]], axis=0)
-    else:
-        w_in = w_in_x
+    w_in, b_eff = _score_first_layer(params, cfg, t, conditional)
 
     if e is not None and exact_divergence:
         raise ValueError("pass a probe e OR exact_divergence, not both")
@@ -765,11 +827,8 @@ def fused_drift_tangents(
     are zero).  One kernel dispatch propagates all K tangent chains
     through the VMEM-resident layer chain alongside the forward pass.
     """
-    from ..models.nets import fourier_time_embedding
-
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    E = cfg.embedding_dimensions
     D = cfg.n_dimensions
     layers = params["layers"]
     if not supports_config(cfg.units, cfg.activation):
@@ -778,18 +837,11 @@ def fused_drift_tangents(
             f"activation={cfg.activation}"
         )
     _check_conditional(cfg.n_conditionals, conditional)
-
-    t = jnp.asarray(t, jnp.float32).reshape(())
-    temb = fourier_time_embedding(t[None], params["W"])[0]
-    w1 = layers[0]["w"]
-    b_eff = layers[0]["b"] + temb @ w1[:E]
-    w_in = w1[E : E + D]
-    if conditional is not None:
-        w_in = jnp.concatenate([w_in, w1[E + D :]], axis=0)
+    w_in, b_eff = _score_first_layer(params, cfg, t, conditional)
 
     K = len(V) if isinstance(V, (list, tuple)) else V.shape[0]
     if tile is None:
-        tile = max(256, (3072 // (1 + K)) // 256 * 256)
+        tile = _exact_tile(K)  # same VMEM shape: 1 forward + K chains
     return _dispatch(
         x, V, w_in, b_eff, layers, conditional, "tangents", D, c0, c1,
         tile, interpret, compute_dtype, n_tan=K, activation=cfg.activation,
@@ -826,11 +878,8 @@ def fused_drift_sketch(
     touches HBM.  Measured: the dominant per-RHS fixed cost (dispatch +
     inter-dispatch XLA ops) is paid once instead of twice.
     """
-    from ..models.nets import fourier_time_embedding
-
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    E = cfg.embedding_dimensions
     D = cfg.n_dimensions
     layers = params["layers"]
     if not supports_config(cfg.units, cfg.activation):
@@ -839,25 +888,9 @@ def fused_drift_sketch(
             f"activation={cfg.activation}"
         )
     _check_conditional(cfg.n_conditionals, conditional)
+    w_in, b_eff = _score_first_layer(params, cfg, t, conditional)
 
-    t = jnp.asarray(t, jnp.float32).reshape(())
-    temb = fourier_time_embedding(t[None], params["W"])[0]
-    w1 = layers[0]["w"]
-    b_eff = layers[0]["b"] + temb @ w1[:E]
-    w_in = w1[E : E + D]
-    if conditional is not None:
-        w_in = jnp.concatenate([w_in, w1[E + D :]], axis=0)
-
-    if sketch_mode == "hutchpp":
-        S, G = probes
-        n_tan, n_tan2 = S.shape[0], G.shape[0]
-        V = jnp.concatenate([S, G], axis=0)
-    elif sketch_mode == "xtrace":
-        (O,) = probes
-        n_tan, n_tan2 = O.shape[0], 0
-        V = O
-    else:
-        raise ValueError(f"unknown sketch mode {sketch_mode!r}")
+    V, n_tan, n_tan2 = _stack_sketch_probes(probes, sketch_mode, D)
     if tile is None:
         # live VMEM: n_hidden stored dh chains + 1 transient tangent;
         # 1024 measured best on v5e at 50k rows (2.20 ms/RHS vs 2.39 at
@@ -897,24 +930,9 @@ def fused_velocity_sketch(
             f"activation={cfg.activation}"
         )
     _check_conditional(cfg.conditional_dimension, conditional)
+    w_in, b_eff = _velocity_first_layer(params, cfg, t, conditional)
 
-    t = jnp.asarray(t, jnp.float32).reshape(())
-    w1 = layers[0]["w"]  # (D + 1 + C, H), rows [x | t | cond]
-    b_eff = layers[0]["b"] + t * w1[D]
-    w_in = w1[:D]
-    if conditional is not None:
-        w_in = jnp.concatenate([w_in, w1[D + 1 :]], axis=0)
-
-    if sketch_mode == "hutchpp":
-        S, G = probes
-        n_tan, n_tan2 = S.shape[0], G.shape[0]
-        V = jnp.concatenate([S, G], axis=0)
-    elif sketch_mode == "xtrace":
-        (O,) = probes
-        n_tan, n_tan2 = O.shape[0], 0
-        V = O
-    else:
-        raise ValueError(f"unknown sketch mode {sketch_mode!r}")
+    V, n_tan, n_tan2 = _stack_sketch_probes(probes, sketch_mode, D)
     if tile is None:
         tile = 1024  # see fused_drift_sketch
     return _dispatch(
@@ -950,17 +968,11 @@ def fused_velocity_tangents(
             f"activation={cfg.activation}"
         )
     _check_conditional(cfg.conditional_dimension, conditional)
-
-    t = jnp.asarray(t, jnp.float32).reshape(())
-    w1 = layers[0]["w"]  # (D + 1 + C, H), rows [x | t | cond]
-    b_eff = layers[0]["b"] + t * w1[D]
-    w_in = w1[:D]
-    if conditional is not None:
-        w_in = jnp.concatenate([w_in, w1[D + 1 :]], axis=0)
+    w_in, b_eff = _velocity_first_layer(params, cfg, t, conditional)
 
     K = len(V) if isinstance(V, (list, tuple)) else V.shape[0]
     if tile is None:
-        tile = max(256, (3072 // (1 + K)) // 256 * 256)
+        tile = _exact_tile(K)  # same VMEM shape: 1 forward + K chains
     return _dispatch(
         x, V, w_in, b_eff, layers, conditional, "tangents", D, 0.0, 1.0,
         tile, interpret, compute_dtype, n_tan=K, activation=cfg.activation,
@@ -1047,9 +1059,9 @@ def _dispatch(
         x_in = jnp.pad(x_in, ((0, pad), (0, 0)))
     e_in = None
     if mode == "hutchinson":
+        # the kernel projects the probe with nrows=d_out: no zero-padding
+        # over conditional columns (C wasted rank-1 passes per chunk)
         e_in = e
-        if conditional is not None:
-            e_in = jnp.pad(e, ((0, 0), (0, conditional.shape[-1])))
         if pad:
             e_in = jnp.pad(e_in, ((0, pad), (0, 0)))
     elif mode in ("tangents", "hutchpp", "xtrace"):
@@ -1138,16 +1150,8 @@ def fused_velocity(
             f"activation={cfg.activation}"
         )
     _check_conditional(cfg.conditional_dimension, conditional)
-
-    t = jnp.asarray(t, jnp.float32).reshape(())
     layers = params["layers"]
-    w1 = layers[0]["w"]  # (D + 1 + C, H), rows [x | t | cond]
-    b_eff = layers[0]["b"] + t * w1[D]
-    w_in_x = w1[:D]
-    if conditional is not None:
-        w_in = jnp.concatenate([w_in_x, w1[D + 1 :]], axis=0)
-    else:
-        w_in = w_in_x
+    w_in, b_eff = _velocity_first_layer(params, cfg, t, conditional)
 
     if e is not None and exact_divergence:
         raise ValueError("pass a probe e OR exact_divergence, not both")
@@ -1174,5 +1178,7 @@ def fused_drift_reference(params, cfg, t, x, conditional=None, e=None, c0=0.0, c
         return c0 * x + c1 * net(x)
     out, je = jax.jvp(net, (x,), (e,))
     drift = c0 * x + c1 * out
-    div = c0 * x.shape[-1] + c1 * jnp.sum(je * e, axis=-1)
+    # e^T (c0 I + c1 J_net) e = c0 |e|^2 + c1 e^T J_net e (|e|^2 = D only
+    # for Rademacher probes)
+    div = c0 * jnp.sum(e * e, axis=-1) + c1 * jnp.sum(je * e, axis=-1)
     return drift, div

@@ -893,3 +893,73 @@ def test_fused_velocity_tangents_matches_jvp_reference():
             np.testing.assert_allclose(
                 np.asarray(jv_cols[k].T), np.asarray(jv_ref), atol=2e-5
             )
+
+
+def test_fused_hutchinson_non_rademacher_probe_matches_plain():
+    """The fused Hutchinson c0-term is c0*|e|^2, not c0*D — for Gaussian
+    probes the fused and plain estimates must still agree (regression:
+    the kernel hard-coded c0*D, ~10x off per sample)."""
+    from flowfusion_tpu.ops.trace import hutchinson_divergence
+
+    cfg, params = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+    e = jax.random.normal(jax.random.PRNGKey(2), (64, 2))  # NOT Rademacher
+    t = jnp.asarray(0.4)
+    c0, c1 = -0.8, 0.6
+
+    def drift_fn(xx):
+        tt = jnp.full((xx.shape[0],), t)
+        from flowfusion_tpu.models.nets import apply_score_mlp
+
+        return c0 * xx + c1 * apply_score_mlp(cfg, params, tt, xx, None)
+
+    drift_f, div_f = fused_drift(
+        params, cfg, t, x, e=e, c0=c0, c1=c1, tile=64, interpret=INTERPRET
+    )
+    _, div_p = hutchinson_divergence(drift_fn, x, e)
+    np.testing.assert_allclose(np.asarray(div_f), np.asarray(div_p), atol=2e-4)
+
+
+def test_fused_hutchinson_conditional_probe_not_padded():
+    """Conditional models: the probe projects through only the x-weight
+    columns (nrows=d_out) — equivalence with the plain path pins it."""
+    from flowfusion_tpu.ops.trace import hutchinson_divergence
+    from flowfusion_tpu.models.nets import apply_score_mlp
+
+    cfg, params = _setup(n_cond=3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (70, 2))
+    cond = jax.random.normal(jax.random.PRNGKey(5), (70, 3))
+    e = jnp.sign(jax.random.normal(jax.random.PRNGKey(2), (70, 2)))
+    t = jnp.asarray(0.3)
+
+    def drift_fn(xx):
+        tt = jnp.full((xx.shape[0],), t)
+        return 0.2 * xx - 1.1 * apply_score_mlp(cfg, params, tt, xx, cond)
+
+    drift_f, div_f = fused_drift(
+        params, cfg, t, x, cond, e=e, c0=0.2, c1=-1.1, tile=64,
+        interpret=INTERPRET,
+    )
+    drift_p = drift_fn(x)
+    _, div_p = hutchinson_divergence(drift_fn, x, e)
+    np.testing.assert_allclose(np.asarray(drift_f), np.asarray(drift_p), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(div_f), np.asarray(div_p), atol=2e-4)
+
+
+def test_fused_sketch_probe_validation():
+    """Empty residual stacks and over-determined sketches raise like the
+    host path instead of silently returning NaN / noise estimates."""
+    from flowfusion_tpu.kernels.fused_mlp import fused_drift_sketch
+
+    cfg, params = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    t = jnp.asarray(0.5)
+    S = jnp.sign(jax.random.normal(jax.random.PRNGKey(2), (1, 16, 2)))
+    G0 = jnp.zeros((0, 16, 2))
+    with pytest.raises(ValueError, match="residual probe"):
+        fused_drift_sketch(params, cfg, t, x, (S, G0), "hutchpp",
+                           interpret=INTERPRET)
+    O = jax.random.normal(jax.random.PRNGKey(3), (3, 16, 2))  # m=3 > D=2
+    with pytest.raises(ValueError, match="xtrace needs"):
+        fused_drift_sketch(params, cfg, t, x, (O,), "xtrace",
+                           interpret=INTERPRET)
