@@ -30,7 +30,14 @@ def auto_fused(use_fused_kernel: Optional[bool], supported: bool) -> bool:
     plain XLA.
     """
     if use_fused_kernel is not None:
-        return bool(use_fused_kernel) and supported
+        if use_fused_kernel and not supported:
+            raise ValueError(
+                "use_fused_kernel=True but the net config is outside the "
+                "fused kernel's support envelope (hidden units must be "
+                "multiples of 128 with a supported activation, and "
+                "feature count <= 16) — fix the config or drop the flag"
+            )
+        return bool(use_fused_kernel)
     return (
         supported
         and jax.default_backend() == "tpu"
@@ -55,11 +62,14 @@ def fused_dispatch(
     raises loudly — regardless of batch size, since the crash threshold
     is batch- and fusion-dependent — instead of building a
     compiler-killing graph.  Residual risk, by design: an *unsupported*
-    net config falls through to the plain graph (there is no kernel to
-    run), and explicit ``use_fused_kernel=False`` forces the plain graph.
+    net config under AUTO falls through to the plain graph (there is no
+    kernel to run); explicit ``use_fused_kernel=True`` with an
+    unsupported config raises (never a silent fallback), and explicit
+    ``False`` forces the plain graph.
     """
     if use_fused_kernel is not None:
-        return bool(use_fused_kernel) and supported
+        # shares auto_fused's loud explicit-True-but-unsupported raise
+        return auto_fused(use_fused_kernel, supported)
     auto = auto_fused(None, supported)
     if (
         for_exact

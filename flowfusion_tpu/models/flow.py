@@ -219,7 +219,7 @@ class ODEFlow:
         """
         from ..parallel import autoshard
 
-        if not gradients and autoshard.should_route(xT, conditional):
+        if not gradients and autoshard.should_route(xT, conditional, self.params):
             opts = autoshard.hashable_options(options)
             if opts is not autoshard.UNROUTABLE:
                 return autoshard.routed_call(
@@ -406,7 +406,7 @@ class ODEFlow:
                 "per-sample stepping supports trace_mode 'exact' and "
                 "'hutchinson' (sketch-based estimators are batch-coupled)"
             )
-        if autoshard.should_route(x, conditional, key):
+        if autoshard.should_route(x, conditional, key, self.params):
             opts = autoshard.hashable_options(options)
             if opts is not autoshard.UNROUTABLE:
                 (lp, stats), _ = autoshard.routed_call(
@@ -477,7 +477,7 @@ class ODEFlow:
         """
         from ..parallel import autoshard
 
-        if not adjoint and autoshard.should_route(x, conditional, key):
+        if not adjoint and autoshard.should_route(x, conditional, key, self.params):
             opts = autoshard.hashable_options(options)
             if opts is not autoshard.UNROUTABLE:
                 return autoshard.routed_call(

@@ -199,7 +199,7 @@ class PopulationModelDiffusion:
         # opt into the guard; max_num_steps already bounds the loop.
         from ..parallel import autoshard
 
-        if not adjoint and autoshard.should_route(x, conditional, key):
+        if not adjoint and autoshard.should_route(x, conditional, key, self.score_model.params):
             opts = autoshard.hashable_options(options)
             if opts is not autoshard.UNROUTABLE:
                 return autoshard.routed_call(

@@ -216,8 +216,8 @@ class ScoreModel:
         """
         from ..parallel import autoshard
 
-        if not progress and autoshard.should_route(key, conditional):
-            (x_mean, x), nan_flags = autoshard.routed_sample(
+        if not progress and autoshard.should_route(key, conditional, self.params):
+            (x_mean, x), _ = autoshard.routed_sample(
                 _sample_sde_per_shard,
                 lambda local: (local, tuple(shape[1:]), steps),
                 self,
@@ -225,9 +225,12 @@ class ScoreModel:
                 shape[0],
                 conditional,
             )
-            return EMResult(
-                x_mean=x_mean, x=x, nan_encountered=jnp.any(nan_flags)
+            # flag from the RETURNED rows only: surplus padding rows on the
+            # last shard can NaN without affecting any visible sample
+            nan = ~(
+                jnp.all(jnp.isfinite(x_mean)) & jnp.all(jnp.isfinite(x))
             )
+            return EMResult(x_mean=x_mean, x=x, nan_encountered=nan)
 
         k_prior, k_path = jax.random.split(key)
         x0 = self.sde.prior_sample(k_prior, shape)
@@ -272,7 +275,7 @@ class ScoreModel:
 
         return dpm_solver_sample(
             eps_fn, self.sde, x_T, steps=steps, order=order,
-            t_start=1.0, t_end=float(self.sde.epsilon),
+            t_start=float(self.sde.T), t_end=float(self.sde.epsilon),
         )
 
     def sample_pc(
@@ -429,7 +432,7 @@ class ScoreModel:
         """
         from ..parallel import autoshard
 
-        if not adjoint and autoshard.should_route(base_samples, conditional):
+        if not adjoint and autoshard.should_route(base_samples, conditional, self.params):
             opts = autoshard.hashable_options(options)
             if opts is not autoshard.UNROUTABLE:
                 samples, stats = autoshard.routed_call(
@@ -515,7 +518,29 @@ class ScoreModel:
         Returns (x_T, delta_logp, stats) with delta_logp of shape (B,).
         ``adjoint=True`` gives parameter gradients through the solve
         (stats None).
+
+        Eager multi-device calls route per shard like ``log_prob``
+        (``parallel.autoshard``) — this is the reference-public surface
+        (diffusion.py:642), so it must not raise on multi-chip realms
+        where ``log_prob`` one frame up succeeds.
         """
+        from ..parallel import autoshard
+
+        if not adjoint and autoshard.should_route(
+            x0_samples, conditional, key, self.params
+        ):
+            opts = autoshard.hashable_options(options)
+            if opts is not autoshard.UNROUTABLE:
+                (xT, dlp), stats = autoshard.routed_call(
+                    _solve_fwd_per_shard,
+                    (atol, rtol, method, opts),
+                    self,
+                    x0_samples,
+                    conditional,
+                    key,
+                )
+                return xT, dlp, stats
+
         probes = self._make_probes(key, x0_samples)
         est = trace_lib.divergence_fn(self.trace_mode)
 
@@ -645,7 +670,7 @@ class ScoreModel:
                 "per-sample stepping supports trace_mode 'exact' and "
                 "'hutchinson' (sketch-based estimators are batch-coupled)"
             )
-        if autoshard.should_route(x0_samples, conditional, key):
+        if autoshard.should_route(x0_samples, conditional, key, self.params):
             opts = autoshard.hashable_options(options)
             if opts is not autoshard.UNROUTABLE:
                 (lp, stats), _ = autoshard.routed_call(
@@ -722,7 +747,7 @@ class ScoreModel:
         """
         from ..parallel import autoshard
 
-        if not adjoint and autoshard.should_route(x0_samples, conditional, key):
+        if not adjoint and autoshard.should_route(x0_samples, conditional, key, self.params):
             opts = autoshard.hashable_options(options)
             if opts is not autoshard.UNROUTABLE:
                 lp, stats = autoshard.routed_call(
@@ -736,7 +761,13 @@ class ScoreModel:
                 return lp, stats
 
         if options is None:
-            options = {"min_step": 1e-6}
+            from ..ops.integrate.tableaus import ADAPTIVE_TABLEAUS
+
+            # the min_step guard is an adaptive-solver option; fixed-step
+            # and multistep methods reject unknown options loudly
+            options = (
+                {"min_step": 1e-6} if method in ADAPTIVE_TABLEAUS else {}
+            )
         xT, dlp, stats = self.solve_odes_forward(
             x0_samples,
             conditional=conditional,
@@ -749,6 +780,27 @@ class ScoreModel:
         )
         lp = dlp + jnp.sum(self.sde.prior_log_prob(xT), axis=1)
         return lp, stats
+
+
+def _solve_fwd_per_shard(atol, rtol, method, opts):
+    """Per-shard solve_odes_forward body for ``parallel.autoshard``
+    (module-level: its identity is the jit-cache key)."""
+
+    def per_shard(model, xb, cb, kb):
+        xT, dlp, stats = model._per_shard_variant().solve_odes_forward(
+            xb,
+            cb,
+            key=kb,
+            atol=atol,
+            rtol=rtol,
+            method=method,
+            options=dict(opts) if opts is not None else None,
+        )
+        return (xT, dlp), jax.tree_util.tree_map(
+            lambda s: jnp.reshape(s, (1,)), stats
+        )
+
+    return per_shard
 
 
 def _logprob_per_shard(atol, rtol, method, opts):

@@ -198,7 +198,7 @@ class SymplecticFlowModel:
         """
         from ..parallel import autoshard
 
-        if base is None and autoshard.should_route(key, conditional):
+        if base is None and autoshard.should_route(key, conditional, self.params):
             samples, _ = autoshard.routed_sample(
                 _sympl_sample_per_shard,
                 lambda local: (local, shape[1], num_steps, method),
@@ -275,7 +275,7 @@ class SymplecticFlowModel:
 
         from ..parallel import autoshard
 
-        if not adjoint and autoshard.should_route(x, conditional, key):
+        if not adjoint and autoshard.should_route(x, conditional, key, self.params):
             opts = autoshard.hashable_options(options)
             if opts is not autoshard.UNROUTABLE:
                 return autoshard.routed_call(
@@ -356,7 +356,7 @@ class SymplecticFlowModel:
         from ..ops.integrate import odeint_per_sample
         from ..parallel import autoshard
 
-        if autoshard.should_route(x, conditional, key):
+        if autoshard.should_route(x, conditional, key, self.params):
             opts = autoshard.hashable_options(options)
             if opts is not autoshard.UNROUTABLE:
                 (lp, stats), _ = autoshard.routed_call(

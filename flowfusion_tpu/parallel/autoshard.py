@@ -42,17 +42,21 @@ def n_data_devices() -> int:
     return len(jax.devices())
 
 
-def should_route(*arrays) -> bool:
+def should_route(*values) -> bool:
     """Route eagerly-called batch APIs on a multi-device realm.
 
     False under any trace (user jit / vmap / shard_map — respect the
-    user's own parallelism) and on single-device realms.
+    user's own parallelism) and on single-device realms.  Arguments may
+    be arrays OR pytrees (callers pass the model's params too: a user
+    jit that traces only the parameters, with the data as a closure
+    constant, must not be routed either).
     """
     if len(jax.devices()) <= 1:
         return False
-    for a in arrays:
-        if a is not None and isinstance(a, jax.core.Tracer):
-            return False
+    for v in values:
+        for leaf in jax.tree_util.tree_leaves(v):
+            if isinstance(leaf, jax.core.Tracer):
+                return False
     return True
 
 

@@ -254,3 +254,43 @@ def test_symplectic_sample_routes():
     # leapfrog routes too
     q2 = sym.sample(jax.random.PRNGKey(2), (19, 2), num_steps=2, method="leapfrog")
     assert q2.shape == (19, 2) and bool(jnp.all(jnp.isfinite(q2)))
+
+
+def test_routing_respects_param_only_jit(score_model):
+    """A user jit that traces only the MODEL (data as closure constants)
+    must not be routed — routing would nest shard_map inside the user's
+    jit and override their sharding (regression: should_route only
+    checked the data arguments)."""
+    import flowfusion_tpu.parallel.autoshard as autoshard
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    key = jax.random.PRNGKey(2)
+
+    calls = {"n": 0}
+    orig = autoshard.routed_call
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    autoshard.routed_call = spy
+    try:
+        lp = jax.jit(
+            lambda m: m.log_prob(x, key=key, atol=1e-3, rtol=1e-3)[0]
+        )(score_model)
+        assert bool(jnp.all(jnp.isfinite(lp)))
+        assert calls["n"] == 0, "routed inside a param-only user jit"
+    finally:
+        autoshard.routed_call = orig
+
+
+def test_solve_odes_forward_routes(score_model):
+    """The reference-public solve_odes_forward routes on multi-device
+    realms like log_prob (it used to raise for exact-trace there)."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (37, 2))
+    xT, dlp, stats = score_model.solve_odes_forward(
+        x, key=jax.random.PRNGKey(2), atol=1e-3, rtol=1e-3
+    )
+    assert xT.shape == (37, 2) and dlp.shape == (37,)
+    assert stats.n_func_evals.shape == (N_DEV,)
+    assert bool(jnp.all(jnp.isfinite(dlp)))

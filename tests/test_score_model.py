@@ -283,7 +283,10 @@ def test_fused_dispatch_policy(monkeypatch):
 
     # explicit override wins regardless of platform
     assert _common.fused_dispatch(True, True) is True
-    assert _common.fused_dispatch(True, False) is False  # gated on support
+    # explicit True + unsupported config raises (silent fallback would
+    # build the compiler-crashing plain exact graph the user opted out of)
+    with pytest.raises(ValueError, match="support envelope"):
+        _common.fused_dispatch(True, False)
     assert _common.fused_dispatch(False, True) is False
 
     # auto: off off-TPU (conftest pins the cpu backend)
@@ -310,3 +313,46 @@ def test_fused_dispatch_policy(monkeypatch):
     monkeypatch.setattr(_common.jax, "devices", lambda: [object()])
     assert _common.fused_dispatch(None, True) is True
     assert _common.fused_dispatch(None, True, for_exact=True) is True
+
+
+def test_log_prob_fixed_step_method_works():
+    """log_prob with a fixed-step method must not inject the adaptive-only
+    min_step option (regression: ValueError 'unknown fixed-step options')."""
+    m = _analytic_model(VESDE(), s0=1.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 2)) * 0.5
+    lp_rk4, _ = jax.jit(
+        lambda mm, xx: mm.log_prob(xx, method="rk4", options={"steps_per_interval": 200})
+    )(m, x)
+    lp_ad, _ = jax.jit(lambda mm, xx: mm.log_prob(xx, atol=1e-7, rtol=1e-7))(m, x)
+    np.testing.assert_allclose(np.asarray(lp_rk4), np.asarray(lp_ad), atol=1e-3)
+
+
+def test_explicit_fused_flag_with_unsupported_config_raises():
+    cfg = ScoreMLPConfig(n_dimensions=2, units=(100,))  # not 128-multiple
+    m = ScoreModel(
+        params=init_score_mlp(jax.random.PRNGKey(0), cfg), net=cfg,
+        sde=VESDE(), use_fused_kernel=True,
+    )
+    x = jnp.ones((4, 2))
+    with pytest.raises(ValueError, match="support envelope"):
+        m.log_prob(x, key=jax.random.PRNGKey(1))
+
+
+def test_sample_dpm_uses_sde_horizon():
+    """sample_dpm starts at t = sde.T (regression: hard-coded 1.0 treated
+    prior-scale noise as mid-schedule states for any SDE with T != 1)."""
+    sde = VESDE(T=2.0)
+    s0 = 1.0
+    m = _analytic_model(sde, s0=s0)
+    base = jax.random.normal(jax.random.PRNGKey(0), (8192, 2))
+    out = m.sample_dpm(base, steps=40)
+    # analytic Gaussian transport by matched quantiles:
+    # std(eps) = prior_scale * sqrt(var(eps) / var(T))
+    def var_at(t):
+        nu, eta = sde.marginal_prob_scalars(jnp.asarray(t))
+        return float(nu) ** 2 * s0**2 + float(eta) ** 2
+
+    expected = sde.prior_scale * np.sqrt(
+        var_at(float(sde.epsilon)) / var_at(sde.T)
+    )
+    assert abs(float(out.std()) / expected - 1.0) < 0.1
