@@ -220,3 +220,42 @@ def test_orbax_checkpoint_round_trip_sharded(tmp_path):
     b = jax.tree_util.tree_leaves(restored)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_converter_validation_and_stats_extraction():
+    """Converters fail loudly on wrong/mismatched state_dicts (regression:
+    silent truncation / silent empty-layer pass-through), and the wrapper
+    standardization buffers are extractable."""
+    rng = np.random.default_rng(0)
+    H, D, E = 16, 2, 8
+    sd = {
+        "W": rng.normal(size=(E // 2,)).astype(np.float32),
+        "NN.0.weight": rng.normal(size=(H, D + E)).astype(np.float32),
+        "NN.0.bias": rng.normal(size=(H,)).astype(np.float32),
+        "NN.1.weight": rng.normal(size=(D, H)).astype(np.float32),
+        "NN.1.bias": rng.normal(size=(D,)).astype(np.float32),
+    }
+    from flowfusion_tpu.utils import convert
+
+    # n_layers is validated, not trusted
+    with pytest.raises(ValueError, match="2 Linear layers"):
+        convert.score_mlp_from_torch(sd, n_layers=1)
+    # inferred when omitted
+    params = convert.score_mlp_from_torch(sd)
+    assert len(params["layers"]) == 2
+
+    # wrong model / wrapper prefix: loud, not an empty pass-through net
+    with pytest.raises(KeyError, match="velocity"):
+        convert.velocity_mlp_from_torch(sd)
+    with pytest.raises(KeyError, match="mlp_q_dynamics"):
+        convert.symplectic_mlp_from_torch(sd)
+
+    # standardization buffers ride in reference checkpoints: extract them
+    sd_flow = {
+        "target_shift": np.asarray([1.0, -1.0], np.float32),
+        "target_scale": np.asarray([2.0, 0.5], np.float32),
+        "twopi": np.asarray(2 * np.pi, np.float32),  # scalar buffer ignored
+    }
+    stats = convert.standardization_from_torch(sd_flow)
+    assert set(stats) == {"target_shift", "target_scale"}
+    np.testing.assert_array_equal(np.asarray(stats["target_scale"]), [2.0, 0.5])
