@@ -49,14 +49,22 @@ def trainable_mask(model: Any) -> Any:
     ``params`` and is not the frozen Fourier weight ``W``.
     """
 
+    def is_params_key(p) -> bool:
+        return (
+            isinstance(p, jax.tree_util.GetAttrKey) and p.name == "params"
+        ) or (isinstance(p, jax.tree_util.DictKey) and p.key == "params")
+
     def is_trainable(path, leaf) -> bool:
-        in_params = any(
-            (isinstance(p, jax.tree_util.GetAttrKey) and p.name == "params")
-            or (isinstance(p, jax.tree_util.DictKey) and p.key == "params")
-            for p in path
-        )
+        in_params = any(is_params_key(p) for p in path)
+        # Only the top-level params["W"] entry is the frozen Fourier
+        # embedding (models/nets.py stores layer weights under lowercase
+        # 'w'); a custom net's nested weight that happens to be named 'W'
+        # deeper in the tree must stay trainable.
         is_w = any(
-            isinstance(p, jax.tree_util.DictKey) and p.key == "W" for p in path
+            is_params_key(a)
+            and isinstance(b, jax.tree_util.DictKey)
+            and b.key == "W"
+            for a, b in zip(path, path[1:])
         )
         return in_params and not is_w
 
@@ -90,6 +98,19 @@ def _default_loss(model, key, x, conditional):
     return model.loss_fn(key, x, conditional)
 
 
+def _update_step(tx, loss_fn, state: TrainState, key, x, conditional):
+    """One optimizer update — the single source of truth shared by
+    ``make_train_step`` and ``fit``'s scanned epoch body."""
+
+    def loss_of_model(model):
+        return loss_fn(model, key, x, conditional)
+
+    loss, grads = jax.value_and_grad(loss_of_model)(state.model)
+    updates, opt_state = tx.update(grads, state.opt_state, state.model)
+    model = optax.apply_updates(state.model, updates)
+    return TrainState(model, opt_state, state.step + 1), loss
+
+
 def make_train_step(
     tx: optax.GradientTransformation,
     loss_fn: LossFn = _default_loss,
@@ -98,13 +119,7 @@ def make_train_step(
     """Build a jitted (state, key, batch, cond) -> (state, loss) step."""
 
     def step(state: TrainState, key, x, conditional=None):
-        def loss_of_model(model):
-            return loss_fn(model, key, x, conditional)
-
-        loss, grads = jax.value_and_grad(loss_of_model)(state.model)
-        updates, opt_state = tx.update(grads, state.opt_state, state.model)
-        model = optax.apply_updates(state.model, updates)
-        return TrainState(model, opt_state, state.step + 1), loss
+        return _update_step(tx, loss_fn, state, key, x, conditional)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -143,6 +158,8 @@ def fit(
     the EMA model when enabled.
     """
     n = x_train.shape[0]
+    if n == 0:
+        raise ValueError("fit: x_train is empty")
     results = []
     # The epoch step donates its carry for buffer reuse; copy the caller's
     # model (and the EMA tree) so donation never deletes the caller's arrays.
@@ -174,10 +191,20 @@ def fit(
 
         def epoch_fn(state, ema_model, epoch_key, x_all, cond_all):
             kperm, kscan = jax.random.split(epoch_key)
+            # NB the n % batch_size remainder of each epoch's fresh
+            # permutation is dropped (lax.scan needs static shapes) — a
+            # deliberate delta from the notebooks' drop_last=False
+            # DataLoader; with reshuffling every epoch the exclusion is
+            # a different random subset each time, so coverage in
+            # expectation is unaffected.
             perm = jax.random.permutation(kperm, n)[: steps_per_epoch * batch_size]
-            xb = x_all[perm].reshape(steps_per_epoch, batch_size, -1)
+            xb = x_all[perm].reshape(
+                steps_per_epoch, batch_size, *x_all.shape[1:]
+            )
             cb = (
-                cond_all[perm].reshape(steps_per_epoch, batch_size, -1)
+                cond_all[perm].reshape(
+                    steps_per_epoch, batch_size, *cond_all.shape[1:]
+                )
                 if has_cond
                 else None
             )
@@ -189,19 +216,14 @@ def fit(
                 else:
                     (k, bx), bcond = inp, None
 
-                def loss_of_model(m):
-                    return loss_fn(m, k, bx, bcond)
-
-                loss, grads = jax.value_and_grad(loss_of_model)(state.model)
-                updates, opt_state = tx.update(grads, state.opt_state, state.model)
-                new_model = optax.apply_updates(state.model, updates)
+                state, loss = _update_step(tx, loss_fn, state, k, bx, bcond)
                 if ema_decay:
                     ema_m = jax.tree_util.tree_map(
                         lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
                         ema_m,
-                        new_model,
+                        state.model,
                     )
-                return (TrainState(new_model, opt_state, state.step + 1), ema_m), loss
+                return (state, ema_m), loss
 
             keys = jax.random.split(kscan, steps_per_epoch)
             xs = (keys, xb, cb) if has_cond else (keys, xb)

@@ -259,3 +259,51 @@ def test_converter_validation_and_stats_extraction():
     stats = convert.standardization_from_torch(sd_flow)
     assert set(stats) == {"target_shift", "target_scale"}
     np.testing.assert_array_equal(np.asarray(stats["target_scale"]), [2.0, 0.5])
+
+
+def test_trainable_mask_freezes_only_top_level_W():
+    """Only params['W'] (the frozen Fourier embedding) is frozen; a nested
+    custom weight that happens to be named 'W' stays trainable."""
+    from flowfusion_tpu.train import trainable_mask
+
+    model = {"params": {"W": np.ones(3), "layers": [{"W": np.ones(2), "b": np.ones(1)}]}}
+    mask = trainable_mask(model)
+    assert mask["params"]["W"] is False
+    assert mask["params"]["layers"][0]["W"] is True
+    assert mask["params"]["layers"][0]["b"] is True
+
+
+def test_fit_preserves_trailing_feature_shape():
+    """Epoch batching keeps per-sample dims intact (regression: reshape
+    to (steps, bs, -1) flattened structured features)."""
+    import dataclasses as dc
+
+    @dc.dataclass(frozen=True)
+    class ShapeCheckNet:
+        def apply(self, params, t, x, conditional=None):
+            return x
+
+    calls = {}
+
+    def loss_fn(model, key, x, conditional):
+        calls["shape"] = x.shape
+        return jnp.mean(x**2) + jnp.sum(model["p"] * 0.0)
+
+    model = {"p": jnp.ones(())}
+    x = jnp.ones((10, 2, 3))  # structured per-sample shape
+    from flowfusion_tpu.train import fit
+
+    _, results = fit(
+        model, jax.random.PRNGKey(0), x, stages=((4, 1e-3),),
+        epochs_per_stage=1, loss_fn=loss_fn,
+    )
+    assert calls["shape"] == (4, 2, 3)
+
+
+def test_fit_empty_dataset_raises():
+    from flowfusion_tpu.train import fit
+
+    with pytest.raises(ValueError, match="empty"):
+        fit({"p": jnp.ones(())}, jax.random.PRNGKey(0), jnp.ones((0, 2)),
+            stages=((4, 1e-3),), epochs_per_stage=1,
+            loss_fn=lambda m, k, x, c: jnp.sum(m["p"]))
