@@ -37,7 +37,7 @@ import numpy as np
 
 from flowfusion_tpu.models.population import PopulationModelDiffusion
 from flowfusion_tpu.ops.sde import VPSDE
-from flowfusion_tpu.parallel.sharding import make_mesh, shard_batch
+from flowfusion_tpu.parallel.sharding import make_mesh, pad_to_multiple, shard_batch
 from flowfusion_tpu.train import fit
 from flowfusion_tpu.utils.data import standardization_stats
 
@@ -139,14 +139,18 @@ def main():
         return lp
 
     jfn = jax.jit(lp_fn)
-    batch = (shard_batch(theta_ev, mesh), shard_batch(c_ev, mesh))
-    lp = jfn(batch)  # compile
+    # pad to the device count so any --n-eval works, slice after
+    n_dev = len(mesh.devices.reshape(-1))
+    theta_p, n_true = pad_to_multiple(theta_ev, n_dev)
+    c_p, _ = pad_to_multiple(c_ev, n_dev)
+    batch = (shard_batch(theta_p, mesh), shard_batch(c_p, mesh))
+    lp = jfn(batch)[:n_true]  # compile
     jax.block_until_ready(lp)
     # Perturb the timed call's data: the sandbox's remote-execution relay
     # can serve cached results for identical executable+argument pairs.
     batch2 = (batch[0] + 1e-6, batch[1])
     t0 = time.time()
-    lp_t = jfn(batch2)
+    lp_t = jfn(batch2)[:n_true]
     jax.block_until_ready(lp_t)
     dt = time.time() - t0
     print(f"conditional log_prob: {args.n_eval:,} evals in {dt:.2f}s "

@@ -50,6 +50,8 @@ def make_mesh(
     """Mesh over the given devices: ('data',) or ('data', 'model')."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if model_axis < 1:
+        raise ValueError(f"model_axis must be >= 1, got {model_axis}")
     if model_axis == 1:
         return Mesh(np.asarray(devices), ("data",))
     if n % model_axis:
@@ -59,18 +61,40 @@ def make_mesh(
 
 
 def shard_batch(x: Any, mesh: Mesh) -> Any:
-    """Place batch-major arrays across the mesh 'data' axis."""
+    """Place batch-major arrays across the mesh 'data' axis.
+
+    Scalar (rank-0) leaves pass through unplaced.  Batch sizes must be
+    divisible by the 'data' axis size — the error names
+    :func:`pad_to_multiple` instead of surfacing a raw device_put
+    message after an expensive upstream computation.
+    """
     sharding = NamedSharding(mesh, P("data"))
-    return jax.tree_util.tree_map(
-        lambda a: jax.device_put(a, sharding) if hasattr(a, "ndim") and a.ndim else a,
-        x,
-    )
+    n_data = mesh.shape["data"]
+
+    def place(a):
+        if not (hasattr(a, "ndim") and a.ndim):
+            return a
+        if a.shape[0] % n_data:
+            raise ValueError(
+                f"batch size {a.shape[0]} is not divisible by the mesh's "
+                f"{n_data}-device 'data' axis — pad with "
+                "parallel.pad_to_multiple and slice the outputs"
+            )
+        return jax.device_put(a, sharding)
+
+    return jax.tree_util.tree_map(place, x)
 
 
 def replicate(x: Any, mesh: Mesh) -> Any:
-    """Fully replicate a pytree (e.g. model params) over the mesh."""
+    """Fully replicate a pytree (e.g. model params) over the mesh.
+
+    Non-array leaves (strings, callables in a user train-state) pass
+    through untouched, mirroring ``shard_batch``'s guard.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), x)
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding) if hasattr(a, "ndim") else a, x
+    )
 
 
 def data_parallel(
@@ -82,15 +106,19 @@ def data_parallel(
 
     Close over the model/static arguments; the batch pytree is the single
     argument.  XLA inserts the collectives; nothing in ``fn`` changes.
+
+    Scalar (rank-0) leaves in the batch pytree are replicated rather than
+    batch-sharded (matching ``shard_batch``).  ``donate_batch=True``
+    donates the jit argument — the *committed sharded* arrays; when the
+    caller passes already-sharded inputs (``shard_batch`` is a no-op
+    then) the caller's buffers themselves are reused, otherwise the
+    internal resharded copy is what gets freed.
     """
-    batch_sharding = NamedSharding(mesh, P("data"))
-    jfn = jax.jit(
-        fn,
-        in_shardings=(batch_sharding,),  # prefix-broadcast over the pytree
-        donate_argnums=(0,) if donate_batch else (),
-    )
+    jfn = jax.jit(fn, donate_argnums=(0,) if donate_batch else ())
 
     def wrapped(batch):
+        # committed input shardings (from shard_batch) drive the
+        # partitioning; no in_shardings prefix, so scalar leaves are fine
         return jfn(shard_batch(batch, mesh))
 
     return wrapped
@@ -121,15 +149,36 @@ def data_parallel_per_shard(
         override placement.
 
     Closed-over arrays (model params) are implicitly replicated.
+
+    Rejects meshes with a non-trivial 'model' axis: rows are split only
+    over 'data', so every model-axis device would silently re-run the
+    identical shard (half a pod of wasted FLOPs on a 2-way model axis).
     """
-    sm = jax.shard_map(
-        fn, mesh=mesh, in_specs=(P("data"),), out_specs=out_specs,
-        check_vma=False,
-    )
-    jfn = jax.jit(sm)
+    if "model" in mesh.shape and mesh.shape["model"] > 1:
+        raise ValueError(
+            "data_parallel_per_shard shards rows over 'data' only; a "
+            f"{mesh.shape['model']}-way 'model' axis would redundantly "
+            "recompute every shard — pass a 1-D ('data',) mesh"
+        )
+
+    _cache = {}
 
     def wrapped(batch):
-        return jfn(shard_batch(batch, mesh))
+        # per-leaf specs: scalar leaves replicate, batch leaves shard
+        # (cached per pytree structure + leaf ranks)
+        leaves, treedef = jax.tree_util.tree_flatten(batch)
+        key = (treedef, tuple(getattr(l, "ndim", 0) for l in leaves))
+        if key not in _cache:
+            in_specs = jax.tree_util.tree_unflatten(
+                treedef,
+                [P("data") if getattr(l, "ndim", 0) else P() for l in leaves],
+            )
+            sm = jax.shard_map(
+                fn, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
+                check_vma=False,
+            )
+            _cache[key] = jax.jit(sm)
+        return _cache[key](shard_batch(batch, mesh))
 
     return wrapped
 

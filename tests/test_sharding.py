@@ -250,3 +250,42 @@ def test_per_shard_sketch_estimators_fused():
     # meaningful statistic (same check the reference notebooks use).
     s_xt, s_ex = float(np.sum(lp_xt)), float(np.sum(lp_exact))
     assert abs(s_xt - s_ex) / abs(s_ex) < 0.2
+
+
+def test_scalar_leaves_and_validation():
+    """Rank-0 leaves replicate instead of crashing the wrappers; ragged
+    batches and bad model_axis raise actionable errors."""
+    from flowfusion_tpu.parallel.sharding import (
+        data_parallel,
+        data_parallel_per_shard,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+
+    def fn(batch):
+        return batch["x"] * batch["gain"]
+
+    batch = {"x": jnp.ones((n_dev * 4, 2)), "gain": jnp.float32(3.0)}
+    out = data_parallel(fn, mesh)(batch)
+    np.testing.assert_allclose(np.asarray(out), 3.0)
+    out2 = data_parallel_per_shard(fn, mesh)(batch)
+    np.testing.assert_allclose(np.asarray(out2), 3.0)
+
+    # ragged batch: actionable error naming pad_to_multiple
+    with pytest.raises(ValueError, match="pad_to_multiple"):
+        shard_batch(jnp.ones((n_dev * 4 + 1, 2)), mesh)
+    # model_axis validation
+    with pytest.raises(ValueError, match="model_axis"):
+        make_mesh(model_axis=0)
+    # per-shard wrapper rejects redundant model axes
+    if n_dev % 2 == 0 and n_dev >= 2:
+        mesh2 = make_mesh(model_axis=2)
+        with pytest.raises(ValueError, match="redundantly"):
+            data_parallel_per_shard(fn, mesh2)
+    # replicate passes non-array leaves through
+    rep = replicate({"w": jnp.ones(3), "name": "adam"}, mesh)
+    assert rep["name"] == "adam"
