@@ -9,7 +9,7 @@ generation all live in VMEM across the *whole* step loop.  Per batch tile
 the kernel:
 
   1. seeds the per-core PRNG from (seed, program_id);
-  2. for each step (unrolled Python loop over a static step count):
+  2. for each step (a rolled ``lax.fori_loop`` over the static count):
      a. reads the per-step scalars (c0, c1, g*sqrt(dt)) and the per-step
         effective first-layer bias (time-embedding folded in, see
         fused_mlp.py) from VMEM;
@@ -62,19 +62,27 @@ def _normal_from_bits(shape):
     ``prng_random_bits`` yields *int32*; the shift must be LOGICAL — an
     arithmetic ``>> 8`` keeps the sign bit, making u1 negative (log -> NaN)
     for half of all draws (caught on real TPU: all-NaN samples).
+
+    Both Box--Muller halves are used (r cos and r sin are independent
+    normals), halving the PRNG draws and log/sqrt work per element in the
+    per-step hot loop.
     """
-    bits1 = pltpu.prng_random_bits(shape)
-    bits2 = pltpu.prng_random_bits(shape)
+    rows, d = shape
+    d2 = (d + 1) // 2
+    bits1 = pltpu.prng_random_bits((rows, d2))
+    bits2 = pltpu.prng_random_bits((rows, d2))
     # uniforms in (0, 1]: use the top 24 bits for an exact float mantissa
     top1 = jax.lax.shift_right_logical(bits1, jnp.int32(8))
     top2 = jax.lax.shift_right_logical(bits2, jnp.int32(8))
     u1 = top1.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
     u2 = top2.astype(jnp.float32) * (1.0 / (1 << 24))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos(_TWO_PI * u2)
+    theta = _TWO_PI * u2
+    z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
+    return z[:, :d]
 
 
-def _kernel(steps: int, n_hidden: int, d_out: int, compute_dtype, hw_rng, with_cond, refs, activation: str = 'silu'):
+def _kernel(steps: int, n_hidden: int, compute_dtype, hw_rng, with_cond, refs, activation: str = 'silu'):
     """Ref layout: [x0, seed(smem), (noise), (cond_proj), coeffs,
     b_eff_all, w_in, w_h.., b_h.., w_out, b_out] -> [x_mean, x]
 
@@ -104,7 +112,10 @@ def _kernel(steps: int, n_hidden: int, d_out: int, compute_dtype, hw_rng, with_c
     out_ref = refs[i]
 
     if hw_rng:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # separate seed words: seed+program_id ADDITION would collide
+        # streams across sequentially-seeded calls (call(seed=0) tile 1
+        # == call(seed=1) tile 0)
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     # Parity mode (f32 weights) must request HIGHEST: inside Pallas the
     # default dot precision is a single bf16 MXU pass even for f32 operands
@@ -136,7 +147,7 @@ def _kernel(steps: int, n_hidden: int, d_out: int, compute_dtype, hw_rng, with_c
         return mm(act(a), w_out) + b_out[:]
 
     def body(s, carry):
-        x, x_mean = carry
+        x, x_mean, ok = carry
         growth = coeffs_ref[s, 0]
         c1dt = coeffs_ref[s, 1]
         gsdt = coeffs_ref[s, 2]
@@ -147,10 +158,18 @@ def _kernel(steps: int, n_hidden: int, d_out: int, compute_dtype, hw_rng, with_c
         else:
             z = noise_ref[s, :, :]
         new_x = new_mean + gsdt * z
-        return (new_x, new_mean)
+        # NaN-freeze parity with the reference sampler and the lax.scan
+        # path (fixed.euler_maruyama): a non-finite step stops updates and
+        # the last finite state is returned instead of NaN poison.
+        keep = ok & jnp.all(jnp.isfinite(new_x)) & jnp.all(jnp.isfinite(new_mean))
+        x = jnp.where(keep, new_x, x)
+        x_mean = jnp.where(keep, new_mean, x_mean)
+        return (x, x_mean, keep)
 
     x0 = x_ref[:]
-    x, x_mean = jax.lax.fori_loop(0, steps, body, (x0, x0))
+    x, x_mean, _ = jax.lax.fori_loop(
+        0, steps, body, (x0, x0, jnp.asarray(True))
+    )
     mean_ref[:] = x_mean
     out_ref[:] = x
 
@@ -220,7 +239,7 @@ def _fused_em_impl(
     operands += [w_out, b_out]
 
     kernel = lambda *refs: _kernel(
-        steps, n_hidden, d_out, _em_weight_dtype(compute_dtype),
+        steps, n_hidden, _em_weight_dtype(compute_dtype),
         hw_rng, with_cond,
         refs, activation=activation,
     )
@@ -239,7 +258,7 @@ def _fused_em_impl(
         cost_estimate=pl.CostEstimate(
             flops=B * steps * 2 * H * (D + (n_hidden - 1) * H + d_out),
             bytes_accessed=B * D * 4 * 3,
-            transcendentals=B * steps * (H * n_hidden + 2 * D),
+            transcendentals=B * steps * (H * n_hidden + D),
         ),
         interpret=interpret,
     )(*operands)
