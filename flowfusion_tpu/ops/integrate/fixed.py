@@ -24,7 +24,11 @@ __all__ = [
 
 
 def _tree_axpy(y, scale, x):
-    return jax.tree_util.tree_map(lambda a, b: a + scale * b, y, x)
+    # cast the (possibly strong-f32 traced) scale per leaf so low-precision
+    # carries keep their dtype under lax.scan (no carry-dtype mismatch)
+    return jax.tree_util.tree_map(
+        lambda a, b: a + jnp.asarray(scale, a.dtype) * b, y, x
+    )
 
 
 def _euler_step(func, t, dt, y):
@@ -88,13 +92,16 @@ def leapfrog(
     ts = t0 + dt * jnp.arange(steps, dtype=jnp.float32)
 
     def body(carry, t):
-        q, p = carry
-        p_half = p + 0.5 * dt * vp_fn(t, q)
+        q, p, f = carry  # f = vp_fn(t, q), carried from the previous close
+        p_half = p + 0.5 * dt * f
         q_new = q + dt * vq_fn(t + 0.5 * dt, p_half)
-        p_new = p_half + 0.5 * dt * vp_fn(t + dt, q_new)
-        return (q_new, p_new), None
+        f_new = vp_fn(t + dt, q_new)
+        p_new = p_half + 0.5 * dt * f_new
+        return (q_new, p_new, f_new), None
 
-    (q, p), _ = jax.lax.scan(body, (q0, p0), ts)
+    # the closing kick of step i is the opening kick of step i+1: carry it
+    # (2N+1 force evaluations instead of 3N)
+    (q, p, _), _ = jax.lax.scan(body, (q0, p0, vp_fn(t0, q0)), ts)
     return q, p
 
 
@@ -112,6 +119,10 @@ def odeint_fixed(
     ``y0``.  ``ts`` may be increasing or decreasing.
     """
     step_fn = FIXED_METHODS[method]
+    if steps_per_interval < 1:
+        raise ValueError(
+            f"steps_per_interval must be >= 1, got {steps_per_interval}"
+        )
     ts = np.asarray(ts, np.float64)
     # Sub-stepped global grid: each output interval is split uniformly.
     fine = []
@@ -149,7 +160,13 @@ def _backend_supports_callbacks() -> bool:
     """Host send/recv (jax.debug.callback) support check.
 
     The sandbox's axon relay backend reports platform 'tpu' but cannot run
-    host callbacks; it identifies itself in the client platform version."""
+    host callbacks; it identifies itself in the client platform version.
+    Other backends without host send/recv can opt out via
+    FLOWFUSION_TPU_NO_CALLBACKS=1."""
+    import os
+
+    if os.environ.get("FLOWFUSION_TPU_NO_CALLBACKS"):
+        return False
     try:
         return "axon" not in jax.devices()[0].client.platform_version
     except Exception:
@@ -209,6 +226,12 @@ def euler_maruyama(
     dt = (t1 - t0) / steps
     sqrt_dt = jnp.sqrt(jnp.abs(dt)).astype(x0.dtype)
     keys = jax.random.split(key, steps)
+    # precomputed float32 time grid: accumulating t by repeated addition in
+    # x0.dtype corrupts the solver times for low-precision states (bf16 has
+    # 8 mantissa bits) and drifts at high step counts even in f32
+    ts_grid = jnp.float32(t0) + jnp.float32(dt) * jnp.arange(
+        steps, dtype=jnp.float32
+    )
     if progress and not _backend_supports_callbacks():
         # e.g. the axon relay PJRT backend has no host send/recv, so
         # jax.debug.callback cannot run; degrade to no bar.
@@ -219,8 +242,8 @@ def euler_maruyama(
     tick = make_progress_callback(steps, "sample_sde") if progress else None
 
     def body(carry, inp):
-        x, x_mean, t, frozen = carry
-        step_key = inp
+        x, x_mean, frozen = carry
+        step_key, t = inp
         if tick is not None:
             jax.debug.callback(tick, t)
         # Reference: breaks out when t < epsilon (handles discretization
@@ -235,8 +258,10 @@ def euler_maruyama(
         use = active & ~has_nan
         x_out = jnp.where(use, new_x, x)
         mean_out = jnp.where(use, new_mean, x_mean)
-        return (x_out, mean_out, t + dt, frozen | has_nan), None
+        # flag only NaNs on ACTIVE steps: inactive evaluations below
+        # epsilon are discarded anyway (the reference never evaluates them)
+        return (x_out, mean_out, frozen | (active & has_nan)), None
 
-    init = (x0, x0, jnp.asarray(t0, x0.dtype), jnp.asarray(False))
-    (x, x_mean, _, nan_flag), _ = jax.lax.scan(body, init, keys)
+    init = (x0, x0, jnp.asarray(False))
+    (x, x_mean, nan_flag), _ = jax.lax.scan(body, init, (keys, ts_grid))
     return EMResult(x_mean=x_mean, x=x, nan_encountered=nan_flag)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fixed import FIXED_METHODS
+from .fixed import FIXED_METHODS, _tree_axpy as _axpy
 
 __all__ = ["odeint_multistep", "MULTISTEP_METHODS"]
 
@@ -41,10 +41,6 @@ _AB4 = (55.0 / 24.0, -59.0 / 24.0, 37.0 / 24.0, -9.0 / 24.0)  # f_n .. f_{n-3}
 _AM4 = (9.0 / 24.0, 19.0 / 24.0, -5.0 / 24.0, 1.0 / 24.0)  # f_{n+1} .. f_{n-2}
 
 MULTISTEP_METHODS = ("explicit_adams", "implicit_adams")
-
-
-def _axpy(y, scale, x):
-    return jax.tree_util.tree_map(lambda a, b: a + scale * b, y, x)
 
 
 def _ab4_increment(hist):

@@ -473,3 +473,50 @@ def test_beta_without_pi_controller_raises():
         f, y0, [0.0, 1.0], options={"controller": "pi", "beta": 0.08}
     )
     assert bool(stats.succeeded)
+
+
+def test_euler_maruyama_bf16_state_times_stay_accurate():
+    """The solver time grid is precomputed in float32 even for bf16 state
+    (regression: t accumulated in x0.dtype quantized to ~0.4%/step)."""
+    seen = []
+
+    def drift(t, x):
+        seen.append(t)
+        return -x * 0.0
+
+    res = euler_maruyama(
+        jax.random.PRNGKey(0), drift, lambda t, x: jnp.zeros_like(x),
+        jnp.ones((4, 2), jnp.bfloat16), t0=1.0, t1=0.0, steps=100,
+    )
+    # times are traced f32 scalars, not bf16
+    assert seen[0].dtype == jnp.float32
+    assert res.x.dtype == jnp.bfloat16
+
+
+def test_euler_maruyama_inactive_nan_not_flagged():
+    """NaNs produced on steps below epsilon (whose results are discarded)
+    must not set nan_encountered (regression)."""
+
+    def drift(t, x):
+        # finite above epsilon, NaN below (like sigma(t) -> 0 blowups)
+        return jnp.where(t >= 0.5, -x, jnp.nan)
+
+    res = euler_maruyama(
+        jax.random.PRNGKey(0), drift, lambda t, x: jnp.zeros_like(x),
+        jnp.ones((4, 2)), t0=1.0, t1=0.0, steps=10, epsilon=0.5,
+    )
+    assert not bool(res.nan_encountered)
+    assert bool(jnp.all(jnp.isfinite(res.x_mean)))
+    # ... while an ACTIVE NaN still flags
+    res2 = euler_maruyama(
+        jax.random.PRNGKey(0), lambda t, x: jnp.full_like(x, jnp.nan),
+        lambda t, x: jnp.zeros_like(x),
+        jnp.ones((4, 2)), t0=1.0, t1=0.0, steps=10,
+    )
+    assert bool(res2.nan_encountered)
+
+
+def test_odeint_fixed_rejects_bad_substeps():
+    with pytest.raises(ValueError, match="steps_per_interval"):
+        odeint(lambda t, y: -y, jnp.ones(2), [0.0, 1.0], method="euler",
+               options={"steps_per_interval": 0})
