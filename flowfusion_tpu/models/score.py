@@ -264,14 +264,45 @@ class ScoreModel:
         step).  ``base_samples`` ~ N(0,1), as in ``sample_ode_from_base``.
         """
         from ..ops.integrate.dpm import dpm_solver_sample
+        from ..parallel import autoshard
+
+        if autoshard.should_route(base_samples, conditional, self.params):
+            (out,), _ = autoshard.routed_call(
+                _sample_dpm_per_shard,
+                (steps, order),
+                self,
+                base_samples,
+                conditional,
+                None,
+            )
+            return out
 
         x_T = base_samples * self.sde.prior_scale
 
-        def eps_fn(t, x):
-            # noise prediction: eps = -eta(t) * score
-            eta = self.sde.marginal_prob_scalars(t)[1]
-            eta = jnp.reshape(eta, (-1,) + (1,) * (x.ndim - 1))
-            return -eta * self.score(t, x, conditional)
+        if self._fused_available():
+            from ..kernels.fused_mlp import fused_drift
+
+            def eps_fn(t, x):
+                # dpm passes a constant (B,) time vector; the kernel folds
+                # a SCALAR solver time into the first-layer bias
+                ts = jnp.reshape(t, (-1,))[0]
+                eta = self.sde.marginal_prob_scalars(ts)[1]
+                c1 = -eta if self.no_sigma else -eta / self.sde.sigma(ts)
+                # eps = -eta * score = c1 * net: forward-mode fused_drift
+                # with (c0, c1) = (0, c1)
+                return fused_drift(
+                    self.params, self.net, ts, x, conditional,
+                    c0=0.0, c1=c1,
+                    compute_dtype=self.kernel_compute_dtype,
+                )
+
+        else:
+
+            def eps_fn(t, x):
+                # noise prediction: eps = -eta(t) * score
+                eta = self.sde.marginal_prob_scalars(t)[1]
+                eta = jnp.reshape(eta, (-1,) + (1,) * (x.ndim - 1))
+                return -eta * self.score(t, x, conditional)
 
         return dpm_solver_sample(
             eps_fn, self.sde, x_T, steps=steps, order=order,
@@ -838,6 +869,19 @@ def _sample_ode_per_shard(atol, rtol, method, opts):
         return samples, jax.tree_util.tree_map(
             lambda s: jnp.reshape(s, (1,)), stats
         )
+
+    return per_shard
+
+
+def _sample_dpm_per_shard(steps, order):
+    """Per-shard sample_dpm body for ``parallel.autoshard``
+    (module-level: its identity is the jit-cache key)."""
+
+    def per_shard(model, xb, cb, kb):
+        out = model._per_shard_variant().sample_dpm(
+            xb, conditional=cb, steps=steps, order=order
+        )
+        return (out,), ()
 
     return per_shard
 

@@ -47,7 +47,11 @@ def dpm_solver_sample(
     lam0 = sde.log_snr(jnp.asarray(t0, jnp.float32))
     lam1 = sde.log_snr(jnp.asarray(t1, jnp.float32))
     lams = jnp.linspace(lam0, lam1, steps + 1)
-    ts = sde.t_of_log_snr(lams)
+    # pin the endpoints: the inverse log-SNR round-trip carries f32 error
+    # (e.g. sub-VP defaults give t_of_log_snr(log_snr(1.0)) = 1.0000784),
+    # and the first/last network evaluations must stay inside the trained
+    # [epsilon, T] range regardless of the inverse's accuracy
+    ts = sde.t_of_log_snr(lams).at[0].set(t0).at[-1].set(t1)
 
     def alpha(t):
         return sde.marginal_prob_scalars(t)[0]

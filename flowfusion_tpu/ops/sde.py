@@ -218,13 +218,20 @@ class VPSDE(SDE):
         std = jnp.sqrt(-jnp.expm1(-log_coeff))
         return jnp.exp(-0.5 * log_coeff), std
 
+    def _t_of_int_beta(self, B: jax.Array) -> jax.Array:
+        """Invert B(t) = a t^2 + b t for t >= 0 using the
+        cancellation-free root 2B / (b + sqrt(b^2 + 4 a B)) — exact for
+        a -> 0 (constant-beta schedules; the textbook -b + sqrt form is
+        0/0 there and loses precision for small B)."""
+        a = 0.5 * (self.beta_max - self.beta_min) / self.T
+        b = self.beta_min
+        return 2.0 * B / (b + jnp.sqrt(b**2 + 4.0 * a * B))
+
     def t_of_log_snr(self, lam: jax.Array) -> jax.Array:
         # lambda = -0.5 log(e^{B} - 1)  =>  B = log1p(e^{-2 lambda});
         # B(t) = (bmax-bmin) t^2 / (2T) + bmin t  solved for t >= 0.
         B = jnp.log1p(jnp.exp(-2.0 * lam))
-        a = 0.5 * (self.beta_max - self.beta_min) / self.T
-        b = self.beta_min
-        return (-b + jnp.sqrt(b**2 + 4.0 * a * B)) / (2.0 * a)
+        return self._t_of_int_beta(B)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -256,10 +263,11 @@ class SUBVPSDE(VPSDE):
 
     def t_of_log_snr(self, lam: jax.Array) -> jax.Array:
         # eta = 1 - e^{-B}: with u = e^{-B/2}, e^lam = u / (1 - u^2)
-        #  =>  u = (sqrt(1 + 4 e^{2 lam}) - 1) / (2 e^lam),  B = -2 log u.
+        #  =>  u = 2 e^lam / (1 + sqrt(1 + 4 e^{2 lam})),  B = -2 log u.
+        # (the textbook (sqrt(1+4r^2)-1)/(2r) form catastrophically
+        # cancels for negative lambda: at r ~ 1e-4 float32 rounds
+        # 1 + 4r^2 to 1 and returns u = 0 -> B = inf -> NaN samples)
         r = jnp.exp(lam)
-        u = (jnp.sqrt(1.0 + 4.0 * r**2) - 1.0) / (2.0 * r)
+        u = 2.0 * r / (1.0 + jnp.sqrt(1.0 + 4.0 * r**2))
         B = -2.0 * jnp.log(u)
-        a = 0.5 * (self.beta_max - self.beta_min) / self.T
-        b = self.beta_min
-        return (-b + jnp.sqrt(b**2 + 4.0 * a * B)) / (2.0 * a)
+        return self._t_of_int_beta(B)

@@ -294,3 +294,10 @@ def test_solve_odes_forward_routes(score_model):
     assert xT.shape == (37, 2) and dlp.shape == (37,)
     assert stats.n_func_evals.shape == (N_DEV,)
     assert bool(jnp.all(jnp.isfinite(dlp)))
+
+
+def test_sample_dpm_routes(score_model):
+    base = jax.random.normal(jax.random.PRNGKey(11), (37, 2))
+    out = score_model.sample_dpm(base, steps=6)
+    assert out.shape == (37, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))

@@ -970,3 +970,33 @@ def test_fused_sketch_probe_validation():
     with pytest.raises(ValueError, match="xtrace needs"):
         fused_drift_sketch(params, cfg, t, x, (O,), "xtrace",
                            interpret=INTERPRET)
+
+
+@pytest.mark.slow
+def test_sample_dpm_fused_matches_plain():
+    """sample_dpm rides the fused kernel when available; outputs must
+    match the plain path (same deterministic solve)."""
+    import dataclasses
+    from flowfusion_tpu.models.score import ScoreModel
+    from flowfusion_tpu.ops.sde import VPSDE
+
+    for n_cond in (0, 2):
+        cfg, params = _setup(n_cond=n_cond, units=(128,))
+        m_plain = ScoreModel(
+            params=params, net=cfg, sde=VPSDE(), use_fused_kernel=False
+        )
+        m_fused = dataclasses.replace(m_plain, use_fused_kernel=True)
+        base = jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+        cond = (
+            jax.random.normal(jax.random.PRNGKey(2), (64, n_cond))
+            if n_cond else None
+        )
+        run = jax.jit(
+            lambda mm, bb, cc: mm.sample_dpm(bb, conditional=cc, steps=8),
+            static_argnums=(),
+        )
+        out_p = run(m_plain, base, cond)
+        out_f = run(m_fused, base, cond)
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_p), rtol=1e-5, atol=1e-4
+        )

@@ -120,3 +120,28 @@ def test_sdes_are_hashable_static_args():
         return sde.drift(jnp.asarray([0.5]), x)
 
     f(jnp.ones((1, 2)))
+
+
+def test_t_of_log_snr_stable_edge_cases():
+    """Stable inverse log-SNR forms (regression: catastrophic cancellation
+    gave inf/NaN): sub-VP at large beta_max, VP with a constant-beta
+    schedule, and round-trips stay tight."""
+    from flowfusion_tpu.ops.sde import SUBVPSDE, VPSDE
+
+    # sub-VP, beta_max=36: old form hit 1+4r^2 == 1 in f32 -> u=0 -> inf
+    sde = SUBVPSDE(beta_max=36.0)
+    t_back = sde.t_of_log_snr(sde.log_snr(jnp.asarray(1.0)))
+    assert np.isfinite(float(t_back))
+    np.testing.assert_allclose(float(t_back), 1.0, rtol=1e-3)
+
+    # constant-beta VP: old quadratic root was 0/0 = NaN
+    sde_c = VPSDE(beta_min=0.1, beta_max=0.1)
+    t_back = sde_c.t_of_log_snr(sde_c.log_snr(jnp.asarray(0.7)))
+    np.testing.assert_allclose(float(t_back), 0.7, rtol=1e-4)
+
+    # round-trip accuracy across the schedule for defaults
+    for cls in (VPSDE, SUBVPSDE):
+        s = cls()
+        ts = jnp.linspace(0.05, 1.0, 20)
+        back = s.t_of_log_snr(s.log_snr(ts))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(ts), rtol=5e-3, atol=2e-4)
