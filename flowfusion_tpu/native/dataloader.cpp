@@ -10,7 +10,7 @@
 //     memory-mapped read-only — zero copy until batch assembly;
 //   * a background thread draws shuffled row indices (xorshift128+ PRNG,
 //     Fisher-Yates over an epoch permutation) and gathers minibatches
-//     into a bounded ring of pinned host buffers;
+//     into a bounded ring of reusable host buffers;
 //   * the Python side (utils/native_loader.py) pops batches via ctypes
 //     and hands them to jax.device_put — host gather overlaps with
 //     device compute.
@@ -24,7 +24,6 @@
 #include <cstring>
 #include <deque>
 #include <mutex>
-#include <random>
 #include <string>
 #include <thread>
 #include <vector>
@@ -58,7 +57,8 @@ struct XorShift128Plus {
     s1 = x ^ y ^ (x >> 17) ^ (y >> 26);
     return s1 + y;
   }
-  // unbiased bounded draw (Lemire)
+  // multiply-shift bounded draw (bias ~n/2^64 — immaterial at any
+  // realistic row count; add Lemire rejection if that ever changes)
   uint64_t bounded(uint64_t n) {
     __uint128_t m = (__uint128_t)(*this)() * (__uint128_t)n;
     return (uint64_t)(m >> 64);
@@ -91,7 +91,13 @@ struct Loader {
   ~Loader() { shutdown(); }
 
   void shutdown() {
-    stop.store(true);
+    {
+      // mutate the wait condition UNDER the mutex: storing + notifying
+      // unlocked can race a waiter between its predicate check and its
+      // atomic release-and-block (lost wakeup -> join() hangs forever)
+      std::lock_guard<std::mutex> lk(mu);
+      stop.store(true);
+    }
     cv_free.notify_all();
     cv_ready.notify_all();
     if (worker.joinable()) worker.join();
@@ -115,6 +121,13 @@ struct Loader {
 
   void fill_batch(std::vector<float>& out) {
     out.resize((size_t)batch * n_cols);
+    // batches never span epochs: the epoch remainder is dropped, matching
+    // the numpy fallback and the reference DataLoader's per-epoch batching
+    // (a spanning batch could contain the same row twice).  batch > n_rows
+    // degenerates to sampling with reshuffle-on-exhaustion.
+    if (batch <= n_rows && (int64_t)((size_t)n_rows - perm_pos) < batch) {
+      reshuffle();
+    }
     for (int64_t r = 0; r < batch; ++r) {
       if (perm_pos >= (size_t)n_rows) reshuffle();
       const int64_t row = perm[perm_pos++];
@@ -156,6 +169,10 @@ extern "C" {
 // or nullptr (see ffdl_last_error).
 void* ffdl_open(const char* path, int64_t n_cols, int64_t batch,
                 int64_t prefetch_depth, uint64_t seed) {
+  if (n_cols <= 0 || batch <= 0) {
+    set_error("n_cols and batch must be positive");
+    return nullptr;
+  }
   auto* L = new Loader();
   L->fd = open(path, O_RDONLY);
   if (L->fd < 0) {
@@ -169,8 +186,9 @@ void* ffdl_open(const char* path, int64_t n_cols, int64_t batch,
     delete L;
     return nullptr;
   }
-  if (st.st_size % (n_cols * (int64_t)sizeof(float)) != 0) {
-    set_error("file size is not a multiple of n_cols * 4");
+  if (st.st_size <= 0 ||
+      st.st_size % (n_cols * (int64_t)sizeof(float)) != 0) {
+    set_error("file size is not a positive multiple of n_cols * 4");
     delete L;
     return nullptr;
   }
@@ -198,6 +216,7 @@ void* ffdl_open(const char* path, int64_t n_cols, int64_t batch,
 // Copy the next shuffled batch into out (batch * n_cols floats).
 // Returns 0 on success, -1 on error/shutdown.
 int ffdl_next(void* handle, float* out) {
+  if (handle == nullptr) return -1;
   auto* L = static_cast<Loader*>(handle);
   std::vector<float> buf;
   {
@@ -217,14 +236,19 @@ int ffdl_next(void* handle, float* out) {
 }
 
 int64_t ffdl_n_rows(void* handle) {
-  return static_cast<Loader*>(handle)->n_rows;
+  return handle ? static_cast<Loader*>(handle)->n_rows : 0;
 }
 
 int64_t ffdl_n_cols(void* handle) {
-  return static_cast<Loader*>(handle)->n_cols;
+  return handle ? static_cast<Loader*>(handle)->n_cols : 0;
 }
 
+// NB single-consumer contract: ffdl_close must not race a concurrent
+// ffdl_next on another thread (the Loader is freed here; a blocked
+// consumer would wake on destroyed synchronization primitives).  The
+// Python bridge serializes close()/next() on one object.
 void ffdl_close(void* handle) {
+  if (handle == nullptr) return;
   auto* L = static_cast<Loader*>(handle);
   L->shutdown();
   delete L;

@@ -103,6 +103,8 @@ class NativeBatchLoader:
 
     def next(self) -> np.ndarray:
         """Blocking fetch of the next prefetched (batch, n_cols) array."""
+        if getattr(self, "_handle", None) is None:
+            raise RuntimeError("native loader is closed")
         out = np.empty((self.batch, self.n_cols), np.float32)
         rc = self._lib.ffdl_next(
             self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))

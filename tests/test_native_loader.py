@@ -67,3 +67,33 @@ def test_numpy_fallback_same_semantics():
     assert np.array_equal(
         np.sort(rows[:, 0]), np.sort(x[:, 0])
     )  # one epoch covers all rows
+
+
+def test_batches_never_span_epochs_and_close_is_safe(tmp_path):
+    """Epoch remainder is dropped (a batch can never contain the same row
+    twice — parity with the numpy fallback and the reference DataLoader);
+    next-after-close raises instead of crashing; bad configs error."""
+    from flowfusion_tpu.utils.native_loader import NativeBatchLoader, write_f32
+
+    if not NativeBatchLoader.available():
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.default_rng(0)
+    n, d, bs = 10, 2, 4  # 10 % 4 = 2-row remainder each epoch
+    x = np.arange(n * d, dtype=np.float32).reshape(n, d)
+    path = str(tmp_path / "x.f32")
+    write_f32(path, x)
+
+    loader = NativeBatchLoader(path, n_cols=d, batch=bs, seed=3)
+    for _ in range(50):
+        b = loader.next()
+        rows = [tuple(r) for r in b]
+        assert len(set(rows)) == bs, "batch contains a duplicated row"
+    loader.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        loader.next()
+    loader.close()  # idempotent
+
+    # invalid configs fail loudly, not with SIGFPE/bad_alloc
+    with pytest.raises(RuntimeError):
+        NativeBatchLoader(path, n_cols=0, batch=4)
