@@ -4,8 +4,10 @@ Pure functions of (score_fn, sde, PRNG key, batch) — the reference versions
 (/root/reference/flowfusion/diffusion.py:1369-1463) consume global torch RNG;
 here keys are explicit so losses are reproducible and jit/vmap-safe.
 
-Reduction contract matches the reference exactly: sum of squared residuals
-over batch *and* dimensions, divided by batch size.
+Reduction contracts match the reference exactly: the two score-matching
+losses sum squared residuals over batch *and* dimensions and divide by
+batch size (diffusion.py:1404-1414); the flow-matching loss is a plain
+mean over batch and dimensions (flow.py:223-256).
 """
 
 from __future__ import annotations
@@ -25,8 +27,11 @@ ScoreFn = Callable[[jax.Array, jax.Array, Optional[jax.Array]], jax.Array]
 def _draw_t_and_z(key: jax.Array, sde: SDE, x: jax.Array):
     kz, kt = jax.random.split(key)
     z = jax.random.normal(kz, x.shape, x.dtype)
+    # t is always float32 (the reference's torch.rand is f32 regardless of
+    # the data dtype, and all SDE math is f32): drawing in x.dtype would
+    # quantize the time distribution to a coarse lattice for bf16 data
     t = (
-        jax.random.uniform(kt, (x.shape[0],), x.dtype)
+        jax.random.uniform(kt, (x.shape[0],), jnp.float32)
         * (sde.T - sde.epsilon)
         + sde.epsilon
     )
@@ -84,8 +89,12 @@ def flow_matching_loss(
     """
     kz, kt = jax.random.split(key)
     xT = jax.random.normal(kz, x0.shape, x0.dtype)
-    t = jax.random.uniform(kt, (x0.shape[0], 1), x0.dtype)
-    xt = (1.0 - t) * x0 + t * xT
+    t = jax.random.uniform(kt, (x0.shape[0],), jnp.float32)
+    # right-aligned broadcast over any per-sample rank (matches the
+    # score-matching losses; a (B,1)-shaped t would misbroadcast 1-D or
+    # rank-3 x0 silently)
+    t_b = t.reshape((x0.shape[0],) + (1,) * (x0.ndim - 1))
+    xt = (1.0 - t_b) * x0 + t_b * xT
     v_hat = xT - x0
-    v_pred = velocity_fn(t[:, 0], xt, conditional)
+    v_pred = velocity_fn(t, xt, conditional)
     return jnp.mean((v_pred - v_hat) ** 2)

@@ -73,3 +73,39 @@ def test_flow_matching_loss_formula():
     kz, kt = jax.random.split(key)
     xT = jax.random.normal(kz, x0.shape, x0.dtype)
     np.testing.assert_allclose(float(loss), float(jnp.mean((xT - x0) ** 2)), rtol=1e-6)
+
+
+def test_flow_matching_loss_any_rank():
+    """t broadcasts right-aligned: 1-D and rank-3 x0 give per-sample
+    interpolants (regression: (B,1) t misbroadcast (B,) x0 to (B,B))."""
+    from flowfusion_tpu.ops.losses import flow_matching_loss
+
+    captured = {}
+
+    def v_fn(t, xt, cond):
+        captured["xt"] = xt
+        return jnp.zeros_like(xt)
+
+    x1 = jnp.ones((8,))
+    flow_matching_loss(v_fn, jax.random.PRNGKey(0), x1)
+    assert captured["xt"].shape == (8,)
+
+    x3 = jnp.ones((8, 3, 2))
+    flow_matching_loss(v_fn, jax.random.PRNGKey(0), x3)
+    assert captured["xt"].shape == (8, 3, 2)
+
+
+def test_loss_time_draw_is_float32_for_bf16_data():
+    """t stays f32 for low-precision data (reference: torch.rand is f32)."""
+    from flowfusion_tpu.ops.losses import denoising_score_matching
+    from flowfusion_tpu.ops.sde import VPSDE
+
+    seen = {}
+
+    def score_fn(t, x, cond):
+        seen["t_dtype"] = t.dtype
+        return jnp.zeros_like(x)
+
+    x = jnp.ones((16, 2), jnp.bfloat16)
+    denoising_score_matching(score_fn, VPSDE(), jax.random.PRNGKey(0), x)
+    assert seen["t_dtype"] == jnp.float32
