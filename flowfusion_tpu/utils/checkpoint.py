@@ -7,8 +7,9 @@ whose array leaves include those statistics, so a checkpoint is simply the
 pytree + the static config.  Two backends:
 
   * orbax (preferred): async-capable, sharded-array aware;
-  * a dependency-free msgpack-of-npz fallback (``save_npz``/``load_npz``)
-    usable anywhere.
+  * a dependency-free npz fallback (``save_npz``/``load_npz``) usable
+    anywhere — one .npz archive with a JSON metadata entry (leaf paths,
+    dtypes), written atomically (tmp + os.replace).
 
 Static (non-array) dataclass fields are reconstructed from the template
 model passed to ``load`` — configs are code, arrays are data.
@@ -16,7 +17,6 @@ model passed to ``load`` — configs are code, arrays are data.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 
@@ -36,15 +36,40 @@ def _flatten_with_paths(tree: Any):
 
 
 def save_npz(path: str, model: Any) -> None:
-    """Serialize all array leaves of a model pytree to one .npz file."""
+    """Serialize all array leaves of a model pytree to one .npz file.
+
+    Atomic (tmp + os.replace): an interrupted save never truncates a
+    previous good checkpoint.  Non-native dtypes (bfloat16, float8 —
+    which np.savez silently corrupts to void) are stored as raw bytes
+    with their dtype recorded in the metadata.
+    """
     names, leaves, _ = _flatten_with_paths(model)
-    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
-    meta = json.dumps({"names": names, "n": len(leaves)})
-    buf = io.BytesIO()
-    np.savez(buf, __meta__=np.frombuffer(meta.encode(), dtype=np.uint8), **arrays)
+    arrays, dtypes = {}, []
+    for i, l in enumerate(leaves):
+        a = np.asarray(l)
+        dtypes.append(str(a.dtype))
+        if a.dtype.kind == "V" or a.dtype.name not in np.sctypeDict:
+            # ml_dtypes leaf (bf16/f8): round-trip as raw bytes
+            arrays[f"leaf_{i}"] = np.frombuffer(
+                np.ascontiguousarray(a).tobytes(), np.uint8
+            )
+        else:
+            arrays[f"leaf_{i}"] = a
+    meta = json.dumps(
+        {
+            "names": names,
+            "n": len(leaves),
+            "dtypes": dtypes,
+            "shapes": [list(np.shape(l)) for l in leaves],
+        }
+    )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(buf.getvalue())
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(
+            f, __meta__=np.frombuffer(meta.encode(), dtype=np.uint8), **arrays
+        )
+    os.replace(tmp, path)
 
 
 def load_npz(path: str, template: Any) -> Any:
@@ -53,24 +78,53 @@ def load_npz(path: str, template: Any) -> Any:
     ``template`` provides the pytree structure and static config; its array
     values are replaced by the checkpointed ones (shapes are validated).
     """
+    import jax.numpy as jnp
+
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
-        leaves = [data[f"leaf_{i}"] for i in range(meta["n"])]
+        raw = [data[f"leaf_{i}"] for i in range(meta["n"])]
     names, t_leaves, treedef = _flatten_with_paths(template)
     if names != meta["names"]:
         raise ValueError(
             "checkpoint/template structure mismatch:\n"
             f"  checkpoint: {meta['names']}\n  template:   {names}"
         )
+    dtypes = meta.get("dtypes")
+    shapes = meta.get("shapes")
+    leaves = []
+    for i, arr in enumerate(raw):
+        if dtypes is not None and arr.dtype == np.uint8 and dtypes[i] != "uint8":
+            # raw-bytes leaf (bf16/f8): reconstruct from the recorded dtype
+            arr = np.frombuffer(
+                arr.tobytes(), jnp.dtype(dtypes[i])
+            ).reshape(shapes[i])
+        leaves.append(arr)
     for name, saved, cur in zip(names, leaves, t_leaves):
         if hasattr(cur, "shape") and tuple(saved.shape) != tuple(np.shape(cur)):
             raise ValueError(
                 f"shape mismatch at {name}: checkpoint {saved.shape} vs "
                 f"template {np.shape(cur)}"
             )
-    import jax.numpy as jnp
+        if hasattr(cur, "dtype") and np.dtype(saved.dtype) != np.dtype(cur.dtype):
+            raise ValueError(
+                f"dtype mismatch at {name}: checkpoint {saved.dtype} vs "
+                f"template {np.dtype(cur.dtype)} — cast the template (or "
+                "the checkpoint) explicitly; silent casting changes values"
+            )
 
-    new_leaves = [jnp.asarray(l) for l in leaves]
+    from jax.sharding import SingleDeviceSharding
+
+    def place(l, cur):
+        a = jnp.asarray(l)
+        sh = getattr(cur, "sharding", None)
+        # honour an explicit (multi-device) template sharding like the
+        # orbax path does; ordinary eager template leaves carry an
+        # incidental SingleDeviceSharding and must stay uncommitted
+        if sh is not None and not isinstance(sh, SingleDeviceSharding):
+            a = jax.device_put(a, sh)
+        return a
+
+    new_leaves = [place(l, c) for l, c in zip(leaves, t_leaves)]
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
@@ -79,7 +133,9 @@ def save_orbax(path: str, model: Any) -> None:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), model)
+    # force=True: periodic checkpointing overwrites (matching save_npz);
+    # orbax's default refuses an existing destination
+    ckptr.save(os.path.abspath(path), model, force=True)
     ckptr.wait_until_finished()
 
 

@@ -307,3 +307,30 @@ def test_fit_empty_dataset_raises():
         fit({"p": jnp.ones(())}, jax.random.PRNGKey(0), jnp.ones((0, 2)),
             stages=((4, 1e-3),), epochs_per_stage=1,
             loss_fn=lambda m, k, x, c: jnp.sum(m["p"]))
+
+
+def test_npz_checkpoint_bf16_roundtrip_and_dtype_guard(tmp_path):
+    """bf16 leaves survive the npz round trip (regression: np.savez wrote
+    void '|V2' and the load crashed); dtype mismatches are loud."""
+    m = {"p": jnp.ones((4, 3), jnp.bfloat16), "q": jnp.zeros((2,), jnp.float32)}
+    path = str(tmp_path / "bf16.npz")
+    ckpt.save_npz(path, m)
+    restored = ckpt.load_npz(path, {"p": jnp.zeros((4, 3), jnp.bfloat16),
+                                    "q": jnp.ones((2,), jnp.float32)})
+    assert restored["p"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(restored["p"], np.float32), 1.0)
+
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        ckpt.load_npz(path, {"p": jnp.zeros((4, 3), jnp.float32),
+                             "q": jnp.ones((2,), jnp.float32)})
+
+
+def test_orbax_overwrite_allowed(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    m = _model()
+    path = str(tmp_path / "ow_ckpt")
+    ckpt.save_orbax(path, m)
+    ckpt.save_orbax(path, m)  # second save must not raise
+    restored = ckpt.load_orbax(path, _model())
+    for a, b in zip(jax.tree_util.tree_leaves(m), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
