@@ -62,49 +62,67 @@ def initialize_distributed(
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
-    # A TPU pod slice exposes the full worker list; a single-host slice (or
-    # a dev sandbox) lists one hostname and needs no process group.
+    # Idempotent re-entry, checked UP FRONT: after a successful first call
+    # this function itself initializes the XLA backend (process_index), and
+    # jax 0.9's initialize() then raises a backend-already-initialized
+    # error whose text older string-matching missed.
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return jax.process_index()
+    except Exception:
+        pass
+
+    # A GKE TPU pod slice exposes the full worker list; multi-slice DCN
+    # deployments set the MEGASCALE coordinator.  NB GCE-provisioned pods
+    # (gcloud compute tpus tpu-vm create) expose neither env var — there
+    # JAX's own metadata-server autodetection applies, so pass
+    # coordinator/num_processes/process_id explicitly or set
+    # JAX_COORDINATOR_ADDRESS (this function cannot probe the metadata
+    # server without network access at import sites).
     workers = [
         w for w in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if w
     ]
-    multi_host_pod = len(workers) > 1
+    multi_host_pod = (
+        len(workers) > 1
+        or bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    )
     if coordinator_address is None and not multi_host_pod and not (
         num_processes and num_processes > 1
     ):
-        # Single-process run: nothing to initialize.
-        return jax.process_index()
+        # Single-process run: nothing to initialize — and nothing JAX is
+        # touched, so a LATER explicit initialize() in the same process
+        # still works (the backend is not yet instantiated).
+        return 0
 
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-            **kwargs,
-        )
-    except RuntimeError as e:
-        # jax 0.9 raises "distributed.initialize should only be called
-        # once."; older versions said "more than once" / "already
-        # initialized".  Match all so re-entry stays idempotent.
-        msg = str(e)
-        if (
-            "only be called once" in msg
-            or "more than once" in msg
-            or "already initialized" in msg
-        ):
-            return jax.process_index()  # idempotent re-entry
-        raise
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
     return jax.process_index()
 
 
 def local_rows(n_global: int) -> tuple[int, int]:
     """This process's (start, stop) row range of an evenly-split global
-    batch (row order matches ``global_batch_from_local``)."""
-    n_proc = jax.process_count()
-    if n_global % n_proc:
+    batch.
+
+    Row order matches ``global_batch_from_local`` PROVIDED the mesh was
+    built by ``make_mesh``, which orders devices process-contiguously
+    (raw ``jax.devices()`` id order interleaves hosts on real TPU
+    topologies, e.g. v5e-16 host 0 owns ids {0, 1, 4, 5}).  Divisibility
+    is checked against the DEVICE count — the stricter requirement the
+    downstream 'data'-axis sharding imposes.
+    """
+    n_dev = jax.device_count()
+    if n_global % n_dev:
         raise ValueError(
-            f"global batch of {n_global} rows does not split evenly over "
-            f"{n_proc} processes; pad first (parallel.pad_to_multiple)"
+            f"global batch of {n_global} rows does not shard evenly over "
+            f"{n_dev} devices; pad first (parallel.pad_to_multiple)"
         )
+    n_proc = jax.process_count()
     per = n_global // n_proc
     i = jax.process_index()
     return i * per, (i + 1) * per
@@ -123,8 +141,13 @@ def global_batch_from_local(x_local: Any, mesh: Mesh) -> Any:
     n_proc = jax.process_count()
 
     def one(a):
-        a = np.asarray(a)
-        global_shape = (a.shape[0] * n_proc,) + a.shape[1:]
+        # rank-0 leaves pass through like shard_batch (the documented
+        # equivalence); arrays go straight in — no np.asarray round-trip
+        # of already-device-resident leaves
+        if not (hasattr(a, "ndim") and np.ndim(a)):
+            return a
+        shape = np.shape(a)
+        global_shape = (shape[0] * n_proc,) + shape[1:]
         return jax.make_array_from_process_local_data(sharding, a, global_shape)
 
     return jax.tree_util.tree_map(one, x_local)

@@ -49,6 +49,12 @@ def make_mesh(
 ) -> Mesh:
     """Mesh over the given devices: ('data',) or ('data', 'model')."""
     devices = list(devices if devices is not None else jax.devices())
+    # process-contiguous order: real TPU topologies interleave host device
+    # ids (v5e-16 host 0 owns {0,1,4,5}), and jax.devices() is id-ordered;
+    # sorting by (process, id) makes each process's rows one contiguous
+    # global block so distributed.local_rows bookkeeping is exact.  On a
+    # single host this is identical to id order.
+    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
     n = len(devices)
     if model_axis < 1:
         raise ValueError(f"model_axis must be >= 1, got {model_axis}")

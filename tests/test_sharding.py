@@ -199,8 +199,12 @@ def test_global_batch_from_local_single_process():
 def test_local_rows_single_process_full_range():
     from flowfusion_tpu.parallel import local_rows
 
-    # One process owns the whole batch (any size divides evenly by 1).
-    assert local_rows(17) == (0, 17)
+    # One process owns the whole batch; divisibility is checked against
+    # the DEVICE count (what the downstream 'data' sharding requires).
+    n_dev = jax.device_count()
+    assert local_rows(2 * n_dev) == (0, 2 * n_dev)
+    with pytest.raises(ValueError, match="devices"):
+        local_rows(2 * n_dev + 1)
 
 
 @pytest.mark.slow
