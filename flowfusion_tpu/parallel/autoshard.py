@@ -29,12 +29,18 @@ import functools
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .sharding import make_mesh, pad_to_multiple
 
-__all__ = ["should_route", "routed_call", "n_data_devices"]
+__all__ = [
+    "should_route",
+    "routed_call",
+    "routed_sample",
+    "hashable_options",
+    "UNROUTABLE",
+    "n_data_devices",
+]
 
 
 def n_data_devices() -> int:
@@ -52,6 +58,13 @@ def should_route(*values) -> bool:
     constant, must not be routed either).
     """
     if len(jax.devices()) <= 1:
+        return False
+    if jax.process_count() > 1:
+        # Multi-host realms: each process holds only its LOCAL rows
+        # (distributed.global_batch_from_local's layout), so device_put
+        # onto a global sharding would mix hosts' rows (or raise on
+        # non-addressable devices).  Pod-scale serving goes through
+        # parallel.distributed + data_parallel explicitly.
         return False
     for v in values:
         for leaf in jax.tree_util.tree_leaves(v):
@@ -208,11 +221,15 @@ def hashable_options(options: Optional[dict]):
     items = []
     for k in sorted(options):
         v = options[k]
-        if hasattr(v, "dtype") and hasattr(v, "ndim"):
-            if v.ndim != 0:
-                return UNROUTABLE
-            v = v.item()
         try:
+            if hasattr(v, "dtype") and hasattr(v, "ndim"):
+                if v.ndim != 0:
+                    return UNROUTABLE
+                # inside the try: .item() on a TRACER raises
+                # ConcretizationTypeError (a TypeError) — e.g. an option
+                # value traced by a user jit whose data args are closure
+                # constants; that call must fall back, not crash
+                v = v.item()
             hash(v)
         except TypeError:
             return UNROUTABLE

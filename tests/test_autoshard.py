@@ -301,3 +301,23 @@ def test_sample_dpm_routes(score_model):
     out = score_model.sample_dpm(base, steps=6)
     assert out.shape == (37, 2)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_traced_option_value_is_unroutable_not_crash():
+    """A 0-d TRACED option value must make hashable_options return
+    UNROUTABLE — .item() on a tracer raised ConcretizationTypeError from
+    the routing layer before (a multi-device-only crash masking the
+    solver's own clear static-options error)."""
+    from flowfusion_tpu.parallel import autoshard
+
+    sentinel = {}
+
+    def probe(s):
+        sentinel["result"] = autoshard.hashable_options({"min_step": s})
+        return s
+
+    jax.jit(probe)(jnp.float32(1e-6))
+    assert sentinel["result"] is autoshard.UNROUTABLE
+    # concrete scalars still coerce and route
+    out = autoshard.hashable_options({"min_step": jnp.float32(1e-6)})
+    assert out == (("min_step", 9.999999974752427e-07),) or out[0][0] == "min_step"
