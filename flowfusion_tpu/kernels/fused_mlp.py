@@ -158,18 +158,15 @@ def _act_pair_fn(activation: str, fast_sigmoid: bool = False):
             return a * m, m
 
     elif activation == "gelu":
-        # tanh approximation — jax.nn.gelu's default (models/nets.py
-        # _ACTIVATIONS uses jax.nn.gelu with approximate=True).
-        c = 0.7978845608028654  # sqrt(2/pi)
-        k3 = 0.044715
+        # exact (erf) form, matching models/nets.py and torch.nn.GELU's
+        # default: gelu(a) = a Phi(a), gelu'(a) = Phi(a) + a phi(a)
+        inv_sqrt2 = 0.7071067811865476
+        inv_sqrt2pi = 0.3989422804014327
 
         def pair(a):
-            u = c * (a + k3 * a * a * a)
-            th = jnp.tanh(u)
-            du = c * (1.0 + 3.0 * k3 * a * a)
-            return 0.5 * a * (1.0 + th), (
-                0.5 * (1.0 + th) + 0.5 * a * (1.0 - th * th) * du
-            )
+            phi_cdf = 0.5 * (1.0 + jax.lax.erf(a * inv_sqrt2))
+            pdf = inv_sqrt2pi * jnp.exp(-0.5 * a * a)
+            return a * phi_cdf, phi_cdf + a * pdf
 
     else:  # pragma: no cover - guarded by supports_config
         raise ValueError(f"fused kernel does not implement {activation!r}")
@@ -190,9 +187,9 @@ def _act_value_fn(activation: str, fast_sigmoid: bool = False):
     if activation == "relu":
         return lambda a: a * (a > 0).astype(jnp.float32)
     if activation == "gelu":
-        c = 0.7978845608028654  # sqrt(2/pi)
-        k3 = 0.044715
-        return lambda a: 0.5 * a * (1.0 + jnp.tanh(c * (a + k3 * a * a * a)))
+        # exact erf form (see _act_pair_fn)
+        inv_sqrt2 = 0.7071067811865476
+        return lambda a: a * 0.5 * (1.0 + jax.lax.erf(a * inv_sqrt2))
     raise ValueError(  # pragma: no cover - guarded by supports_config
         f"fused kernel does not implement {activation!r}"
     )

@@ -47,9 +47,26 @@ __all__ = [
 _ACTIVATIONS = {
     "silu": jax.nn.silu,
     "relu": jax.nn.relu,
-    "gelu": jax.nn.gelu,
+    # exact (erf) form: torch.nn.GELU defaults to exact, and checkpoint
+    # conversion promises reference-exact forwards (jax.nn.gelu's default
+    # tanh approximation deviates by up to ~5e-4)
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "tanh": jnp.tanh,
 }
+
+
+def _validate_net_config(units, activation, embedding_dimensions=None):
+    """Shared config validation: loud at construction, not first forward."""
+    if activation not in _ACTIVATIONS:
+        raise ValueError(
+            f"unknown activation {activation!r}; use one of "
+            f"{sorted(_ACTIVATIONS)}"
+        )
+    if embedding_dimensions is not None and embedding_dimensions % 2:
+        raise ValueError(
+            f"embedding_dimensions must be even (sin/cos pairs); got "
+            f"{embedding_dimensions}"
+        )
 
 
 def _init_linear(key: jax.Array, fan_in: int, fan_out: int, dtype=jnp.float32):
@@ -95,11 +112,15 @@ def fourier_time_embedding(t: jax.Array, W: jax.Array) -> jax.Array:
     return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
 
 
-def _expand_t(t: jax.Array, batch: int) -> jax.Array:
-    """Broadcast scalar t to (B,), mirroring reference t handling."""
-    t = jnp.asarray(t, jnp.float32)
+def _expand_t(t: jax.Array, batch: int, dtype=jnp.float32) -> jax.Array:
+    """Broadcast scalar t to (B,), mirroring reference t handling.
+
+    ``dtype`` follows the data (f64 runs keep f64 time; the reference
+    preserves t's dtype) — f32 by default per the framework contract.
+    """
+    t = jnp.asarray(t, dtype)
     if t.ndim == 0:
-        return jnp.full((batch,), t, jnp.float32)
+        return jnp.full((batch,), t, dtype)
     return t
 
 
@@ -112,6 +133,10 @@ def _expand_t(t: jax.Array, batch: int) -> jax.Array:
 class ScoreMLPConfig:
     """Architecture of the score network (reference MLP, diffusion.py:9-121)."""
 
+    # NB n_conditionals defaults to 0 (unconditional) — a deliberate delta
+    # from the reference MLP's n_conditionals=1 default, which is
+    # unusable as-is: its forward with conditional=None concatenates only
+    # [t_emb, x] and shape-errors against the 1-conditional first layer.
     n_dimensions: int = 2
     n_conditionals: int = 0
     embedding_dimensions: int = 8
@@ -119,6 +144,12 @@ class ScoreMLPConfig:
     activation: str = "silu"
     sigma_initialization: float = 16.0
     precision: str = "highest"
+
+    def __post_init__(self):
+        object.__setattr__(self, "units", tuple(self.units))
+        _validate_net_config(
+            self.units, self.activation, self.embedding_dimensions
+        )
 
     @property
     def architecture(self) -> Tuple[int, ...]:
@@ -158,7 +189,7 @@ def apply_score_mlp(
     act = _ACTIVATIONS[cfg.activation]
     if conditional is not None:
         x = jnp.concatenate([x, conditional], axis=-1)
-    t = _expand_t(t, x.shape[0])
+    t = _expand_t(t, x.shape[0], x.dtype)
     t_emb = fourier_time_embedding(t, params["W"])
     h = jnp.concatenate([t_emb, x], axis=-1)
     return _apply_mlp_stack(params["layers"], h, act, cfg.precision)
@@ -182,6 +213,10 @@ class VelocityMLPConfig:
     hidden_units: Tuple[int, ...] = (128, 128)
     activation: str = "silu"
     precision: str = "highest"
+
+    def __post_init__(self):
+        object.__setattr__(self, "hidden_units", tuple(self.hidden_units))
+        _validate_net_config(self.hidden_units, self.activation)
 
     @property
     def architecture(self) -> Tuple[int, ...]:
@@ -214,7 +249,7 @@ def apply_velocity_mlp(
 ) -> jax.Array:
     """v(x, t[, cond]): input = concat([x, t, cond]) (flow.py:110-118, 578-590)."""
     act = _ACTIVATIONS[cfg.activation]
-    t = _expand_t(t, x.shape[0])[:, None]
+    t = _expand_t(t, x.shape[0], x.dtype)[:, None]
     parts = [x, t] if conditional is None else [x, t, conditional]
     h = jnp.concatenate(parts, axis=-1)
     return _apply_mlp_stack(params["layers"], h, act, cfg.precision)
@@ -239,6 +274,12 @@ class SymplecticMLPConfig:
     activation: str = "silu"
     sigma_initialization: float = 16.0
     precision: str = "highest"
+
+    def __post_init__(self):
+        object.__setattr__(self, "units", tuple(self.units))
+        _validate_net_config(
+            self.units, self.activation, self.embedding_dimensions
+        )
 
     @property
     def architecture(self) -> Tuple[int, ...]:
@@ -285,7 +326,7 @@ def apply_symplectic_mlp(
     """
     act = _ACTIVATIONS[cfg.activation]
     q, p = jnp.split(state, 2, axis=-1)
-    t = _expand_t(t, q.shape[0])
+    t = _expand_t(t, q.shape[0], q.dtype)
     t_emb = fourier_time_embedding(t, params["W"])
     if conditional is not None:
         in_q = jnp.concatenate([p, conditional, t_emb], axis=-1)

@@ -704,14 +704,11 @@ def test_fused_kernel_respects_activation():
             np.asarray(div), np.asarray(div_ref), rtol=1e-4, atol=2e-4
         )
 
-    import dataclasses as _dc
-
-    cfg = ScoreMLPConfig(n_dimensions=2, n_conditionals=0, units=(128,))
-    cfg = _dc.replace(cfg, activation="mish")
-    params = init_score_mlp(jax.random.PRNGKey(0), _dc.replace(cfg, activation="silu"))
-    x = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+    # unsupported activations are now rejected at CONFIG construction
+    # (loud at the root cause, before any kernel dispatch)
     with pytest.raises(ValueError, match="activation"):
-        fused_drift(params, cfg, jnp.asarray(0.5), x, interpret=INTERPRET)
+        ScoreMLPConfig(n_dimensions=2, n_conditionals=0, units=(128,),
+                       activation="mish")
 
 
 @pytest.mark.slow

@@ -583,3 +583,23 @@ def test_em_sampler_parity(sde_name, rng, monkeypatch):
     )
     np.testing.assert_allclose(np.asarray(res.x_mean), ref_out, atol=1e-5,
                                rtol=1e-5)
+
+
+def test_gelu_activation_exact_form(rng):
+    """torch.nn.GELU defaults to the EXACT erf form; our 'gelu' must match
+    it (regression: jax.nn.gelu's default tanh approximation deviated by
+    up to ~5e-4, breaking converted-checkpoint parity)."""
+    torch.manual_seed(4)
+    ref = ref_diff.MLP(
+        n_dimensions=2, n_conditionals=0, units=[32],
+        activation=torch.nn.GELU(),
+    )
+    cfg = ScoreMLPConfig(
+        n_dimensions=2, n_conditionals=0, units=(32,), activation="gelu"
+    )
+    params = convert.score_mlp_from_torch(sd_np(ref))
+    x = rng.standard_normal((16, 2)).astype(np.float32)
+    t = rng.uniform(0, 1, 16).astype(np.float32)
+    ref_out = t2n(ref(n2t(t), n2t(x)))
+    my_out = np.asarray(apply_score_mlp(cfg, params, jnp.asarray(t), jnp.asarray(x)))
+    np.testing.assert_allclose(my_out, ref_out, atol=1e-6, rtol=1e-5)
