@@ -25,6 +25,24 @@ class GMM:
     means: Tuple[Tuple[float, ...], ...]
     covs: Tuple[Tuple[Tuple[float, ...], ...], ...]
 
+    def __post_init__(self):
+        w = np.asarray(self.weights, np.float64)
+        mu = np.asarray(self.means, np.float64)
+        cov = np.asarray(self.covs, np.float64)
+        if np.any(w <= 0):
+            raise ValueError(f"mixture weights must be positive; got {w}")
+        if not (len(w) == mu.shape[0] == cov.shape[0]):
+            raise ValueError(
+                f"component count mismatch: {len(w)} weights, "
+                f"{mu.shape[0]} means, {cov.shape[0]} covs"
+            )
+        if cov.shape[1:] != (mu.shape[1], mu.shape[1]):
+            raise ValueError(f"cov shape {cov.shape[1:]} vs dim {mu.shape[1]}")
+        if not np.allclose(cov, np.swapaxes(cov, 1, 2)):
+            raise ValueError("covariances must be symmetric")
+        if np.any(np.linalg.eigvalsh(cov) <= 0):
+            raise ValueError("covariances must be positive definite")
+
     @property
     def dim(self) -> int:
         return len(self.means[0])
@@ -48,10 +66,15 @@ class GMM:
         )
 
     def log_prob(self, x: jax.Array) -> jax.Array:
-        """Closed-form mixture log-density (the analytic test oracle)."""
+        """Closed-form mixture log-density (the analytic test oracle).
+
+        Accepts (n, D) batches or a single (D,) point.
+        """
         w, mu, cov = self._np()
+        x = jnp.atleast_2d(x)
         inv = jnp.asarray(np.linalg.inv(cov))
-        logdet = jnp.asarray(np.log(np.linalg.det(cov)))
+        # slogdet: robust for small determinants (det underflows first)
+        logdet = jnp.asarray(np.linalg.slogdet(cov)[1])
         diff = x[:, None, :] - jnp.asarray(mu)[None, :, :]  # (n, K, D)
         maha = jnp.einsum("nki,kij,nkj->nk", diff, inv, diff)
         logps = (
@@ -70,11 +93,21 @@ DEMO_GMM = GMM(
 
 
 def train_val_test_split(key: jax.Array, x: jax.Array, fractions=(0.25, 0.25, 0.5)):
-    """Random split (reference demos use 25:25:50, demo_diffusion cell 5)."""
+    """Random split (reference demos use 25:25:50, demo_diffusion cell 5).
+
+    Mirrors torch's random_split remainder handling: lengths are floored
+    and the leftover rows are distributed round-robin, so e.g. thirds of
+    n=9 give 3/3/3 (plain int() truncation gave 2/2/5 — float 1/3 * 9 is
+    2.999...).  ``fractions`` must sum to 1.
+    """
+    if len(fractions) != 3 or abs(sum(fractions) - 1.0) > 1e-6:
+        raise ValueError(f"fractions must be 3 values summing to 1; got {fractions}")
     n = x.shape[0]
     perm = jax.random.permutation(key, n)
-    n_train = int(fractions[0] * n)
-    n_val = int(fractions[1] * n)
+    lengths = [int(f * n) for f in fractions]
+    for i in range(n - sum(lengths)):
+        lengths[i % 3] += 1
+    n_train, n_val, _ = lengths
     return (
         x[perm[:n_train]],
         x[perm[n_train : n_train + n_val]],
@@ -83,5 +116,12 @@ def train_val_test_split(key: jax.Array, x: jax.Array, fractions=(0.25, 0.25, 0.
 
 
 def standardization_stats(x: jax.Array):
-    """(shift, scale) = per-dimension mean and std."""
-    return jnp.mean(x, axis=0), jnp.std(x, axis=0)
+    """(shift, scale) = per-dimension mean and std.
+
+    Unbiased (ddof=1) std, matching the reference demos' torch
+    ``x.std(0)``.  Constant columns get scale 1.0 (centering only)
+    instead of a silent divide-by-zero NaN downstream.
+    """
+    std = jnp.std(x, axis=0, ddof=1)
+    scale = jnp.where(std < 1e-12, 1.0, std)
+    return jnp.mean(x, axis=0), scale

@@ -163,3 +163,43 @@ def test_trace_annotation_and_timer():
     with Timer() as t:
         t.block_on(y)
     assert t.seconds >= 0.0
+
+
+def test_data_utilities_edge_cases():
+    """GMM validation, robust log-density, split remainders, and the
+    constant-column standardization guard."""
+    from flowfusion_tpu.utils.data import (
+        GMM,
+        DEMO_GMM,
+        standardization_stats,
+        train_val_test_split,
+    )
+
+    # construction-time validation
+    with pytest.raises(ValueError, match="positive"):
+        GMM(weights=(0.4, -0.6), means=((0.0,), (1.0,)), covs=(((1.0,),), ((1.0,),)))
+    with pytest.raises(ValueError, match="positive definite"):
+        GMM(weights=(1.0,), means=((0.0, 0.0),),
+            covs=(((0.5, 0.9), (0.9, 0.5)),))
+
+    # single unbatched point accepted (parity with the numpy oracle)
+    lp1 = DEMO_GMM.log_prob(jnp.asarray([0.0, 0.0]))
+    lp2 = DEMO_GMM.log_prob(jnp.asarray([[0.0, 0.0]]))
+    np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp2))
+
+    # thirds of 9 rows split 3/3/3 (int() truncation gave 2/2/5)
+    x = jnp.arange(18.0).reshape(9, 2)
+    tr, va, te = train_val_test_split(
+        jax.random.PRNGKey(0), x, fractions=(1 / 3, 1 / 3, 1 / 3)
+    )
+    assert (tr.shape[0], va.shape[0], te.shape[0]) == (3, 3, 3)
+    with pytest.raises(ValueError, match="summing to 1"):
+        train_val_test_split(jax.random.PRNGKey(0), x, fractions=(0.5, 0.6, 0.1))
+
+    # constant column: scale 1.0, not 0 -> NaN downstream
+    xc = jnp.concatenate(
+        [jnp.ones((10, 1)), jnp.arange(10.0)[:, None]], axis=1
+    )
+    shift, scale = standardization_stats(xc)
+    assert float(scale[0]) == 1.0 and float(scale[1]) > 0.0
+    assert np.all(np.isfinite(np.asarray((xc - shift) / scale)))
