@@ -104,6 +104,11 @@ def cond_stats(
 ) -> Tuple[Optional[jax.Array], Optional[jax.Array]]:
     """Conditional standardization buffers; (None, None) when unconditional."""
     if not n_conditionals:
+        if shift is not None or scale is not None:
+            raise ValueError(
+                "conditional shift/scale supplied but n_conditionals=0 — "
+                "did you forget to set the conditional dimension?"
+            )
         return None, None
     return std_stats(n_conditionals, shift, scale)
 
@@ -112,6 +117,11 @@ def norm_cond(conditional, shift, scale):
     """Standardize a conditional batch; passes None through."""
     if conditional is None:
         return None
+    if shift is None or scale is None:
+        raise ValueError(
+            "a conditional was passed but this model has no conditional "
+            "statistics (built with n_conditionals=0?)"
+        )
     return (conditional - shift) / scale
 
 

@@ -134,7 +134,8 @@ class PopulationModelDiffusion:
         atol=rtol=1e-5 hard-coded, matching the reference.  ``adjoint=True``
         makes the solve differentiable w.r.t. the wrapper's parameters via
         the O(1)-memory continuous adjoint — the reference's training-mode
-        ``odeint_adjoint`` switch inside the wrapper (diffusion.py:1575-1585).
+        ``odeint_adjoint`` switch inside the wrapper (diffusion.py:1575-1585);
+        stats are None in that mode (they are not differentiable).
         """
         x0, stats = self.score_model.sample_ode_from_base(
             base_samples,
@@ -165,6 +166,18 @@ class PopulationModelDiffusion:
         res = self.score_model.sample_sde(
             key, shape, conditional=self._norm_cond(conditional), steps=steps
         )
+        # surface the NaN guard like the reference's printed warning
+        # (diffusion.py:561): the wrapper API returns samples only, so an
+        # eager diverged solve warns instead of silently returning the
+        # frozen state.  Under a trace the flag is a tracer — skip.
+        flag = res.nan_encountered
+        if not isinstance(flag, jax.core.Tracer) and bool(flag):
+            import warnings
+
+            warnings.warn(
+                "sample_sde: diffusion diverged (NaN encountered); returning "
+                "the last finite state — reduce step size or check training"
+            )
         return res.x_mean * self.scale + self.shift
 
     def log_prob(
@@ -191,38 +204,24 @@ class PopulationModelDiffusion:
         standardization (SURVEY.md §2.6.5).  ``volume_corrected=True`` adds
         it, yielding a proper density in data units.
         """
-        # Deliberately calls solve_odes_forward directly (like the reference,
-        # diffusion.py:1837) rather than ScoreModel.log_prob: the wrapper's
-        # contract is atol=rtol=1e-5 and NO min_step guard (SURVEY.md §6
-        # numerical-contract table; ScoreModel.log_prob's own defaults are
-        # 1e-4 with min_step=1e-6).  Pass options={"min_step": ...} here to
-        # opt into the guard; max_num_steps already bounds the loop.
-        from ..parallel import autoshard
-
-        if not adjoint and autoshard.should_route(x, conditional, key, self.score_model.params):
-            opts = autoshard.hashable_options(options)
-            if opts is not autoshard.UNROUTABLE:
-                return autoshard.routed_call(
-                    _pop_logprob_per_shard,
-                    (atol, rtol, method, opts, volume_corrected),
-                    self,
-                    x,
-                    conditional,
-                    key,
-                )
-
-        x_std = (x - self.shift) / self.scale
-        xT, dlp, stats = self.score_model.solve_odes_forward(
-            x_std,
+        # Delegates to ScoreModel.log_prob on standardized inputs.  The
+        # wrapper contract stays atol=rtol=1e-5 with NO min_step guard
+        # (SURVEY.md §6): options={} (not None) suppresses ScoreModel's
+        # own min_step default, the same idiom as log_prob_per_sample.
+        # Standardizing FIRST also means a trace over the wrapper's
+        # shift/scale makes x_std a tracer, so routing correctly stays
+        # out of user jits over the statistics; routing itself (incl. the
+        # per-shard fused-kernel opt-in) is ScoreModel.log_prob's.
+        lp, stats = self.score_model.log_prob(
+            (x - self.shift) / self.scale,
             conditional=self._norm_cond(conditional),
             key=key,
             atol=atol,
             rtol=rtol,
             method=method,
-            options=options,
+            options={} if options is None else options,
             adjoint=adjoint,
         )
-        lp = dlp + jnp.sum(self.score_model.sde.prior_log_prob(xT), axis=1)
         if volume_corrected:
             lp = lp - jnp.sum(jnp.log(self.scale))
         return lp, stats
@@ -261,27 +260,3 @@ class PopulationModelDiffusion:
             lp = lp - jnp.sum(jnp.log(self.scale))
         return lp, stats
 
-def _pop_logprob_per_shard(atol, rtol, method, opts, volume_corrected):
-    """Per-shard wrapper-log_prob body for ``parallel.autoshard``
-    (module-level: its identity is the jit-cache key).  Inside shard_map
-    the inputs are tracers, so the recursive ``log_prob`` call stays on
-    the unrouted single-device path; the inner ScoreModel opts into the
-    fused kernel per shard on TPU (see ScoreModel._per_shard_variant)."""
-
-    def per_shard(model, xb, cb, kb):
-        m = dataclasses.replace(
-            model, score_model=model.score_model._per_shard_variant()
-        )
-        lp, stats = m.log_prob(
-            xb,
-            cb,
-            key=kb,
-            atol=atol,
-            rtol=rtol,
-            method=method,
-            options=dict(opts) if opts is not None else None,
-            volume_corrected=volume_corrected,
-        )
-        return lp, jax.tree_util.tree_map(lambda s: jnp.reshape(s, (1,)), stats)
-
-    return per_shard

@@ -187,3 +187,20 @@ def test_wrapper_log_prob_per_sample_matches_batch_global():
         float(np.log(2.0) + np.log(0.5)),
         atol=1e-5,
     )
+
+
+def test_conditional_without_stats_is_loud():
+    """Passing a conditional to an unconditional wrapper raises a clear
+    error (was 'ArrayImpl - NoneType'); supplying conditional stats with
+    n_conditionals=0 raises at construction."""
+    m = PopulationModelDiffusion.create(
+        jax.random.PRNGKey(0), VPSDE(), n_dimensions=2, units=(16,)
+    )
+    x = jnp.ones((4, 2))
+    with pytest.raises(ValueError, match="no conditional statistics"):
+        m.log_prob(x, conditional=jnp.ones((4, 1)))
+    with pytest.raises(ValueError, match="n_conditionals=0"):
+        PopulationModelDiffusion.create(
+            jax.random.PRNGKey(0), VPSDE(), n_dimensions=2, units=(16,),
+            conditional_shift=jnp.ones((1,)),
+        )
