@@ -18,16 +18,32 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import numpy as np
 
 
 def _load_array(path: str, dim: int | None = None) -> np.ndarray:
     if path.endswith(".npy"):
-        return np.load(path).astype(np.float32)
+        arr = np.load(path).astype(np.float32)
+        if arr.ndim != 2:
+            raise SystemExit(
+                f"{path}: expected a 2-D (rows, columns) array, got shape "
+                f"{arr.shape}"
+            )
+        if dim is not None and arr.shape[1] != dim:
+            raise SystemExit(
+                f"{path}: has {arr.shape[1]} columns but the model expects "
+                f"{dim} (data dims + conditional dims)"
+            )
+        return arr
     raw = np.fromfile(path, np.float32)
     if dim is None:
         raise SystemExit("--dim is required for raw .f32 files")
+    if raw.size % dim:
+        raise SystemExit(
+            f"{path}: {raw.size} floats is not a multiple of {dim} columns"
+        )
     return raw.reshape(-1, dim)
 
 
@@ -80,10 +96,19 @@ def cmd_train(args):
             model, conditional_shift=c_shift, conditional_scale=c_scale
         )
 
-    stages = tuple(
-        (int(b), float(l))
-        for b, l in (s.split(":") for s in args.stages.split(","))
-    )
+    try:
+        stages = tuple(
+            (int(b), float(l))
+            for b, l in (s.split(":") for s in args.stages.split(","))
+        )
+    except ValueError:
+        raise SystemExit(
+            f"--stages must be 'batch:lr[,batch:lr...]'; got {args.stages!r}"
+        )
+    if not stages or any(b < 1 for b, _ in stages):
+        raise SystemExit(f"--stages batch sizes must be >= 1; got {args.stages!r}")
+    if args.epochs < 1:
+        raise SystemExit(f"--epochs must be >= 1; got {args.epochs}")
     model, results = fit(
         model,
         k_fit,
@@ -93,20 +118,18 @@ def cmd_train(args):
         epochs_per_stage=args.epochs,
         log_every=max(1, args.epochs // 5),
     )
-    ckpt_lib.save_npz(args.out, model)
-    with open(_meta_path(args.out), "w") as f:
-        json.dump(
-            {
-                "dim": args.dim,
-                "cond_dim": args.cond_dim,
-                "units": list(args.units),
-                "sde": args.sde,
-                "no_sigma": args.no_sigma,
-                "trace": args.trace,
-                "final_train_loss": float(results[-1].train_losses[-1]),
-            },
-            f,
-        )
+    meta = {
+        "dim": args.dim,
+        "cond_dim": args.cond_dim,
+        "units": list(args.units),
+        "sde": args.sde,
+        "no_sigma": args.no_sigma,
+        "trace": args.trace,
+        "final_train_loss": float(results[-1].train_losses[-1]),
+    }
+    # architecture metadata rides INSIDE the archive (self-contained,
+    # atomic with the weights — no sidecar to lose when copying)
+    ckpt_lib.save_npz(args.out, model, extra=meta)
     print(f"saved {args.out} (final loss {results[-1].train_losses[-1]:.4f})")
 
 
@@ -115,8 +138,16 @@ def _restore(args):
 
     from .utils import checkpoint as ckpt_lib
 
-    with open(_meta_path(args.ckpt)) as f:
-        meta = json.load(f)
+    meta = ckpt_lib.read_npz_extra(args.ckpt)
+    if not meta and os.path.exists(_meta_path(args.ckpt)):
+        # legacy sidecar checkpoints (pre-embedded-metadata)
+        with open(_meta_path(args.ckpt)) as f:
+            meta = json.load(f)
+    if not meta:
+        raise SystemExit(
+            f"{args.ckpt}: no architecture metadata found (not a CLI "
+            "checkpoint?)"
+        )
     ns = argparse.Namespace(
         dim=meta["dim"],
         cond_dim=meta["cond_dim"],
@@ -135,6 +166,13 @@ def cmd_sample(args):
     import jax.numpy as jnp
 
     model, meta = _restore(args)
+    if args.n is not None and args.n < 1:
+        raise SystemExit(f"--n must be >= 1; got {args.n}")
+    if args.method == "ode" and args.steps != 100:
+        raise SystemExit(
+            "--steps only applies to --method sde (the ODE sampler is "
+            "adaptive); drop it or use --method sde"
+        )
     key = jax.random.PRNGKey(args.seed)
     cond = None
     if meta["cond_dim"]:
@@ -203,13 +241,19 @@ def cmd_logprob(args):
         volume_corrected=args.volume_corrected,
     )
     np.save(args.out, np.asarray(lp))
+    ok = bool(jnp.all(stats.succeeded))
     print(
         f"saved {args.out}; sum={float(jnp.sum(lp)):.2f} "
         # sum/all over the leading device axis: eager multi-device calls
         # autoshard and return per-shard stats (same fix as the demos)
         f"rhs_evals={int(jnp.sum(stats.n_func_evals))} "
-        f"ok={bool(jnp.all(stats.succeeded))}"
+        f"ok={ok}"
     )
+    if not ok:
+        raise SystemExit(
+            "some solves exhausted max_num_steps — the saved densities "
+            "are NOT trustworthy (exit 1)"
+        )
 
 
 def cmd_export(args):
@@ -233,9 +277,12 @@ def cmd_export(args):
                 "--volume-corrected only applies to --what logprob "
                 "(samplers return data-unit draws already)"
             )
-        blob = serving.export_sampler(
-            model, batch=args.batch, atol=args.tol, rtol=args.tol
-        )
+        if args.tol != 1e-5:
+            raise SystemExit(
+                "--tol has no effect on --what sampler: the population "
+                "wrapper pins atol=rtol=1e-5 (reference parity)"
+            )
+        blob = serving.export_sampler(model, batch=args.batch)
     serving.save_artifact(args.out, blob)
     batch_desc = args.batch if args.batch is not None else "symbolic"
     print(

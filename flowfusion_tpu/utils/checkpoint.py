@@ -20,12 +20,18 @@ from __future__ import annotations
 import json
 import os
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import numpy as np
 
-__all__ = ["save_npz", "load_npz", "save_orbax", "load_orbax"]
+__all__ = [
+    "save_npz",
+    "load_npz",
+    "read_npz_extra",
+    "save_orbax",
+    "load_orbax",
+]
 
 
 def _flatten_with_paths(tree: Any):
@@ -35,7 +41,7 @@ def _flatten_with_paths(tree: Any):
     return names, leaves, treedef
 
 
-def save_npz(path: str, model: Any) -> None:
+def save_npz(path: str, model: Any, extra: Optional[dict] = None) -> None:
     """Serialize all array leaves of a model pytree to one .npz file.
 
     Atomic (tmp + os.replace): an interrupted save never truncates a
@@ -61,6 +67,10 @@ def save_npz(path: str, model: Any) -> None:
             "n": len(leaves),
             "dtypes": dtypes,
             "shapes": [list(np.shape(l)) for l in leaves],
+            # caller-owned metadata (e.g. the CLI's architecture hyper-
+            # parameters) rides INSIDE the archive: self-contained and
+            # atomic with the weights
+            "extra": extra or {},
         }
     )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -70,6 +80,13 @@ def save_npz(path: str, model: Any) -> None:
             f, __meta__=np.frombuffer(meta.encode(), dtype=np.uint8), **arrays
         )
     os.replace(tmp, path)
+
+
+def read_npz_extra(path: str) -> dict:
+    """The caller-owned metadata embedded by ``save_npz(..., extra=)``."""
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+    return meta.get("extra", {})
 
 
 def load_npz(path: str, template: Any) -> Any:

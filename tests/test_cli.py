@@ -22,7 +22,9 @@ def test_cli_train_sample_logprob_roundtrip(tmp_path):
         "train", "--data", data, "--dim", "2", "--units", "32",
         "--stages", "64:1e-3", "--epochs", "3", "--out", ckpt,
     ])
-    meta = json.load(open(ckpt + ".meta.json"))
+    from flowfusion_tpu.utils.checkpoint import read_npz_extra
+
+    meta = read_npz_extra(ckpt)  # embedded in the archive, no sidecar
     assert meta["dim"] == 2 and np.isfinite(meta["final_train_loss"])
 
     samples_out = str(tmp_path / "s.npy")
