@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -85,6 +87,18 @@ def fused_dispatch(
             "compiles it)"
         )
     return auto
+
+
+# Python-level constant: module import must stay device-free (a jnp.log
+# at import time would initialize a jax backend before the caller can
+# pick one).  Shared by the flow/symplectic log-densities (ops/sde.py
+# keeps its own copy — ops must not import models).
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def std_normal_logpdf(x):
+    """Elementwise log N(x | 0, 1)."""
+    return -0.5 * x**2 - 0.5 * _LOG_2PI
 
 
 def std_stats(

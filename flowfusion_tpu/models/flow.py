@@ -32,7 +32,6 @@ Design deltas (documented, deliberate):
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional, Tuple
 
 import jax
@@ -46,9 +45,7 @@ from .nets import VelocityMLPConfig
 
 __all__ = ["ODEFlow"]
 
-# Python-level constant: module import must stay device-free (jnp.log at
-# import time would initialize a jax backend before the caller can pick one).
-_LOG_2PI = math.log(2.0 * math.pi)
+from ._common import _LOG_2PI
 
 
 @jax.tree_util.register_dataclass

@@ -41,6 +41,8 @@ __all__ = [
     "apply_velocity_mlp",
     "init_symplectic_mlp",
     "apply_symplectic_mlp",
+    "apply_symplectic_q_velocity",
+    "apply_symplectic_p_velocity",
     "fourier_time_embedding",
 ]
 
@@ -324,16 +326,30 @@ def apply_symplectic_mlp(
     ``state`` is (B, 2D) = concat([q, p]).  The q-dynamics net sees p (and
     vice versa), which makes the joint field exactly divergence-free.
     """
-    act = _ACTIVATIONS[cfg.activation]
     q, p = jnp.split(state, 2, axis=-1)
-    t = _expand_t(t, q.shape[0], q.dtype)
+    v_q = apply_symplectic_q_velocity(cfg, params, t, p, conditional)
+    v_p = apply_symplectic_p_velocity(cfg, params, t, q, conditional)
+    return jnp.concatenate([v_q, v_p], axis=-1)
+
+
+def _symplectic_half(cfg, params, stack, t, other, conditional):
+    act = _ACTIVATIONS[cfg.activation]
+    t = _expand_t(t, other.shape[0], other.dtype)
     t_emb = fourier_time_embedding(t, params["W"])
     if conditional is not None:
-        in_q = jnp.concatenate([p, conditional, t_emb], axis=-1)
-        in_p = jnp.concatenate([q, conditional, t_emb], axis=-1)
+        h = jnp.concatenate([other, conditional, t_emb], axis=-1)
     else:
-        in_q = jnp.concatenate([p, t_emb], axis=-1)
-        in_p = jnp.concatenate([q, t_emb], axis=-1)
-    v_q = _apply_mlp_stack(params["q_layers"], in_q, act, cfg.precision)
-    v_p = -_apply_mlp_stack(params["p_layers"], in_p, act, cfg.precision)
-    return jnp.concatenate([v_q, v_p], axis=-1)
+        h = jnp.concatenate([other, t_emb], axis=-1)
+    return _apply_mlp_stack(params[stack], h, act, cfg.precision)
+
+
+def apply_symplectic_q_velocity(cfg, params, t, p, conditional=None):
+    """dq/dt = mlp_q(p, cond, t_emb) — one half of the joint field, for
+    integrators that only need one force at a time (leapfrog kicks run
+    2x the necessary FLOPs through the joint apply)."""
+    return _symplectic_half(cfg, params, "q_layers", t, p, conditional)
+
+
+def apply_symplectic_p_velocity(cfg, params, t, q, conditional=None):
+    """dp/dt = -mlp_p(q, cond, t_emb) — the other half."""
+    return -_symplectic_half(cfg, params, "p_layers", t, q, conditional)

@@ -19,7 +19,6 @@ Parity notes:
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional, Tuple
 
 import jax
@@ -31,13 +30,7 @@ from .nets import SymplecticMLPConfig, init_symplectic_mlp
 
 __all__ = ["SymplecticFlowModel"]
 
-# Python-level constant: module import must stay device-free (jnp.log at
-# import time would initialize a jax backend before the caller can pick one).
-_LOG_2PI = math.log(2.0 * math.pi)
-
-
-def _std_normal_logpdf(x: jax.Array) -> jax.Array:
-    return -0.5 * x**2 - 0.5 * _LOG_2PI
+from ._common import _LOG_2PI, std_normal_logpdf as _std_normal_logpdf
 
 
 @jax.tree_util.register_dataclass
@@ -210,6 +203,8 @@ class SymplecticFlowModel:
             return samples
 
         batch, d = shape
+        if num_steps < 1:
+            raise ValueError(f"num_steps must be >= 1, got {num_steps}")
         if base is not None:
             x = base
         else:
@@ -218,16 +213,25 @@ class SymplecticFlowModel:
 
         if method == "leapfrog":
             from ..ops.integrate.fixed import leapfrog
+            from .nets import (
+                apply_symplectic_p_velocity,
+                apply_symplectic_q_velocity,
+            )
 
             q1, p1 = jnp.split(x, 2, axis=-1)
 
+            # single-stack forces: each kick needs only one of the two
+            # separable-Hamiltonian nets (the joint apply would run both
+            # and discard half — 2x the necessary FLOPs per evaluation)
             def vq(t, p):
-                joint = jnp.concatenate([jnp.zeros_like(p), p], axis=-1)
-                return jnp.split(self.dynamics(t, joint, cond), 2, axis=-1)[0]
+                return apply_symplectic_q_velocity(
+                    self.net, self.params, t, p, cond
+                )
 
             def vp(t, q):
-                joint = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
-                return jnp.split(self.dynamics(t, joint, cond), 2, axis=-1)[1]
+                return apply_symplectic_p_velocity(
+                    self.net, self.params, t, q, cond
+                )
 
             q0, _ = leapfrog(vq, vp, q1, p1, t0=1.0, t1=0.0, steps=num_steps)
         else:
