@@ -44,6 +44,24 @@ __all__ = [
 ]
 
 
+def _supported_families():
+    from ..models.flow import ODEFlow
+    from ..models.population import PopulationModelDiffusion
+    from ..models.score import ScoreModel
+    from ..models.symplectic import SymplecticFlowModel
+
+    return (ScoreModel, ODEFlow, PopulationModelDiffusion, SymplecticFlowModel)
+
+
+def _check_model(model):
+    if not isinstance(model, _supported_families()):
+        raise TypeError(
+            f"unsupported model type {type(model).__name__}; serving exports "
+            "cover ScoreModel, ODEFlow, PopulationModelDiffusion and "
+            "SymplecticFlowModel"
+        )
+
+
 def _plain_xla_variant(model):
     """The model with the fused Pallas kernels switched off.
 
@@ -54,6 +72,26 @@ def _plain_xla_variant(model):
     """
     from ..models.population import PopulationModelDiffusion
 
+    inner = (
+        model.score_model
+        if isinstance(model, PopulationModelDiffusion)
+        else model
+    )
+    if getattr(inner, "use_fused_kernel", None) is True:
+        raise ValueError(
+            "use_fused_kernel=True cannot be honoured by a symbolic-batch "
+            "export (a pallas_call needs a concrete grid) — pass batch=N "
+            "to keep the kernel, or drop the explicit flag"
+        )
+    if getattr(inner, "trace_mode", None) == "exact" and (
+        jax.default_backend() == "tpu"
+    ):
+        raise ValueError(
+            "symbolic-batch exports run plain XLA, and the pure-XLA "
+            "exact-trace graph crashes this TPU platform's compiler at "
+            "large batches — export with batch=N (fused kernel) or use "
+            "trace_mode='hutchinson'/'hutchpp'"
+        )
     if isinstance(model, PopulationModelDiffusion):
         return dataclasses.replace(
             model,
@@ -152,6 +190,7 @@ def export_log_prob(
     """
     from jax import export as jexp
 
+    _check_model(model)
     if batch is None:
         model = _plain_xla_variant(model)
     d = _data_dim(model)
@@ -189,7 +228,7 @@ def deserialize_log_prob(blob: bytes) -> Callable[..., jax.Array]:
 
     exported = jexp.deserialize(blob)
 
-    def call(x, conditional=None, seed: int = 0):
+    def call(x, conditional=None, *, seed: int = 0):
         args = [jnp.asarray(x, jnp.float32)]
         if conditional is not None:
             args.append(jnp.asarray(conditional, jnp.float32))
@@ -202,40 +241,57 @@ def deserialize_log_prob(blob: bytes) -> Callable[..., jax.Array]:
 
 def _sampler_closure(model, atol, rtol, method, options, has_cond):
     """(base[, cond]) -> samples closure: the deterministic base->data map
-    of each family (probability-flow ODE / CNF / symplectic Euler)."""
+    of each family (probability-flow ODE / CNF / symplectic Euler).
+
+    ``atol``/``rtol`` of None mean each family's OWN sampling defaults
+    (score: 1e-4, flow: torchdiffeq's 1e-9/1e-7 — reference parity);
+    explicit tolerances are rejected where a family cannot honour them
+    rather than silently dropped."""
     from ..models.flow import ODEFlow
     from ..models.population import PopulationModelDiffusion
     from ..models.score import ScoreModel
     from ..models.symplectic import SymplecticFlowModel
 
     if isinstance(model, ScoreModel):
+        kw = dict(method=method, options=options)
+        if atol is not None:
+            kw["atol"] = atol
+        if rtol is not None:
+            kw["rtol"] = rtol
 
         def fn(base, cond):
-            return model.sample_ode_from_base(
-                base, conditional=cond, atol=atol, rtol=rtol,
-                method=method, options=options,
-            )[0]
+            return model.sample_ode_from_base(base, conditional=cond, **kw)[0]
 
     elif isinstance(model, ODEFlow):
+        kw = dict(method=method, options=options)
+        if atol is not None:
+            kw["atol"] = atol
+        if rtol is not None:
+            kw["rtol"] = rtol
 
         def fn(base, cond):
-            return model.sample(
-                base, conditional=cond, rtol=rtol, atol=atol,
-                method=method, options=options,
-            )[0]
+            return model.sample(base, conditional=cond, **kw)[0]
 
     elif isinstance(model, PopulationModelDiffusion):
+        if atol is not None or rtol is not None:
+            raise ValueError(
+                "the population wrapper pins sampling tolerances to 1e-5 "
+                "(reference parity) — drop atol/rtol for this family"
+            )
 
         def fn(base, cond):
-            # wrapper hard-codes 1e-5 tolerances (reference parity)
             return model.forward(
                 base, conditional=cond, method=method, options=options
             )[0]
 
     elif isinstance(model, SymplecticFlowModel):
         # fixed-step family: the stepper comes from options ('euler',
-        # 'leapfrog', ...), not the adaptive `method` arg, which the
-        # symplectic sampler has no use for.
+        # 'leapfrog', ...), not the adaptive `method` arg.
+        if atol is not None or rtol is not None or method != "dopri5":
+            raise ValueError(
+                "the symplectic sampler is fixed-step: configure it with "
+                "options={'num_steps': k, 'method': 'euler' | 'leapfrog'}"
+            )
         steps = (options or {}).get("num_steps", 1)
         stepper = (options or {}).get("method", "euler")
 
@@ -258,8 +314,8 @@ def export_sampler(
     model,
     *,
     batch: Optional[int] = None,
-    atol: float = 1e-4,
-    rtol: float = 1e-4,
+    atol: Optional[float] = None,
+    rtol: Optional[float] = None,
     method: str = "dopri5",
     options: Optional[dict] = None,
     platforms: Optional[Sequence[str]] = None,
@@ -284,6 +340,7 @@ def export_sampler(
 
     from ..models.symplectic import SymplecticFlowModel
 
+    _check_model(model)
     if batch is None:
         model = _plain_xla_variant(model)
     d = _data_dim(model)
@@ -301,8 +358,6 @@ def export_sampler(
 
     if batch is None:
         specs = jexp.symbolic_args_specs(tuple(specs), tuple(shapes))
-        if not isinstance(specs, (tuple, list)):
-            specs = (specs,)
 
     exported = jexp.export(
         jax.jit(fn), platforms=list(platforms) if platforms else None

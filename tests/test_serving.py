@@ -2,6 +2,8 @@
 deserialize -> call must agree with the live model, for all three
 families, with and without conditionals, symbolic and fixed batch."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -164,32 +166,47 @@ def test_sampler_conditional_population():
     np.testing.assert_allclose(np.asarray(f(base, c)), np.asarray(ref), rtol=1e-5, atol=1e-4)
 
 
-def test_symbolic_export_disables_fused_kernel():
-    """A model pinned to the fused Pallas kernel still exports with a
-    symbolic batch: export_* switch to the plain-XLA variant (a
-    pallas_call cannot lower with a symbolic grid)."""
+def test_symbolic_export_fused_kernel_contract():
+    """Symbolic-batch exports cannot run a pallas_call: an EXPLICIT
+    use_fused_kernel=True raises (never a silent numerics downgrade),
+    while the auto (None) setting silently takes the plain-XLA variant
+    and the artifact matches the plain path."""
     cfg = ScoreMLPConfig(n_dimensions=2, units=(128,))
-    m = ScoreModel(
+    m_pinned = ScoreModel(
         params=init_score_mlp(jax.random.PRNGKey(0), cfg),
         net=cfg,
         sde=VESDE(),
         trace_mode="hutchinson",
         use_fused_kernel=True,
     )
+    with pytest.raises(ValueError, match="concrete grid"):
+        serving.export_log_prob(m_pinned, atol=1e-3, rtol=1e-3)
+
+    m_auto = dataclasses.replace(m_pinned, use_fused_kernel=None)
     f = serving.deserialize_log_prob(
-        serving.export_log_prob(m, atol=1e-3, rtol=1e-3)
+        serving.export_log_prob(m_auto, atol=1e-3, rtol=1e-3)
     )
     x = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
-    m_plain = ScoreModel(
-        params=m.params, net=cfg, sde=VESDE(), trace_mode="hutchinson",
-        use_fused_kernel=False,
-    )
+    m_plain = dataclasses.replace(m_pinned, use_fused_kernel=False)
     lp_ref = jax.jit(
         lambda mm, xx, kk: mm.log_prob(xx, key=kk, atol=1e-3, rtol=1e-3)[0]
     )(m_plain, x, jax.random.PRNGKey(5))
     np.testing.assert_allclose(
         np.asarray(f(x, seed=5)), np.asarray(lp_ref), rtol=1e-5, atol=1e-5
     )
+
+    # samplers reject silently-droppable knobs per family
+    from flowfusion_tpu.models.population import PopulationModelDiffusion
+    from flowfusion_tpu.ops.sde import VPSDE
+
+    pop = PopulationModelDiffusion.create(
+        jax.random.PRNGKey(2), VPSDE(), n_dimensions=2, units=(32,)
+    )
+    with pytest.raises(ValueError, match="pins sampling tolerances"):
+        serving.export_sampler(pop, atol=1e-8, rtol=1e-8)
+    sym = SymplecticFlowModel.create(jax.random.PRNGKey(3), n_data_dims=2, units=(32,))
+    with pytest.raises(ValueError, match="fixed-step"):
+        serving.export_sampler(sym, method="rk4")
 
 
 def test_population_volume_corrected_export():
