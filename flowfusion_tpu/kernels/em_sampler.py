@@ -5,8 +5,15 @@ net-forward + elementwise update + fresh Gaussian noise
 (/root/reference/flowfusion/diffusion.py:510-563).  The XLA `lax.scan`
 version already removes Python dispatch; this kernel removes the remaining
 HBM traffic: the state tile, every layer activation, and the noise
-generation all live in VMEM across the *whole* step loop.  Per batch tile
-the kernel:
+generation all live in VMEM across the *whole* step loop.  Like the drift
+kernels (fused_mlp.py) it uses the V4 batch-in-lanes layout: activations
+are (H, tile), hidden layers are MXU-native (H,H)@(H,tile), and the
+Box--Muller chain runs on fully-occupied (1, tile) rows — the original
+batch-major version measured SLOWER than the plain scan (407k vs 509k
+samples/s, 50k rows f32) because its per-step relayouts and (tile, 1)
+column transcendentals threw away the fusion win; in this layout the
+f32 kernel matches the scan and the bf16 mode beats it by ~17% (740k).
+Per batch tile the kernel:
 
   1. seeds the per-core PRNG from (seed, program_id);
   2. for each step (a rolled ``lax.fori_loop`` over the static count):
@@ -59,6 +66,11 @@ def _em_weight_dtype(compute_dtype):
 def _normal_from_bits(shape):
     """Box--Muller on hardware random bits -> N(0,1) float32 of ``shape``.
 
+    ``shape`` is (d, tile) — feature rows, BATCH IN LANES (the V4 layout):
+    every transcendental below runs on fully-occupied (1, tile) lanes.
+    The pre-V4 kernel drew (tile, 1)-shaped columns — 1/128 lane occupancy
+    on the log/sqrt/cos/sin chain, which dominated its whole-step profile.
+
     ``prng_random_bits`` yields *int32*; the shift must be LOGICAL — an
     arithmetic ``>> 8`` keeps the sign bit, making u1 negative (log -> NaN)
     for half of all draws (caught on real TPU: all-NaN samples).
@@ -67,10 +79,10 @@ def _normal_from_bits(shape):
     normals), halving the PRNG draws and log/sqrt work per element in the
     per-step hot loop.
     """
-    rows, d = shape
+    d, cols = shape
     d2 = (d + 1) // 2
-    bits1 = pltpu.prng_random_bits((rows, d2))
-    bits2 = pltpu.prng_random_bits((rows, d2))
+    bits1 = pltpu.prng_random_bits((d2, cols))
+    bits2 = pltpu.prng_random_bits((d2, cols))
     # uniforms in (0, 1]: use the top 24 bits for an exact float mantissa
     top1 = jax.lax.shift_right_logical(bits1, jnp.int32(8))
     top2 = jax.lax.shift_right_logical(bits2, jnp.int32(8))
@@ -78,36 +90,49 @@ def _normal_from_bits(shape):
     u2 = top2.astype(jnp.float32) * (1.0 / (1 << 24))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     theta = _TWO_PI * u2
-    z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
-    return z[:, :d]
+    z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
+    return z[:d, :]
 
 
 def _kernel(steps: int, n_hidden: int, compute_dtype, hw_rng, with_cond, refs, activation: str = 'silu'):
-    """Ref layout: [x0, seed(smem), (noise), (cond_proj), coeffs,
-    b_eff_all, w_in, w_h.., b_h.., w_out, b_out] -> [x_mean, x]
+    """Ref layout (V4, batch in lanes — see kernels/fused_mlp.py): all
+    batch-shaped operands arrive TRANSPOSED, weights pre-transposed:
+    [x0T (D,tile), seed(smem), (noiseT (steps,D,tile)),
+     (cond_projT (H,tile)), coeffs (steps,3), b_effT (H,steps),
+     w_inT (H,D), w_hT (H,H).., b_h (H,1).., w_outT (D,H), b_out (D,1)]
+      -> [x_meanT (D,tile), xT (D,tile)]
 
-    ``cond_proj`` is the per-sample, step-independent first-layer
-    contribution of the conditional (cond_std @ W1_cond), precomputed
-    host-side — conditioning costs one VMEM block and one add per step.
+    The batch lives in the LANE dimension through the whole step loop:
+    hidden layers are MXU-native (H,H)@(H,tile), the first layer is a
+    rank-D VPU accumulation, biases are (H,1) lane-broadcasts, and the
+    Box--Muller noise chain runs on fully-occupied (1,tile) rows.  The
+    pre-V4 batch-major kernel paid a lane->sublane relayout per step and
+    ran its transcendentals on (tile,1) columns at 1/128 lane occupancy —
+    measured SLOWER than the plain lax.scan path (407k vs 509k samples/s
+    at 50k rows); this layout is what makes the fusion actually win.
+
+    ``cond_projT`` is the per-sample, step-independent first-layer
+    contribution of the conditional (cond_std @ W1_cond, transposed),
+    precomputed host-side — conditioning costs one add per step.
     """
     i = 0
-    x_ref = refs[i]; i += 1
+    x_ref = refs[i]; i += 1  # (D, tile)
     seed_ref = refs[i]; i += 1  # SMEM (1,)
     noise_ref = None
     if not hw_rng:
-        noise_ref = refs[i]; i += 1  # (steps, tile, D) pre-drawn noise
+        noise_ref = refs[i]; i += 1  # (steps, D, tile) pre-drawn noise
     cond_ref = None
     if with_cond:
-        cond_ref = refs[i]; i += 1  # (tile, H)
+        cond_ref = refs[i]; i += 1  # (H, tile)
     coeffs_ref = refs[i]; i += 1  # (steps, 3)  [1 + c0 dt, c1 dt, g sqrt|dt|]
-    b_eff_ref = refs[i]; i += 1  # (steps, H)
-    w_in = refs[i]; i += 1
+    b_eff_ref = refs[i]; i += 1  # (H, steps)
+    w_in = refs[i]; i += 1  # (H, D)
     w_hidden, b_hidden = [], []
     for _ in range(n_hidden - 1):
-        w_hidden.append(refs[i]); i += 1
-        b_hidden.append(refs[i]); i += 1
-    w_out = refs[i]; i += 1
-    b_out = refs[i]; i += 1
+        w_hidden.append(refs[i]); i += 1  # (H, H) [transposed]
+        b_hidden.append(refs[i]); i += 1  # (H, 1)
+    w_out = refs[i]; i += 1  # (D, H)
+    b_out = refs[i]; i += 1  # (D, 1)
     mean_ref = refs[i]; i += 1
     out_ref = refs[i]
 
@@ -126,25 +151,44 @@ def _kernel(steps: int, n_hidden: int, compute_dtype, hw_rng, with_cond, refs, a
         else jax.lax.Precision.DEFAULT
     )
 
-    def mm(a_, w_):
+    def mm(w_, a_):
         return jnp.dot(
+            w_,
             a_.astype(compute_dtype),
-            w_[:],
             preferred_element_type=jnp.float32,
             precision=prec,
         )
 
-    act = _act_value_fn(
-        activation, fast_sigmoid=(compute_dtype == jnp.bfloat16)
-    )
+    # tanh-form sigmoid in EVERY compute mode: the sampler has no
+    # bit-parity contract to the scan path (its PRNG stream already
+    # differs — only the sampled distribution matches), so the ~8e-6
+    # primitive deviation is invisible next to the O(dt) EM
+    # discretization error, and Mosaic's tanh is markedly cheaper than
+    # its exp (see fused_mlp._act_pair_fn).
+    act = _act_value_fn(activation, fast_sigmoid=True)
+    d_in = x_ref.shape[0]
+
+    # (H, steps) bias table read once; per-step column extracted by a
+    # branchless one-hot masked lane-reduce (H*steps VPU ops per step —
+    # negligible next to the (H,H)@(H,tile) matmuls).  A dynamic lane
+    # slice b_eff[:, ds(s, 1)] would be the natural read, but Mosaic
+    # rejects (H, 1) vector loads with a dynamic lane index.
+    b_all = b_eff_ref[:]
+    step_iota = jax.lax.broadcasted_iota(jnp.int32, b_all.shape, 1)
 
     def net(x, s):
-        a = mm(x, w_in) + b_eff_ref[s, :][None, :]
+        a = w_in[:, 0][:, None] * x[0:1, :]
+        for j in range(1, d_in):
+            a = a + w_in[:, j][:, None] * x[j : j + 1, :]
+        b_col = jnp.sum(
+            jnp.where(step_iota == s, b_all, 0.0), axis=1, keepdims=True
+        )
+        a = a + b_col
         if with_cond:
             a = a + cond_ref[:]
         for li in range(n_hidden - 1):
-            a = mm(act(a), w_hidden[li]) + b_hidden[li][:]
-        return mm(act(a), w_out) + b_out[:]
+            a = mm(w_hidden[li][:], act(a)) + b_hidden[li][:]
+        return mm(w_out[:], act(a)) + b_out[:]
 
     def body(s, carry):
         x, x_mean, ok = carry
@@ -210,33 +254,44 @@ def _fused_em_impl(
     H = w_in.shape[1]
     grid = (B // tile,)
 
+    # V4 orientation (see _kernel): batch-shaped operands transposed so
+    # the batch rides the lane dimension; weights pre-transposed.  The
+    # transposes trace into the jitted graph once per compile — tiny
+    # host-side relayouts, not per-step work.
+    xT = x0.T  # (D, B)
+    w_inT = w_in.T  # (H, D)
+    b_effT = b_eff_all.T  # (H, steps)
+    hiddenT = tuple(a.T for a in hidden_flat)  # (H,H) w / (H,1) b
+    w_outT = w_out.T  # (D, H)
+    b_outT = b_out.T  # (D, 1)
+
     def wspec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
     hw_rng = noise is None
     in_specs = [
-        pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
     ]
-    operands = [x0, seed]
+    operands = [xT, seed]
     if not hw_rng:
         in_specs.append(
-            pl.BlockSpec((steps, tile, D), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((steps, D, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
         )
-        operands.append(noise)
+        operands.append(jnp.swapaxes(noise, 1, 2))  # (steps, D, B)
     with_cond = cond_proj is not None
     if with_cond:
         in_specs.append(
-            pl.BlockSpec((tile, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((H, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
-        operands.append(cond_proj)
-    in_specs += [wspec(coeffs.shape), wspec(b_eff_all.shape), wspec(w_in.shape)]
-    operands += [coeffs, b_eff_all, w_in]
-    for arr in hidden_flat:
+        operands.append(cond_proj.T)
+    in_specs += [wspec(coeffs.shape), wspec(b_effT.shape), wspec(w_inT.shape)]
+    operands += [coeffs, b_effT, w_inT]
+    for arr in hiddenT:
         in_specs.append(wspec(arr.shape))
         operands.append(arr)
-    in_specs += [wspec(w_out.shape), wspec(b_out.shape)]
-    operands += [w_out, b_out]
+    in_specs += [wspec(w_outT.shape), wspec(b_outT.shape)]
+    operands += [w_outT, b_outT]
 
     kernel = lambda *refs: _kernel(
         steps, n_hidden, _em_weight_dtype(compute_dtype),
@@ -248,12 +303,12 @@ def _fused_em_impl(
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((D, B), jnp.float32),
+            jax.ShapeDtypeStruct((D, B), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=B * steps * 2 * H * (D + (n_hidden - 1) * H + d_out),
@@ -262,7 +317,7 @@ def _fused_em_impl(
         ),
         interpret=interpret,
     )(*operands)
-    return out
+    return out[0].T, out[1].T
 
 
 def fused_em_sample(
@@ -274,7 +329,7 @@ def fused_em_sample(
     conditional: Optional[jax.Array] = None,
     steps: int = 100,
     no_sigma: bool = False,
-    tile: int = 512,
+    tile: int = 2048,
     interpret: Optional[bool] = None,
     compute_dtype: str = "float32",
 ) -> Tuple[jax.Array, jax.Array]:

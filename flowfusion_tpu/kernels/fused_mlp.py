@@ -73,7 +73,12 @@ def _compute_mode(compute_dtype: str):
     """(operand dtype, matmul precision) for a kernel compute mode.
 
     'float32'  — f32 operands, Precision.HIGHEST (bf16x6 passes on the
-                 MXU): the reference parity mode.
+                 MXU): the reference parity mode.  The drift/forward chain
+                 and exact-trace basis chains always run HIGHEST; the
+                 sketch estimators' (Hutch++/XTrace) probe-tangent chains
+                 run the 3-pass split-dot (see the tangent-chain precision
+                 split in ``_kernel`` — a trace estimate's probe variance
+                 dwarfs the ~2e-6 matmul deviation).
     'highf32'  — f32 operands, manual 3-pass bf16 split-dot ("bf16x3"):
                  each operand is split into a bf16 leading half and a
                  bf16 residual, and the three significant cross products
@@ -352,23 +357,24 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
         else jax.lax.Precision.DEFAULT
     )
 
+    # Manual split-dot: w = w_hi + w_lo, a = a_hi + a_lo (bf16 halves),
+    # keep the three significant cross terms on the MXU with f32
+    # accumulation.  Identical weight slices recur across the unrolled
+    # layer chain; MLIR CSE dedups their splits.
+    def _split(v):
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def mm_3pass(w_, a_):
+        w_hi, w_lo = _split(w_)
+        a_hi, a_lo = _split(a_)
+        d = jnp.dot(w_hi, a_hi, preferred_element_type=jnp.float32)
+        d = d + jnp.dot(w_hi, a_lo, preferred_element_type=jnp.float32)
+        return d + jnp.dot(w_lo, a_hi, preferred_element_type=jnp.float32)
+
     if prec == "bf16_3pass":
-        # Manual split-dot: w = w_hi + w_lo, a = a_hi + a_lo (bf16 halves),
-        # keep the three significant cross terms on the MXU with f32
-        # accumulation.  Identical weight slices recur across the unrolled
-        # layer chain; MLIR CSE dedups their splits.
-        def _split(v):
-            hi = v.astype(jnp.bfloat16)
-            lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            return hi, lo
-
-        def mm(w_, a_):
-            w_hi, w_lo = _split(w_)
-            a_hi, a_lo = _split(a_)
-            d = jnp.dot(w_hi, a_hi, preferred_element_type=jnp.float32)
-            d = d + jnp.dot(w_hi, a_lo, preferred_element_type=jnp.float32)
-            return d + jnp.dot(w_lo, a_hi, preferred_element_type=jnp.float32)
-
+        mm = mm_3pass
     else:
 
         def mm(w_, a_):
@@ -378,6 +384,28 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
+
+    # Tangent-chain precision split (strict 'float32' mode only): the
+    # SKETCH estimators' tangent chains run the 3-pass split-dot while
+    # the drift chain keeps full HIGHEST.  A Hutch++/XTrace divergence is
+    # a probe ESTIMATE with O(1) sampling variance, so the ~2e-6 relative
+    # split-dot deviation is invisible next to both the estimator noise
+    # and the fused-vs-plain contract (tests/test_kernels.py atol 2e-4) —
+    # while the drift, the actual vector field, stays bit-comparable to
+    # plain XLA HIGHEST.  Measured on the 50k-row likelihood suite:
+    # Hutch++ 274k -> ~300k and XTrace 237k -> ~281k evals/s (each chain
+    # saves 3 of 6 MXU passes, minus per-chain bf16-split VPU overhead —
+    # the win needs >=3 tangent chains to clear that overhead, which is
+    # why single-chain 'hutchinson' and d_out-chain 'exact' stay strict:
+    # hutchinson measured a wash, and exact's selling point is
+    # f32-exactness; the generic 'tangents' building block also stays
+    # strict since its callers choose their own accuracy story).
+    relax_tangents = (
+        prec == jax.lax.Precision.HIGHEST
+        and compute_dtype == jnp.float32
+        and mode in ("hutchpp", "xtrace")
+    )
+    mm_tan = mm_3pass if relax_tangents else mm
 
     def in_proj(xc, nrows=None):
         """sum_j w_inT[:, j] (H,1) * xc[j, :] (1,subtile) -> (H, subtile).
@@ -489,8 +517,8 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
             """A v = c0 v + c1 J_net v through the stored dh chain."""
             ta = in_proj(v, nrows=d_out)
             for li in range(n_hidden - 1):
-                ta = mm(w_hidden[li][:], dh_list[li] * ta)
-            return c0 * v + c1 * mm(w_out[:], dh_list[-1] * ta)
+                ta = mm_tan(w_hidden[li][:], dh_list[li] * ta)
+            return c0 * v + c1 * mm_tan(w_out[:], dh_list[-1] * ta)
 
         def probe(k):
             return e_ref[k * d_out : (k + 1) * d_out, sl]
@@ -583,7 +611,9 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
 
         for li in range(n_hidden - 1):
             h, dh = act_pair(a)
-            tangents = [mm(w_hidden[li][:], dh * ta) for ta in tangents]
+            # mm_tan == mm except in the relaxed strict-f32 stochastic
+            # modes (see the tangent-chain precision split above)
+            tangents = [mm_tan(w_hidden[li][:], dh * ta) for ta in tangents]
             a = mm(w_hidden[li][:], h) + b_hidden[li][:]
 
         h, dh = act_pair(a)
@@ -594,7 +624,7 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
         drift_ref[:, sl] = c0 * xc[:d_out, :] + c1 * net
 
         if with_tangent:
-            je = mm(w_out[:], dh * tangents[0])  # (d_out, subtile) = J e
+            je = mm_tan(w_out[:], dh * tangents[0])  # (d_out, subtile) = J e
             ec = e_ref[:d_out, sl]
             acc = jnp.sum(je * ec, axis=0)  # d_out-row reduce
             # e^T (c0 I + c1 J_net) e: the c0 term is c0 |e|^2 (equal to
