@@ -262,37 +262,64 @@ def main():
         )
         return lp, stats.n_func_evals
 
-    jfn = jax.jit(logprob_fn)
-    x_dev = shard_batch(x, mesh) if n_dev > 1 else jax.device_put(x)
-
-    # compile + warmup
-    lp, nfe = jfn(model, x_dev, jax.random.PRNGKey(1))
-    jax.block_until_ready(lp)
-
-    # NB: each timing iteration uses fresh DATA and a fresh PRNG key so the
-    # executions are distinct — the remote-execution relay caches identical
-    # executable+argument pairs, and has been observed to hit on key-only
-    # variation.  The per-iteration offset is below solver tolerance.
-    variants = [
-        jax.device_put(x + (i + 1) * 1e-6) if n_dev == 1
-        else shard_batch(x + (i + 1) * 1e-6, mesh)
-        for i in range(3)
-    ]
-    times = []
-    for i, xv in enumerate(variants):
-        t0 = time.perf_counter()
-        lp, nfe = jfn(model, xv, jax.random.PRNGKey(100 + i))
+    if n_dev > 1:
+        # multi-device: shard the batch over the mesh and time single
+        # dispatches (the solve is long enough that dispatch overhead is
+        # in the noise at this size)
+        jfn = jax.jit(logprob_fn)
+        lp, nfe = jfn(model, shard_batch(x, mesh), jax.random.PRNGKey(1))
         jax.block_until_ready(lp)
-        np.asarray(lp[:1])  # force a host sync through the transfer path
-        dt = time.perf_counter() - t0
-        if dt < 0.05:
-            raise RuntimeError(
-                f"iteration {i} took {dt*1e3:.1f} ms for {n} rows — "
-                "implausible; relay cache hit, do not report this number"
-            )
-        times.append(dt)
+        times = []
+        for i in range(3):
+            xv = shard_batch(x + (i + 1) * 1e-6, mesh)
+            t0 = time.perf_counter()
+            lp, nfe = jfn(model, xv, jax.random.PRNGKey(100 + i))
+            jax.block_until_ready(lp)
+            np.asarray(lp[:1])
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+    else:
+        # single chip: slope over a lax.scan'd repeat count so the relay's
+        # fixed dispatch+fetch overhead (window-dependent 1.5-120 ms; can
+        # also return before execution — block_until_ready is not a true
+        # barrier here) cancels out and the number approximates pure
+        # device time.  Every solve in every rep gets distinct data (the
+        # relay caches identical executable+argument pairs and XLA could
+        # CSE identical scan inputs) at sub-tolerance 1e-6 offsets.
+        def scanned(xs, ks):
+            def body(acc, inp):
+                xx, kk = inp
+                lp, _ = logprob_fn(model, xx, kk)
+                return acc + jnp.sum(lp), None
 
-    best = min(times)
+            return jax.lax.scan(body, jnp.float32(0.0), (xs, ks))[0]
+
+        jscan = jax.jit(scanned)
+
+        def stack(K, rep):
+            xs = jnp.stack([x + (rep * 8 + j + 1) * 1e-6 for j in range(K)])
+            ks = jax.random.split(jax.random.PRNGKey(100 * K + rep), K)
+            return xs, ks
+
+        totals = {}
+        for K in (1, 3):
+            xs, ks = stack(K, 0)  # warmup/compile
+            np.asarray(jscan(xs, ks))
+            best_k = float("inf")
+            for rep in range(1, 4):
+                xs, ks = stack(K, rep)
+                jax.block_until_ready(xs)
+                t0 = time.perf_counter()
+                np.asarray(jscan(xs, ks))  # host fetch = true barrier
+                best_k = min(best_k, time.perf_counter() - t0)
+            totals[K] = best_k
+        best = (totals[3] - totals[1]) / 2
+        if not (best > 0.05):
+            raise RuntimeError(
+                f"marginal solve time {best*1e3:.1f} ms for {n} rows — "
+                "implausible (relay jitter swamped the slope); rerun"
+            )
+
     rate = n / best
     print(
         json.dumps(

@@ -6,6 +6,20 @@ so smoke runs never clobber the committed snapshot).  The single-line
 driver metric lives in ``bench.py``; this suite is for humans tuning
 the framework.
 
+TIMING METHODOLOGY — every row is a SLOPE, not a single dispatch.  On
+this sandbox's remote-TPU relay one dispatch+host-fetch costs a
+window-dependent 1.5-120 ms regardless of the work, block_until_ready
+can return before execution finishes, and identical executable+argument
+pairs may be served from a cache.  All rows therefore time the same
+workload at two sizes in one window and difference out the fixed
+overhead: step-loop rows (train, EM) slope over the step count
+(slope_time), solve rows (log-prob, ODE sampling) slope over a
+lax.scan'd repeat count with distinct data per repeat (repeat_slope).
+The numbers approximate pure device time — what the workload costs on a
+TPU you own; earlier snapshots that included the relay round trip
+understated the short rows by up to ~50x (see BENCHMARKS.md
+"timing methodology").
+
 Workloads (BASELINE.md / BASELINE.json configs):
   * probability-flow log-prob, hutchinson & (off-TPU) exact/hutchpp/xtrace
   * Euler--Maruyama sampling (scan path and fused-kernel path)
@@ -46,36 +60,74 @@ def _sync(out):
     return out
 
 
-def timeit(fn, *argsets, iters=3):
-    """fn is called with argsets[i] per iteration — every iteration MUST
-    get distinct arguments (see _sync): argsets[0] warms up/compiles and
-    each timed iteration consumes the next one."""
-    if len(argsets) < iters + 1:
-        raise ValueError(
-            f"timeit needs {iters + 1} distinct argsets (1 warmup + "
-            f"{iters} timed); got {len(argsets)} — the relay serves cached "
-            "results for repeated identical arguments"
-        )
-    _sync(fn(*argsets[0]))
-    best = float("inf")
-    for i in range(iters):
-        t0 = time.perf_counter()
-        _sync(fn(*argsets[i + 1]))
-        best = min(best, time.perf_counter() - t0)
-    return best
+def slope_time(run_for_steps, s1, s2, reps=5, retry=True):
+    """Marginal per-step seconds via two epoch lengths in one window.
+
+    One dispatch+host-fetch through this sandbox's relay costs a
+    window-dependent 1.5-120 ms REGARDLESS of the work (a trivial
+    ``x+1`` dispatch and a 2000-step training epoch can time the same),
+    so dividing a single epoch's wall time by its step count measures
+    the relay, not the TPU.  Timing the same epoch at two lengths and
+    differencing cancels the fixed overhead:
+
+        per_step = (T(s2) - T(s1)) / (s2 - s1)
+
+    ``run_for_steps(steps, rep)`` must build fresh (relay-cache-proof)
+    inputs OUTSIDE the timed window, start the clock, run one epoch of
+    ``steps`` steps, and return ``(t0, out)`` with ``out`` _sync-able;
+    rep==0 is the untimed warmup/compile call.
+    """
+    totals = {}
+    for steps in (s1, s2):
+        _sync(run_for_steps(steps, 0)[1])
+        best = float("inf")
+        for rep in range(1, reps + 1):
+            t0, out = run_for_steps(steps, rep)
+            _sync(out)
+            totals[steps] = best = min(best, time.perf_counter() - t0)
+    slope = (totals[s2] - totals[s1]) / (s2 - s1)
+    if slope <= 0 and retry:
+        # jitter swamped the spread — one retry with a doubled long end
+        return slope_time(run_for_steps, s1, s2 * 2, reps=reps, retry=False)
+    return slope
 
 
-def warn_if_implausible(name, best, quick):
-    """A relay cache hit returns in ~1-5 ms regardless of the work; at the
-    default (non --quick) batch sizes every real workload here takes far
-    longer.  Quick mode is exempt (4096-row runs legitimately finish in
-    milliseconds)."""
-    if not quick and best < 0.02:
-        print(
-            f"WARNING: {name} timed {best*1e3:.1f} ms — possible relay "
-            "cache hit",
-            file=sys.stderr,
-        )
+def repeat_slope(per_solve, make_stack, k2=4, reps=3, retry=True):
+    """Marginal seconds per SOLVE via a repeat-count slope.
+
+    Solves have no step-count knob to slope over, so the lengths are
+    repeat counts instead: a ``lax.scan`` of K sequential solves (distinct
+    data each, so nothing can be CSE'd or cached) is timed at K=1 and
+    K=k2 in one window, and the difference cancels the relay's fixed
+    dispatch+fetch overhead exactly like slope_time.
+
+    ``per_solve(xx, kk)`` runs one solve; ``make_stack(K, rep)`` returns
+    ``(xs, ks)`` stacks of K distinct inputs (rep 0 = warmup).
+    """
+    totals = {}
+    for K in (1, k2):
+
+        @jax.jit
+        def scanned(xs, ks):
+            def body(acc, inp):
+                xx, kk = inp
+                return acc + jnp.sum(per_solve(xx, kk)), None
+
+            return jax.lax.scan(body, jnp.float32(0.0), (xs, ks))[0]
+
+        _sync(scanned(*make_stack(K, 0)))
+        best = float("inf")
+        for rep in range(1, reps + 1):
+            xs, ks = make_stack(K, rep)
+            _sync(xs)
+            t0 = time.perf_counter()
+            _sync(scanned(xs, ks))
+            best = min(best, time.perf_counter() - t0)
+        totals[K] = best
+    slope = (totals[k2] - totals[1]) / (k2 - 1)
+    if slope <= 0 and retry:
+        return repeat_slope(per_solve, make_stack, k2=k2 * 2, reps=reps, retry=False)
+    return slope
 
 
 def main():
@@ -101,11 +153,31 @@ def main():
         results[name] = {"seconds": round(seconds, 4), "rate": round(rate, 1)}
         print(f"{name:44s} {seconds:8.3f}s   {rate:>14,.0f}/s")
 
+    def record_slope(name, seconds, per_what=n):
+        """record(), but slope-timed rows can come out <=0 when relay
+        jitter exceeds the marginal cost (short --quick lengths): skip
+        those instead of writing a negative rate into results.json."""
+        if seconds <= 0:
+            print(
+                f"{name:44s}  noise-bound slope ({seconds*1e3:.2f} ms) — "
+                "skipped; rerun or raise the epoch lengths"
+            )
+            return
+        record(name, seconds, per_what)
+
     # --- log-prob -----------------------------------------------------
-    def lp(m):
-        return jax.jit(
-            lambda mm, xx, k: mm.log_prob(xx, key=k, atol=1e-5, rtol=1e-5, options=None)[0]
-        )
+    def stack_of(base, seed):
+        """(K, rep) -> (xs, ks) input stacks for repeat_slope: every solve
+        in every rep gets distinct data (sub-tolerance 1e-6 offsets) and a
+        distinct key — the relay cache has been observed to hit on
+        key-only variation, and identical scan inputs could be CSE'd."""
+
+        def make_stack(K, rep):
+            xs = jnp.stack([base + (rep * 16 + j + 1) * 1e-6 for j in range(K)])
+            ks = jax.random.split(jax.random.PRNGKey(seed + rep), K)
+            return xs, ks
+
+        return make_stack
 
     configs = [
         ("logprob/hutchinson/plain-f32", dict(trace_mode="hutchinson", use_fused_kernel=False)),
@@ -135,15 +207,14 @@ def main():
         configs.append(("logprob/hutchpp/plain-f32", dict(trace_mode="hutchpp", hpp_rank=1, hpp_vecs=1, use_fused_kernel=False)))
         configs.append(("logprob/xtrace/plain-f32", dict(trace_mode="xtrace", xt_vecs=2, use_fused_kernel=False)))
 
-    lp_keys = jax.random.split(jax.random.PRNGKey(42), 4)
-    for name, kw in configs:
+    for seed, (name, kw) in enumerate(configs):
         m = dataclasses.replace(model, **kw)
-        f = lp(m)
-        # distinct data per iteration (i*1e-6, sub-tolerance): the relay
-        # cache has been observed to hit on key-only variation
-        best = timeit(f, *[(m, x + i * 1e-6, lp_keys[i]) for i in range(4)])
-        warn_if_implausible(name, best, args.quick)
-        record(name, best)
+        per_solve = lambda xx, kk, m=m: m.log_prob(
+            xx, key=kk, atol=1e-5, rtol=1e-5, options=None
+        )[0]
+        record_slope(
+            name, repeat_slope(per_solve, stack_of(x, 42 + 100 * seed))
+        )
 
     # --- flow-matching CNF log-prob ----------------------------------
     # Reference headline: flow exact-trace log_prob 10.79 s for 25k pts at
@@ -188,27 +259,23 @@ def main():
         lambda m, k, xb: m.flow_matching_loss(k, xb), x_raw, args.train_steps,
     )
 
-    flow_lp = jax.jit(
-        lambda m, xx, k: m.log_prob(xx, key=k, atol=1e-4, rtol=1e-4)[0]
-    )
-    flow_lp_ps = jax.jit(
-        lambda m, xx, k: m.log_prob_per_sample(xx, key=k, atol=1e-4, rtol=1e-4)[0]
-    )
-    flow_keys = jax.random.split(jax.random.PRNGKey(14), 4)
-    for name, f, m in (
-        ("flow-logprob/exact/batch-stepped", flow_lp, flow),
-        ("flow-logprob/exact/per-sample", flow_lp_ps, flow),
+    for seed, (name, method, m) in enumerate(
         (
-            "flow-logprob/exact/highf32",
-            flow_lp,
-            dataclasses.replace(flow, kernel_compute_dtype="highf32"),
-        ),
-    ):
-        best = timeit(
-            f, *[(m, x_raw + i * 1e-6, flow_keys[i]) for i in range(4)]
+            ("flow-logprob/exact/batch-stepped", "log_prob", flow),
+            ("flow-logprob/exact/per-sample", "log_prob_per_sample", flow),
+            (
+                "flow-logprob/exact/highf32",
+                "log_prob",
+                dataclasses.replace(flow, kernel_compute_dtype="highf32"),
+            ),
         )
-        warn_if_implausible(name, best, args.quick)
-        record(name, best)
+    ):
+        per_solve = lambda xx, kk, m=m, method=method: getattr(m, method)(
+            xx, key=kk, atol=1e-4, rtol=1e-4
+        )[0]
+        record_slope(
+            name, repeat_slope(per_solve, stack_of(x_raw, 14 + 100 * seed))
+        )
 
     # --- symplectic (trace-free) log-prob ----------------------------
     # No reference timing exists (the reference never times this module);
@@ -221,127 +288,183 @@ def main():
         jax.random.PRNGKey(16), sym,
         lambda m, k, xb: m.loss_fn(k, xb), x_raw, args.train_steps,
     )
-    sym_lp = jax.jit(lambda m, k, xx: m.log_prob(k, xx)[0])
     sym_configs = [("symplectic-logprob/fused", sym)]
     if not on_tpu:
         sym_configs = [
             ("symplectic-logprob/plain-f32",
              dataclasses.replace(sym, use_fused_kernel=False))
         ]
-    sym_keys = jax.random.split(jax.random.PRNGKey(17), 4)
-    for name, m in sym_configs:
-        best = timeit(
-            sym_lp, *[(m, sym_keys[i], x_raw + i * 1e-6) for i in range(4)]
+    for seed, (name, m) in enumerate(sym_configs):
+        per_solve = lambda xx, kk, m=m: m.log_prob(kk, xx)[0]
+        record_slope(
+            name, repeat_slope(per_solve, stack_of(x_raw, 17 + 100 * seed))
         )
-        warn_if_implausible(name, best, args.quick)
-        record(name, best)
 
     # --- EM sampling --------------------------------------------------
     # sample_sde takes no data argument, so vary the MODEL per iteration
     # (sub-tolerance param perturbation) as well as the key — key-only
     # variation has been observed to hit the relay cache.
-    def model_variants(base):
-        return [
-            (
-                dataclasses.replace(
-                    base,
-                    params=jax.tree_util.tree_map(
-                        lambda a: a + i * 1e-7, base.params
-                    ),
-                ),
-                jax.random.PRNGKey(1000 + i),
-            )
-            for i in range(4)
-        ]
-
-    em_scan = jax.jit(
-        lambda mm, k: mm.sample_sde(k, (n, 2), steps=args.steps).x_mean
-    )
+    # EM rows are slope-timed over two step counts (slope_time docstring):
+    # the recorded seconds are the marginal cost of args.steps EM steps,
+    # i.e. the fixed relay round trip is cancelled, so scan-vs-fused
+    # compares the actual on-device step loops.
     m_plain = dataclasses.replace(model, use_fused_kernel=False)
-    best = timeit(em_scan, *model_variants(m_plain))
-    warn_if_implausible("em-sample/scan", best, args.quick)
-    record(f"em-sample/{args.steps}steps/scan", best)
+    em_s2 = args.steps * 8
 
-    em_fused = jax.jit(
-        lambda mm, k: mm.sample_sde_fused(k, (n, 2), steps=args.steps).x_mean
-    )
+    def em_slope(name, base_model, method):
+        fns = {}
+
+        def fn_for(s):
+            # built lazily so slope_time's doubled-length retry works
+            if s not in fns:
+                fns[s] = jax.jit(
+                    lambda mm, k, s=s: getattr(mm, method)(
+                        k, (n, 2), steps=s
+                    ).x_mean
+                )
+            return fns[s]
+
+        def run_for_steps(steps, rep):
+            mm = dataclasses.replace(
+                base_model,
+                params=jax.tree_util.tree_map(
+                    lambda a: a + (steps * 7 + rep) * 1e-7, base_model.params
+                ),
+            )
+            _sync(mm.params)
+            k = jax.random.PRNGKey(1000 + steps * 13 + rep)
+            t0 = time.perf_counter()
+            return t0, fn_for(steps)(mm, k)
+
+        per_step = slope_time(run_for_steps, args.steps, em_s2)
+        record_slope(name, per_step * args.steps)
+
+    em_slope(f"em-sample/{args.steps}steps/scan", m_plain, "sample_sde")
     try:
-        best = timeit(em_fused, *model_variants(model))
-        warn_if_implausible("em-sample/fused", best, args.quick)
-        record(f"em-sample/{args.steps}steps/fused-kernel", best)
+        em_slope(
+            f"em-sample/{args.steps}steps/fused-kernel", model, "sample_sde_fused"
+        )
         m_bf16 = dataclasses.replace(model, kernel_compute_dtype="bfloat16")
-        best = timeit(em_fused, *model_variants(m_bf16))
-        record(f"em-sample/{args.steps}steps/fused-bf16", best)
+        em_slope(
+            f"em-sample/{args.steps}steps/fused-bf16", m_bf16, "sample_sde_fused"
+        )
     except Exception as e:
         print(f"fused EM unavailable: {type(e).__name__}: {e}")
 
     # --- ODE sampling -------------------------------------------------
-    bases = [
-        (jax.random.normal(jax.random.PRNGKey(5 + i), (n, 2)),) for i in range(4)
-    ]
-    ode = jax.jit(lambda z: m_plain.sample_ode_from_base(z, atol=1e-4, rtol=1e-4)[0])
-    best = timeit(ode, *bases)
-    record("ode-sample/plain", best)
-
-    dpm = jax.jit(lambda z: model.sample_dpm(z, steps=12, order=2))
-    best = timeit(dpm, *bases)
-    record("ode-sample/dpm12", best)
+    z_base = jax.random.normal(jax.random.PRNGKey(5), (n, 2))
+    record_slope(
+        "ode-sample/plain",
+        repeat_slope(
+            lambda zz, kk: m_plain.sample_ode_from_base(
+                zz, atol=1e-4, rtol=1e-4
+            )[0],
+            stack_of(z_base, 500),
+        ),
+    )
+    record_slope(
+        "ode-sample/dpm12",
+        repeat_slope(
+            lambda zz, kk: model.sample_dpm(zz, steps=12, order=2),
+            stack_of(z_base, 600),
+        ),
+    )
 
     # --- train step ---------------------------------------------------
     import optax
 
     tx = optax.adam(1e-3)
     # Measure the way training actually runs (train.fit): one dispatch
-    # scans many steps, so per-dispatch latency is amortized away.
-    # bs 256 mirrors the reference notebook's largest stage; the large
-    # batch shows the TPU-schedule throughput regime (samples/s).
-    scan_steps = 100
+    # scans many steps.  Per-step cost is the SLOPE over two epoch
+    # lengths (slope_time docstring): a single epoch's wall time is
+    # dominated by the relay's fixed 1.5-120 ms round trip and says
+    # nothing about the TPU.  bs 256 mirrors the reference notebook's
+    # largest stage; the large batch shows the MXU-bound regime.
 
-    def train_step_inner(params, opt_state, key, xb):
-        def loss_fn(p):
-            m = dataclasses.replace(model, params=p)
-            return m.loss_fn(key, xb)
+    def make_train_scan(scan_steps):
+        def train_step_inner(params, opt_state, key, xb):
+            def loss_fn(p):
+                m = dataclasses.replace(model, params=p)
+                return m.loss_fn(key, xb)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        upd, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, upd), opt_state, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, upd), opt_state, loss
 
-    @jax.jit
-    def train_scan(params, opt_state, key, xs):
-        def body(carry, inp):
-            p, o = carry
-            k, xb_ = inp
-            p, o, loss = train_step_inner(p, o, k, xb_)
-            return (p, o), loss
+        @jax.jit
+        def train_scan(params, opt_state, key, xs):
+            def body(carry, inp):
+                p, o = carry
+                k, xb_ = inp
+                p, o, loss = train_step_inner(p, o, k, xb_)
+                return (p, o), loss
 
-        keys = jax.random.split(key, scan_steps)
-        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), (keys, xs))
-        return params, opt_state, losses[-1]
+            keys = jax.random.split(key, scan_steps)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (keys, xs)
+            )
+            return params, opt_state, losses[-1]
 
-    for bs in (256, 16384):
+        return train_scan
+
+    perturb = jax.jit(lambda a, c: a + c)
+    scan_lengths = {256: (400, 4000), 2048: (400, 4000), 16384: (50, 400)}
+    if args.quick:
+        scan_lengths = {256: (20, 100), 16384: (5, 20)}
+    for bs, (s1, s2) in scan_lengths.items():
+        runs = {}
+
+        def run_for(s, runs=runs):
+            # built lazily so slope_time's doubled-length retry works
+            if s not in runs:
+                runs[s] = make_train_scan(s)
+            return runs[s]
+
         opt_state = tx.init(model.params)
-        idx = jax.random.randint(
-            jax.random.PRNGKey(9), (scan_steps, bs), 0, n
-        )
-        xs = x[idx]  # (scan_steps, bs, D)
-        params, opt_state, loss = train_scan(
-            model.params, opt_state, jax.random.PRNGKey(1), xs
-        )
-        _sync(loss)
-        # timed call: params differ from the warmup's (they were trained),
-        # and xs is perturbed too — belt and braces against the relay
-        # cache.  The perturbed batch is materialized BEFORE the timed
-        # window (an eager elementwise op through the relay costs
-        # hundreds of ms and would dominate the measurement).
-        xs2 = _sync(jax.jit(lambda a: a + 1e-6)(xs))
-        t0 = time.perf_counter()
-        params, opt_state, loss = train_scan(
-            params, opt_state, jax.random.PRNGKey(2), xs2
-        )
-        _sync(loss)
-        per_step = (time.perf_counter() - t0) / scan_steps
-        record(f"train-step/bs{bs}(scanned)", per_step, per_what=1)
-        record(f"train-throughput/bs{bs}", per_step, per_what=bs)
+
+        def run_for_steps(steps, rep, bs=bs, run_for=run_for, opt_state=opt_state):
+            idx = jax.random.randint(jax.random.PRNGKey(9), (steps, bs), 0, n)
+            xs = _sync(perturb(x[idx], jnp.float32(1e-6 * rep)))
+            t0 = time.perf_counter()
+            out = run_for(steps)(model.params, opt_state, jax.random.PRNGKey(rep), xs)
+            return t0, out[2]
+
+        per_step = slope_time(run_for_steps, s1, s2)
+        record_slope(f"train-step/bs{bs}(scan-marginal)", per_step, per_what=1)
+        record_slope(f"train-throughput/bs{bs}", per_step, per_what=bs)
+
+    # --- fused training engine (kernels/fused_train.py) ----------------
+    # Whole epoch in ONE Pallas dispatch, Adam moments resident in VMEM;
+    # parity-tested alternative engine (fit(engine='fused')).  Same
+    # slope-based timing so the two engines compare on marginal per-step
+    # cost, not relay round trips.
+    from flowfusion_tpu.kernels.fused_train import (
+        fused_train_epoch,
+        train_tables,
+    )
+
+    tables_jit = jax.jit(
+        lambda k, xs_: train_tables(model.sde, k, xs_, no_sigma=model.no_sigma)
+    )
+    fused_lengths = {256: (400, 4000), 2048: (400, 4000)}
+    if args.quick:
+        fused_lengths = {256: (20, 100), 2048: (5, 20)}
+    for bs, (s1, s2) in fused_lengths.items():
+
+        def run_for_steps(steps, rep, bs=bs):
+            idx = jax.random.randint(jax.random.PRNGKey(11), (steps, bs), 0, n)
+            xt, zw, t_tab, beta = tables_jit(jax.random.PRNGKey(rep), x[idx])
+            _sync(beta)
+            t0 = time.perf_counter()
+            out = fused_train_epoch(
+                model.params, model.net, None, xt=xt, zw=zw, t=t_tab,
+                beta=beta, lr=1e-3,
+            )
+            return t0, out[3]
+
+        per_step = slope_time(run_for_steps, s1, s2)
+        record_slope(f"train-step-fused/bs{bs}(marginal)", per_step, per_what=1)
+        record_slope(f"train-throughput-fused/bs{bs}", per_step, per_what=bs)
 
     # quick smoke runs must not clobber the committed full-batch snapshot
     out_name = "results_quick.json" if args.quick else "results.json"

@@ -11,9 +11,9 @@ writes one loss scalar.
 
 Measured outcome (BENCHMARKS.md "training", slope-timed so the sandbox
 relay's fixed 1.5-120 ms dispatch round trip cancels out): on v5e this
-kernel runs ~2.5-3x FASTER per step than the already-single-dispatch XLA
-scan — bs 256: ~5 us vs ~15 us/step; bs 2048: ~21 us vs ~50 us/step
-(96M vs 41M samples/s).  Keeping the optimizer state, activations, and
+kernel runs ~1.5-3.5x FASTER per step than the already-single-dispatch
+XLA scan — bs 256: ~2-11 us vs ~13-17 us/step across windows; bs 2048:
+~21-41 us vs ~46-50 us/step (45-100M samples/s).  Keeping the optimizer state, activations, and
 EMA resident in VMEM beats XLA's HBM-roundtripping schedule for this
 many-tiny-matmuls workload.  train.fit(engine='auto') picks this kernel
 automatically on TPU for compatible configs (DSM loss, Adam, uniform

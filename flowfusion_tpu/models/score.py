@@ -411,7 +411,11 @@ class ScoreModel:
     ) -> EMResult:
         """Fully-fused EM sampler: the whole step loop in ONE Pallas kernel.
 
-        Fastest sampling path (kernels/em_sampler.py): state and
+        Fastest sampling path: slope-timed on v5e (relay dispatch
+        overhead cancelled — BENCHMARKS.md "timing methodology") it runs
+        ~1.5x the ``sample_sde`` scan in strict f32 and ~4x in the bf16
+        compute mode, whose matmul precision is dwarfed by the EM
+        discretization's O(dt) error anyway.  State and
         activations never leave VMEM between steps; noise comes from the
         TPU hardware PRNG (seeded from ``key``), so draws differ from
         ``sample_sde``'s jax.random stream while the sampled *distribution*

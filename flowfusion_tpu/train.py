@@ -191,8 +191,9 @@ def fit(
     and a fused-kernel-compatible net (uniform 128-multiple hidden
     widths).  Slope-timed on v5e (marginal per-step cost, relay dispatch
     overhead cancelled — BENCHMARKS.md "training") the fused epoch runs
-    ~2.5-3x faster per step than the XLA scan (bs 256: ~5 us vs ~15 us;
-    bs 2048: 21 us vs 50 us, i.e. 96M vs 41M samples/s).
+    ~1.5-3.5x faster per step than the XLA scan (bs 256: ~2-11 us vs
+    ~13-17 us across windows; bs 2048: ~21-41 us vs ~46-50 us, i.e.
+    45-100M samples/s).
 
     ``engine='auto'`` (default) picks the fused kernel when it applies —
     TPU backend, default loss, Adam, compatible net, every stage batch
