@@ -31,6 +31,9 @@ reference diffusion.py:1369-1463):
           beta = 1 (score = net/sigma) or sigma (no_sigma)
   * likelihood-weighted:  same xt,  zw = (g/sigma) z,
           beta = g/sigma (or g under no_sigma)
+  * flow matching (reference flow.py:223-256; raw-time velocity nets):
+          xt = (1-t) x0 + t xT,  zw = -(xT - x0),  beta = 1,
+          1/bs -> 1/(bs*D) (mean over dims too)
 
 ``xt``/``zw`` are parameter-independent, so autodiff through the XLA loss
 and the manual backward below compute the *same* gradient; the in-kernel
@@ -61,9 +64,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_mlp import _act_pair_fn, supports_config
 
-__all__ = ["fused_train_epoch", "train_tables", "supports_batch"]
+__all__ = [
+    "fused_train_epoch",
+    "train_tables",
+    "train_tables_flow",
+    "supports_batch",
+]
 
 _LANES = 128
+
+
+def _cfg_fields(cfg):
+    """(units, D, C, E) for either net-config family.
+
+    ``ScoreMLPConfig`` (Fourier time embedding, input [temb | x | cond])
+    exposes units/n_dimensions/n_conditionals/embedding_dimensions;
+    ``VelocityMLPConfig`` (raw time scalar, input [x | t | cond],
+    reference flow.py:110-118) exposes hidden_units/target_dimension/
+    conditional_dimension and gets E=None.
+    """
+    if hasattr(cfg, "embedding_dimensions"):
+        return (
+            cfg.units,
+            cfg.n_dimensions,
+            cfg.n_conditionals,
+            cfg.embedding_dimensions,
+        )
+    return (
+        cfg.hidden_units,
+        cfg.target_dimension,
+        cfg.conditional_dimension,
+        None,
+    )
 
 
 def _live_bytes(cfg, bs: int) -> int:
@@ -74,17 +106,13 @@ def _live_bytes(cfg, bs: int) -> int:
     allocation runs ~2.6x this figure (measured), which the 24 MiB guard
     in :func:`fused_train_epoch` accounts for.
     """
-    n_hidden = len(cfg.units)
-    H = cfg.units[0]
-    K_in = cfg.embedding_dimensions + cfg.n_dimensions + cfg.n_conditionals
+    units, D, C, E = _cfg_fields(cfg)
+    n_hidden = len(units)
+    H = units[0]
+    K_in = (E + D + C) if E is not None else (D + 1 + C)
     bs_pad = -(-bs // _LANES) * _LANES
     return 4 * bs_pad * (
-        K_in
-        + cfg.n_dimensions
-        + (2 * n_hidden + 1) * H
-        + 2 * cfg.n_dimensions
-        + 2
-        + cfg.n_conditionals
+        K_in + D + (2 * n_hidden + 1) * H + 2 * D + 2 + C
     )
 
 
@@ -155,6 +183,7 @@ def _kernel(
     compute_dtype: str,
     with_cond: bool,
     with_ema: bool,
+    with_emb: bool,
     n_param: int,
     refs,
     activation: str = "silu",
@@ -183,7 +212,9 @@ def _kernel(
     cond_ref = None
     if with_cond:
         cond_ref = refs[i]; i += 1
-    wemb_ref = refs[i]; i += 1
+    wemb_ref = None
+    if with_emb:
+        wemb_ref = refs[i]; i += 1
     hyper_ref = refs[i]; i += 1  # SMEM (1, 8)
 
     p_in = [refs[i + k] for k in range(n_param)]; i += n_param
@@ -232,11 +263,18 @@ def _kernel(
     # --- forward ---------------------------------------------------------
     xt = xt_ref[0]  # (D, bs)
     t_row = t_ref[0]  # (1, bs)
-    proj = (2.0 * math.pi) * wemb_ref[:] * t_row  # (E2, bs)
-    temb = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=0)
-    u = jnp.concatenate(
-        [temb, xt] + ([cond_ref[0]] if with_cond else []), axis=0
-    )  # (K, bs) — torch input order [temb | x | cond]
+    if with_emb:
+        proj = (2.0 * math.pi) * wemb_ref[:] * t_row  # (E2, bs)
+        temb = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=0)
+        # (K, bs) — torch input order [temb | x | cond] (diffusion.py:109-116)
+        u = jnp.concatenate(
+            [temb, xt] + ([cond_ref[0]] if with_cond else []), axis=0
+        )
+    else:
+        # raw-time velocity net: input order [x | t | cond] (flow.py:110-118)
+        u = jnp.concatenate(
+            [xt, t_row] + ([cond_ref[0]] if with_cond else []), axis=0
+        )
 
     weights = [p_out[2 * l] for l in range(n_hidden + 1)]
     biases = [p_out[2 * l + 1] for l in range(n_hidden + 1)]
@@ -330,6 +368,32 @@ def train_tables(
     return jax.vmap(per_step)(keys, xb)  # (steps,bs,D) x2, (steps,bs) x2
 
 
+def train_tables_flow(key: jax.Array, xb: jax.Array):
+    """Per-step (xt, zw, t, beta) tables for flow matching.
+
+    ``xb``: (steps, bs, D) STANDARDIZED minibatches.  Matches
+    ops/losses.flow_matching_loss draw for draw: x_T ~ N(0,1),
+    t ~ U[0,1] per sample, x_t = (1-t) x0 + t x_T, target v = x_T - x0
+    (reference flow.py:191-256).  The kernel residual is
+    ``zw + beta*net`` so zw = -(x_T - x0) and beta = 1; the flow loss is
+    a MEAN over batch AND dims — pass ``mean_over_dims=True`` to
+    :func:`fused_train_epoch`.
+    """
+    steps, bs, D = xb.shape
+
+    def per_step(k, x0):
+        kz, kt = jax.random.split(k)
+        xT = jax.random.normal(kz, x0.shape, x0.dtype)
+        t = jax.random.uniform(kt, (bs,), jnp.float32)
+        xt = (1.0 - t[:, None]) * x0 + t[:, None] * xT
+        zw = -(xT - x0)
+        beta = jnp.ones_like(t)
+        return xt, zw, t, beta
+
+    keys = jax.random.split(key, steps)
+    return jax.vmap(per_step)(keys, xb)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -340,6 +404,7 @@ def _fused_train_impl(
     xt, zw, t, beta, cond, wemb, hyper, p_flat, m_flat, v_flat, ema_flat,
     *, n_hidden, compute_dtype, activation, interpret, with_ema,
 ):
+    with_emb = wemb is not None
     steps, D, bs = xt.shape
     n_param = len(p_flat)
 
@@ -359,8 +424,9 @@ def _fused_train_impl(
     if with_cond:
         in_specs.append(stream3(cond.shape[1]))
         operands.append(cond)
-    in_specs.append(wspec(wemb.shape))
-    operands.append(wemb)
+    if with_emb:
+        in_specs.append(wspec(wemb.shape))
+        operands.append(wemb)
     in_specs.append(
         pl.BlockSpec((1, 8), lambda s: (0, 0), memory_space=pltpu.SMEM)
     )
@@ -383,8 +449,8 @@ def _fused_train_impl(
             out_specs.append(wspec(arr.shape))
 
     kernel = lambda *refs: _kernel(
-        steps, n_hidden, compute_dtype, with_cond, with_ema, n_param, refs,
-        activation=activation,
+        steps, n_hidden, compute_dtype, with_cond, with_ema, with_emb,
+        n_param, refs, activation=activation,
     )
     H = p_flat[0].shape[0]
     K = p_flat[0].shape[1]
@@ -443,6 +509,7 @@ def fused_train_epoch(
     ema_decay: float = 0.0,
     compute_dtype: str = "float32",
     interpret: Optional[bool] = None,
+    mean_over_dims: bool = False,
 ):
     """Run ``steps`` fused Adam updates; one Pallas dispatch.
 
@@ -457,13 +524,18 @@ def fused_train_epoch(
     Returns ``(params', (m, v, step'), ema', losses)`` with ``losses``
     the per-step loss values.
 
-    The kernel trains the score net's ``layers`` only; the Fourier ``W``
-    is a frozen input (reference diffusion.py:73-76) — the same effective
-    mask as train.trainable_mask.
+    The kernel trains the net's ``layers`` only; a Fourier ``W`` (score
+    nets) is a frozen input (reference diffusion.py:73-76) — the same
+    effective mask as train.trainable_mask.  ``cfg`` may be a
+    ``ScoreMLPConfig`` (Fourier time embedding) or a
+    ``VelocityMLPConfig`` (raw-time flow-matching net — use
+    :func:`train_tables_flow` and ``mean_over_dims=True`` for the flow
+    loss's mean-over-batch-and-dims normalization).
     """
-    if not supports_config(cfg.units, cfg.activation):
+    units, D_cfg, n_cond, E = _cfg_fields(cfg)
+    if not supports_config(units, cfg.activation):
         raise ValueError(
-            f"fused training kernel does not support units={cfg.units} "
+            f"fused training kernel does not support units={units} "
             f"activation={cfg.activation}"
         )
     if interpret is None:
@@ -482,15 +554,13 @@ def fused_train_epoch(
             "of live activations (> 24 MiB budget) — use the XLA engine for "
             "large batches (train.fit(engine='xla'))"
         )
-    if D != cfg.n_dimensions:
-        raise ValueError(f"xt feature dim {D} != cfg.n_dimensions {cfg.n_dimensions}")
-    n_cond = cfg.n_conditionals
+    if D != D_cfg:
+        raise ValueError(f"xt feature dim {D} != config data dim {D_cfg}")
     if n_cond and conditional is None:
         raise ValueError(f"model expects {n_cond} conditional feature(s)")
     if not n_cond and conditional is not None:
         raise ValueError("conditional given to an unconditional model")
-    E = cfg.embedding_dimensions
-    if E % 2:
+    if E is not None and E % 2:
         raise ValueError(f"embedding_dimensions must be even; got {E}")
 
     layers = params["layers"]
@@ -527,9 +597,12 @@ def fused_train_epoch(
         if conditional is not None
         else None
     )
-    wemb = params["W"][:, None]  # (E/2, 1)
+    # Fourier-embedding nets carry the frozen W; raw-time velocity nets
+    # (E is None) feed t as a plain input row instead.
+    wemb = params["W"][:, None] if E is not None else None  # (E/2, 1)
+    inv = 1.0 / (bs * D) if mean_over_dims else 1.0 / bs
     hyper = jnp.asarray(
-        [[lr, beta1, beta2, eps, ema_decay, 1.0 / bs, 0.0, 0.0]],
+        [[lr, beta1, beta2, eps, ema_decay, inv, 0.0, 0.0]],
         jnp.float32,
     ).at[0, 6].set(jnp.asarray(step0, jnp.float32))
 

@@ -193,6 +193,14 @@ class ODEFlow:
             conditional,
         )
 
+    def loss_fn(
+        self, key: jax.Array, x: jax.Array, conditional: Optional[jax.Array] = None
+    ) -> jax.Array:
+        """Default training loss (the ``train.fit`` entry point): the CFM
+        loss — so ``fit(flow_model, ...)`` works without a custom
+        ``loss_fn`` and can route to the fused epoch kernel."""
+        return self.flow_matching_loss(key, x, conditional)
+
     # ------------------------------------------------------------------
     def sample(
         self,

@@ -132,26 +132,54 @@ class StageResult:
     val_losses: np.ndarray  # (epochs,) — nan if no val set
 
 
+def _fused_family(model) -> Optional[str]:
+    """Which fused-engine family a model belongs to, or None.
+
+    'score': a bare ScoreModel (x already standardized by the caller).
+    'population': PopulationModelDiffusion[Conditional] — the wrapper owns
+    shift/scale; the kernel trains the inner score model on standardized
+    tables.  'flow': ODEFlow/ConditionalODEFlow — raw-time velocity net,
+    flow-matching tables, mean-over-dims loss.
+    """
+    if all(hasattr(model, a) for a in ("params", "net", "sde", "no_sigma")):
+        return "score"
+    if hasattr(model, "score_model") and all(
+        hasattr(model, a) for a in ("shift", "scale")
+    ):
+        inner = model.score_model
+        if all(hasattr(inner, a) for a in ("params", "net", "sde", "no_sigma")):
+            return "population"
+    if all(
+        hasattr(model, a)
+        for a in ("params", "net", "target_shift", "target_scale",
+                  "flow_matching_loss")
+    ):
+        return "flow"
+    return None
+
+
 def _fused_engine_ok(model, loss_fn, optimizer, stages, n_train) -> bool:
     """engine='auto' predicate: can this fit run on the fused epoch kernel?
 
     Requires the TPU backend (off-TPU the kernel runs in interpret mode,
-    far slower than the scan), the default DSM loss + Adam the kernel
-    hard-codes, a fused-compatible net, and every stage batch (clamped to
-    the dataset size, matching both engines' behavior) inside the
-    kernel's VMEM guard.
+    far slower than the scan), the default loss + Adam the kernel
+    hard-codes, a fused-family model with a fused-compatible net, and
+    every stage batch (clamped to the dataset size, matching both
+    engines' behavior) inside the kernel's VMEM guard.
     """
     if jax.default_backend() != "tpu":
         return False
     if loss_fn is not _default_loss or optimizer != "adam":
         return False
-    if not all(hasattr(model, a) for a in ("params", "net", "sde", "no_sigma")):
+    family = _fused_family(model)
+    if family is None:
         return False
-    from .kernels.fused_train import supports_batch
+    from .kernels.fused_train import _cfg_fields, supports_batch
     from .kernels.fused_mlp import supports_config
 
-    cfg = model.net
-    if not supports_config(cfg.units, cfg.activation):
+    cfg = model.score_model.net if family == "population" else model.net
+    units, _, _, _ = _cfg_fields(cfg)
+    if not supports_config(units, cfg.activation):
         return False
     return all(supports_batch(cfg, min(bs, n_train)) for bs, _ in stages)
 
@@ -187,17 +215,22 @@ def fit(
     across all steps).  Same math to float rounding (optax-exact Adam,
     identical (t, z) sampling conventions — though a different PRNG
     layout, so individual draws differ from the XLA engine's at the same
-    key); restricted to score models with the default DSM loss, Adam,
-    and a fused-kernel-compatible net (uniform 128-multiple hidden
-    widths).  Slope-timed on v5e (marginal per-step cost, relay dispatch
+    key).  Supported families (with the default loss, Adam, and a
+    fused-kernel-compatible net — uniform 128-multiple hidden widths):
+    bare score models (DSM tables), population-diffusion wrappers
+    (standardization applied up front, inner score model trained
+    in-kernel), and flow-matching CNFs (linear-interpolant tables,
+    mean-over-dims loss).  Slope-timed on v5e (marginal per-step cost,
+    relay dispatch
     overhead cancelled — BENCHMARKS.md "training") the fused epoch runs
     ~1.5-3.5x faster per step than the XLA scan (bs 256: ~2-11 us vs
     ~13-17 us across windows; bs 2048: ~21-41 us vs ~46-50 us, i.e.
     45-100M samples/s).
 
     ``engine='auto'`` (default) picks the fused kernel when it applies —
-    TPU backend, default loss, Adam, compatible net, every stage batch
-    within the kernel's VMEM guard — and the XLA scan otherwise.
+    TPU backend, default loss, Adam, fused family, compatible net, every
+    stage batch within the kernel's VMEM guard — and the XLA scan
+    otherwise.
     """
     if engine not in ("auto", "xla", "fused"):
         raise ValueError(
@@ -332,30 +365,76 @@ def _fit_fused(
     Mirrors the XLA path step for step — same per-epoch reshuffle with the
     remainder dropped, fresh Adam per stage, EMA of the post-update
     params — but each epoch is a single ``fused_train_epoch`` kernel call.
+    Supports three model families (see _fused_family): bare score models,
+    population-diffusion wrappers (standardization applied up front, the
+    inner score model trained in-kernel), and flow-matching CNFs
+    (flow tables, mean-over-dims loss).
     """
-    from .kernels.fused_train import fused_train_epoch, train_tables
+    from .kernels.fused_train import (
+        fused_train_epoch,
+        train_tables,
+        train_tables_flow,
+    )
 
     if loss_fn is not _default_loss:
         raise ValueError(
-            "engine='fused' supports the model's default DSM loss only — "
+            "engine='fused' supports the model's default loss only — "
             "pass engine='xla' for a custom loss_fn"
         )
     if optimizer != "adam":
         raise ValueError(
             f"engine='fused' implements adam in-kernel; got {optimizer!r}"
         )
-    for attr in ("params", "net", "sde", "no_sigma"):
-        if not hasattr(model, attr):
-            raise ValueError(
-                "engine='fused' needs a score model (params/net/sde/"
-                f"no_sigma); {type(model).__name__} has no .{attr}"
-            )
+    family = _fused_family(model)
+    if family is None:
+        raise ValueError(
+            "engine='fused' needs a score model, a population-diffusion "
+            "wrapper, or a flow-matching CNF; "
+            f"{type(model).__name__} matches none of those surfaces"
+        )
 
     n = x_train.shape[0]
     if n == 0:
         raise ValueError("fit: x_train is empty")
     has_cond = conditional_train is not None
-    params = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), model.params)
+
+    # Family specifics: the net/params the kernel trains, the standardized
+    # training tables (each family's loss_fn standardizes internally — the
+    # kernel consumes pre-standardized tables instead), how to rebuild a
+    # full model from new params, and the loss normalization.
+    if family == "population":
+        inner = model.score_model
+        cfg = inner.net
+        src_params = inner.params
+        x_tab = (x_train - model.shift) / model.scale
+        cond_tab = model._norm_cond(conditional_train) if has_cond else None
+        tables_fn = lambda ktab, xb: train_tables(
+            inner.sde, ktab, xb, no_sigma=inner.no_sigma
+        )
+        mean_over_dims = False
+        rewrap = lambda p: dataclasses.replace(
+            model, score_model=dataclasses.replace(inner, params=p)
+        )
+    elif family == "flow":
+        cfg = model.net
+        src_params = model.params
+        x_tab = (x_train - model.target_shift) / model.target_scale
+        cond_tab = model._norm_cond(conditional_train) if has_cond else None
+        tables_fn = lambda ktab, xb: train_tables_flow(ktab, xb)
+        mean_over_dims = True
+        rewrap = lambda p: dataclasses.replace(model, params=p)
+    else:  # bare score model: x is the caller's responsibility, cond raw
+        cfg = model.net
+        src_params = model.params
+        x_tab = x_train
+        cond_tab = conditional_train
+        tables_fn = lambda ktab, xb: train_tables(
+            model.sde, ktab, xb, no_sigma=model.no_sigma
+        )
+        mean_over_dims = False
+        rewrap = lambda p: dataclasses.replace(model, params=p)
+
+    params = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), src_params)
     ema_params = params if ema_decay else None
 
     val_loss_jit = (
@@ -379,17 +458,13 @@ def _fit_fused(
         def epoch_tables(epoch_key, bs=batch_size, spe=steps_per_epoch):
             kperm, ktab = jax.random.split(epoch_key)
             perm = jax.random.permutation(kperm, n)[: spe * bs]
-            xb = x_train[perm].reshape(spe, bs, *x_train.shape[1:])
+            xb = x_tab[perm].reshape(spe, bs, *x_tab.shape[1:])
             cb = (
-                conditional_train[perm].reshape(
-                    spe, bs, *conditional_train.shape[1:]
-                )
+                cond_tab[perm].reshape(spe, bs, *cond_tab.shape[1:])
                 if has_cond
                 else None
             )
-            xt, zw, t, beta = train_tables(
-                model.sde, ktab, xb, no_sigma=model.no_sigma
-            )
+            xt, zw, t, beta = tables_fn(ktab, xb)
             return xt, zw, t, beta, cb
 
         tables_jit = jax.jit(epoch_tables)
@@ -401,7 +476,7 @@ def _fit_fused(
             xt, zw, t, beta, cb = tables_jit(ke)
             params, opt_state, ema_params, losses = fused_train_epoch(
                 params,
-                model.net,
+                cfg,
                 opt_state,
                 xt=xt,
                 zw=zw,
@@ -411,17 +486,12 @@ def _fit_fused(
                 lr=lr,
                 ema=ema_params,
                 ema_decay=float(ema_decay or 0.0),
+                mean_over_dims=mean_over_dims,
             )
             tl.append(float(jnp.mean(losses)))
             if val_loss_jit:
                 val_params = ema_params if ema_decay else params
-                vl.append(
-                    float(
-                        val_loss_jit(
-                            dataclasses.replace(model, params=val_params), kv
-                        )
-                    )
-                )
+                vl.append(float(val_loss_jit(rewrap(val_params), kv)))
             else:
                 vl.append(np.nan)
             if log_every and (e + 1) % log_every == 0:
@@ -434,4 +504,4 @@ def _fit_fused(
             StageResult(batch_size, lr, np.asarray(tl), np.asarray(vl))
         )
     final = ema_params if ema_decay else params
-    return dataclasses.replace(model, params=final), results
+    return rewrap(final), results

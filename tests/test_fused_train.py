@@ -353,3 +353,188 @@ def test_engine_auto_selection():
         engine="auto",
     )
     assert len(res) == 1 and np.isfinite(res[0].train_losses).all()
+
+
+# ---------------------------------------------------------------------------
+# raw-time (flow-matching) kernel mode
+# ---------------------------------------------------------------------------
+
+
+def _xla_epoch_flow(params, cfg, xt, zw, t, beta, cond, lr):
+    """Reference trajectory for the flow tables: optax.adam on the
+    mean-over-batch-and-dims residual loss."""
+    from flowfusion_tpu.models.nets import apply_velocity_mlp
+
+    bs, D = xt.shape[1], xt.shape[2]
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    losses = []
+    for s in range(xt.shape[0]):
+        def loss_fn(p):
+            v = apply_velocity_mlp(
+                cfg, p, t[s], xt[s], cond[s] if cond is not None else None
+            )
+            r = zw[s] + beta[s][:, None] * v
+            return jnp.sum(r * r) / (bs * D)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, upd)
+        losses.append(float(loss))
+    return params, losses
+
+
+@pytest.mark.parametrize("n_cond", [0, 3])
+def test_fused_epoch_flow_matches_optax_trajectory(n_cond):
+    """Raw-time velocity nets (flow matching): the kernel's trajectory
+    matches optax.adam on the same tables step for step, unconditional
+    and conditional."""
+    from flowfusion_tpu.kernels.fused_train import (
+        fused_train_epoch,
+        train_tables_flow,
+    )
+    from flowfusion_tpu.models.nets import VelocityMLPConfig, init_velocity_mlp
+
+    cfg = VelocityMLPConfig(
+        target_dimension=2, conditional_dimension=n_cond, hidden_units=(128,)
+    )
+    params = init_velocity_mlp(jax.random.PRNGKey(0), cfg)
+    steps, bs = 4, 32
+    xb = jax.random.normal(jax.random.PRNGKey(1), (steps, bs, 2))
+    xt, zw, t, beta = train_tables_flow(jax.random.PRNGKey(2), xb)
+    cond = (
+        jax.random.normal(jax.random.PRNGKey(3), (steps, bs, n_cond))
+        if n_cond
+        else None
+    )
+
+    p_ref, losses_ref = _xla_epoch_flow(params, cfg, xt, zw, t, beta, cond, 1e-3)
+    p_new, _, _, losses = fused_train_epoch(
+        params, cfg, None, xt=xt, zw=zw, t=t, beta=beta, conditional=cond,
+        lr=1e-3, mean_over_dims=True, interpret=INTERPRET,
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(losses_ref), rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_new)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )
+
+
+def test_train_tables_flow_matches_loss_in_distribution():
+    """train_tables_flow + the kernel's residual algebra reproduce
+    ops.losses.flow_matching_loss in expectation (same x0, fresh draws)."""
+    from flowfusion_tpu.kernels.fused_train import (
+        fused_train_epoch,
+        train_tables_flow,
+    )
+    from flowfusion_tpu.models.nets import (
+        VelocityMLPConfig,
+        apply_velocity_mlp,
+        init_velocity_mlp,
+    )
+    from flowfusion_tpu.ops.losses import flow_matching_loss
+
+    cfg = VelocityMLPConfig(target_dimension=2, hidden_units=(128,))
+    params = init_velocity_mlp(jax.random.PRNGKey(0), cfg)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+
+    reps = 128
+    v_fn = lambda tt, xx, c: apply_velocity_mlp(cfg, params, tt, xx, c)
+    direct = np.mean(
+        [
+            float(flow_matching_loss(v_fn, jax.random.PRNGKey(100 + i), x0))
+            for i in range(reps)
+        ]
+    )
+    xt, zw, t, beta = train_tables_flow(
+        jax.random.PRNGKey(7), jnp.tile(x0[None], (reps, 1, 1))
+    )
+    # lr=0: Adam moves nothing, the kernel just evaluates the loss table
+    _, _, _, losses = fused_train_epoch(
+        params, cfg, None, xt=xt, zw=zw, t=t, beta=beta, lr=0.0,
+        mean_over_dims=True, interpret=INTERPRET,
+    )
+    tabled = float(jnp.mean(losses))
+    assert abs(direct - tabled) / direct < 0.1, (direct, tabled)
+
+
+# ---------------------------------------------------------------------------
+# family routing: population wrapper + flow CNF through fit(engine='fused')
+# ---------------------------------------------------------------------------
+
+
+def test_fused_family_detection():
+    from flowfusion_tpu.models.flow import ODEFlow
+    from flowfusion_tpu.models.population import PopulationModelDiffusion
+    from flowfusion_tpu.ops.sde import VESDE
+    from flowfusion_tpu.train import _fused_family
+
+    score = _make_score_model()
+    assert _fused_family(score) == "score"
+    pop = PopulationModelDiffusion.create(
+        jax.random.PRNGKey(0), VESDE(), n_dimensions=2, units=(128,)
+    )
+    assert _fused_family(pop) == "population"
+    flow = ODEFlow.create(
+        jax.random.PRNGKey(1), target_dimension=2, hidden_units=(128,)
+    )
+    assert _fused_family(flow) == "flow"
+    assert _fused_family(object()) is None
+
+
+def test_fit_fused_population_trains():
+    """fit(engine='fused') on the population wrapper: standardization is
+    applied up front, the inner score model trains, and the returned model
+    is a wrapper with updated inner params."""
+    from flowfusion_tpu.models.population import PopulationModelDiffusion
+    from flowfusion_tpu.ops.sde import VESDE
+    from flowfusion_tpu.train import fit
+    from flowfusion_tpu.utils.data import standardization_stats
+
+    x = 3.0 * jax.random.normal(jax.random.PRNGKey(1), (256, 2)) + 5.0
+    shift, scale = standardization_stats(x)
+    pop = PopulationModelDiffusion.create(
+        jax.random.PRNGKey(0), VESDE(), n_dimensions=2, units=(128,),
+        shift=shift, scale=scale,
+    )
+    m, res = fit(
+        pop, jax.random.PRNGKey(2), x, stages=[(64, 1e-3)],
+        epochs_per_stage=6, engine="fused",
+    )
+    tl = res[0].train_losses
+    assert np.isfinite(tl).all() and tl[-1] < tl[0]
+    # wrapper shape preserved; inner params actually changed
+    assert type(m) is type(pop)
+    before = jax.tree_util.tree_leaves(pop.score_model.params)
+    after = jax.tree_util.tree_leaves(m.score_model.params)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(before, after)
+    )
+    np.testing.assert_array_equal(np.asarray(m.shift), np.asarray(pop.shift))
+
+
+def test_fit_fused_flow_trains():
+    """fit(engine='fused') on an ODEFlow: flow tables + mean-over-dims
+    loss; val losses evaluated through the wrapper's own loss_fn."""
+    from flowfusion_tpu.models.flow import ODEFlow
+    from flowfusion_tpu.train import fit
+    from flowfusion_tpu.utils.data import standardization_stats
+
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (256, 2)) + 1.0
+    shift, scale = standardization_stats(x)
+    flow = ODEFlow.create(
+        jax.random.PRNGKey(0), target_dimension=2, hidden_units=(128,),
+        target_shift=shift, target_scale=scale,
+    )
+    m, res = fit(
+        flow, jax.random.PRNGKey(2), x, x_val=x[:64], stages=[(64, 1e-3)],
+        epochs_per_stage=6, engine="fused", ema_decay=0.9,
+    )
+    tl, vl = res[0].train_losses, res[0].val_losses
+    assert np.isfinite(tl).all() and np.isfinite(vl).all()
+    assert tl[-1] < tl[0]
