@@ -195,6 +195,12 @@ def main():
         # exact trace on TPU runs through the fused basis-tangent kernel
         # (the pure-XLA exact graph crashes this platform's AOT compiler)
         configs.insert(0, ("logprob/exact/fused", dict(use_fused_kernel=True)))
+        # exact trace in the highf32 throughput mode: identical step
+        # counts, mean |dlogp| ~3e-5 vs strict (parity-grade), ~1.7x faster
+        configs.insert(1, (
+            "logprob/exact/fused-highf32",
+            dict(use_fused_kernel=True, kernel_compute_dtype="highf32"),
+        ))
         configs.append(("logprob/hutchpp/fused", dict(trace_mode="hutchpp", hpp_rank=1, hpp_vecs=1, use_fused_kernel=True)))
         configs.append(("logprob/xtrace/fused", dict(trace_mode="xtrace", xt_vecs=2, use_fused_kernel=True)))
         # throughput mode for the sketch estimators: same 3-pass split-dot

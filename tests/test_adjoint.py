@@ -165,13 +165,8 @@ def test_adjoint_failure_poisons_output_not_silent():
     assert bool(jnp.all(jnp.isnan(ys[-1])))
 
 
-def test_model_adjoint_rejects_xtrace_and_supports_hutchpp():
-    """xtrace has no gradient (fully detached sketch) and must be
-    rejected loudly under adjoint; hutchpp's measurement terms DO carry
-    gradients — its adjoint log_prob gradient must be close to the
-    exact-trace adjoint gradient (regression: it used to be
-    divergence-blind, silently dropping the whole volume term)."""
-    import dataclasses
+def _adjoint_test_model():
+    import dataclasses  # noqa: F401  (re-exported for the grad test)
 
     from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
     from flowfusion_tpu.models.score import ScoreModel
@@ -183,8 +178,26 @@ def test_model_adjoint_rejects_xtrace_and_supports_hutchpp():
         sde=VPSDE(), trace_mode="xtrace",
     )
     x = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+    return m, x
+
+
+def test_model_adjoint_rejects_xtrace():
+    """xtrace has no gradient (fully detached sketch) and must be
+    rejected loudly under adjoint."""
+    m, x = _adjoint_test_model()
     with np.testing.assert_raises(NotImplementedError):
         m.solve_odes_forward(x, key=jax.random.PRNGKey(2), adjoint=True)
+
+
+@pytest.mark.slow
+def test_model_adjoint_supports_hutchpp():
+    """hutchpp's measurement terms DO carry gradients — its adjoint
+    log_prob gradient must be close to the exact-trace adjoint gradient
+    (regression: it used to be divergence-blind, silently dropping the
+    whole volume term)."""
+    import dataclasses
+
+    m, x = _adjoint_test_model()
 
     def grad_for(mode, hpp_rank=2, hpp_vecs=2):
         mm = dataclasses.replace(m, trace_mode=mode, hpp_rank=hpp_rank,

@@ -204,6 +204,7 @@ def test_symplectic_logprob_routes():
     assert bool(jnp.all(jnp.isfinite(lp)))
 
 
+@pytest.mark.slow
 def test_log_prob_per_sample_routes_all_families(score_model):
     """Eager per-sample calls shard the batch too; stats stay (B,)-shaped
     (per row, not per shard) and values match the jit-pinned unrouted

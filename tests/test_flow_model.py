@@ -176,6 +176,7 @@ def test_log_prob_per_sample_real_net_conditional():
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_g), atol=5e-2)
 
 
+@pytest.mark.slow
 def test_flow_sketch_probe_knobs_are_honoured():
     """hpp_rank/hpp_vecs/xt_vecs on ODEFlow reach make_probes (they were
     previously locked to 1)."""

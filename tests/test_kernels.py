@@ -756,6 +756,7 @@ def test_highf32_three_pass_mode_near_reference():
     assert rv <= 1e-5, rv
 
 
+@pytest.mark.slow
 def test_highf32_sketch_modes_near_f32():
     """The single-dispatch Hutch++/XTrace kernels in 'highf32' (3-pass
     split-dot + tanh-sigmoid throughput mode, the benchmark-suite config)

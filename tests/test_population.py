@@ -151,6 +151,7 @@ def test_create_plumbs_kernel_knobs():
     assert m.score_model.kernel_compute_dtype == "highf32"
 
 
+@pytest.mark.slow
 def test_wrapper_log_prob_per_sample_matches_batch_global():
     """The wrapper-level per-sample fast mode agrees with the batch-global
     wrapper log_prob at tight tolerances, honours volume correction, and

@@ -44,6 +44,7 @@ def test_score_model_roundtrip_symbolic_batch():
         np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_population_wrapper_conditional_fixed_batch(tmp_path):
     m = PopulationModelDiffusion.create(
         jax.random.PRNGKey(1),
@@ -76,6 +77,7 @@ def test_population_wrapper_conditional_fixed_batch(tmp_path):
           jax.random.normal(jax.random.PRNGKey(5), (4, 3)), seed=11)
 
 
+@pytest.mark.slow
 def test_flow_and_symplectic_roundtrip():
     flow = ODEFlow.create(
         jax.random.PRNGKey(4), target_dimension=2, hidden_units=(32,),
@@ -106,6 +108,7 @@ def test_flow_and_symplectic_roundtrip():
     )
 
 
+@pytest.mark.slow
 def test_seed_changes_probe_draw():
     """Different seeds give different Hutchinson estimates (the PRNG fold
     is live inside the artifact), same seed reproduces bitwise."""
@@ -119,6 +122,7 @@ def test_seed_changes_probe_draw():
     assert float(jnp.abs(a - c).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_sampler_roundtrip_all_families():
     """export_sampler: artifact output equals the live deterministic
     base->data map, with symbolic batch."""
@@ -154,6 +158,7 @@ def test_sampler_roundtrip_all_families():
     np.testing.assert_allclose(np.asarray(h(joint)), np.asarray(ref), rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sampler_conditional_population():
     m = PopulationModelDiffusion.create(
         jax.random.PRNGKey(1), VPSDE(), n_dimensions=2, n_conditionals=3,
@@ -166,6 +171,7 @@ def test_sampler_conditional_population():
     np.testing.assert_allclose(np.asarray(f(base, c)), np.asarray(ref), rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_symbolic_export_fused_kernel_contract():
     """Symbolic-batch exports cannot run a pallas_call: an EXPLICIT
     use_fused_kernel=True raises (never a silent numerics downgrade),
@@ -209,6 +215,7 @@ def test_symbolic_export_fused_kernel_contract():
         serving.export_sampler(sym, method="rk4")
 
 
+@pytest.mark.slow
 def test_population_volume_corrected_export():
     m = PopulationModelDiffusion.create(
         jax.random.PRNGKey(1), VPSDE(), n_dimensions=2, units=(32,),

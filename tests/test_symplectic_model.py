@@ -212,6 +212,7 @@ def test_log_prob_per_sample_matches_batch_global():
     assert bool(jnp.all(stats.succeeded))
 
 
+@pytest.mark.slow
 def test_log_prob_per_sample_conditional():
     model = _model(cond=3)
     x = jax.random.normal(jax.random.PRNGKey(4), (16, 2))

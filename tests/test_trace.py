@@ -157,6 +157,7 @@ def test_xtrace_probes_never_degenerate_low_dim():
     )
 
 
+@pytest.mark.slow
 def test_hutchpp_divergence_gradient_matches_exact():
     """Hutch++ measurements carry gradients (only the sketch construction
     is detached): with full-rank probes the estimate is exact, so its
