@@ -1,9 +1,11 @@
 """Command-line interface: train, sample, and evaluate densities.
 
 The reference has no CLI (workflows live in notebooks); this provides the
-production entry points:
+production entry points for all three model families
+(``--family diffusion|flow|symplectic``, recorded in the checkpoint):
 
     python -m flowfusion_tpu train   --data x.f32 --dim 2 --out ckpt.npz
+    python -m flowfusion_tpu train   --data x.f32 --family flow --dim 2 --out f.npz
     python -m flowfusion_tpu sample  --ckpt ckpt.npz --n 50000 --out s.npy
     python -m flowfusion_tpu logprob --ckpt ckpt.npz --data x.f32 --out lp.npy
     python -m flowfusion_tpu export  --ckpt ckpt.npz --out lp.stablehlo
@@ -48,6 +50,32 @@ def _load_array(path: str, dim: int | None = None) -> np.ndarray:
 
 
 def _build_model(key, args):
+    family = getattr(args, "family", "diffusion")
+    if family == "flow":
+        from .models.flow import ODEFlow
+
+        return ODEFlow.create(
+            key,
+            target_dimension=args.dim,
+            conditional_dimension=args.cond_dim,
+            hidden_units=tuple(args.units),
+            trace_mode=args.trace,
+        )
+    if family == "symplectic":
+        from .models.symplectic import SymplecticFlowModel
+
+        if args.trace != "exact":
+            raise SystemExit(
+                "--trace does not apply to --family symplectic: its "
+                "divergence-free dynamics make the likelihood trace-free"
+            )
+        return SymplecticFlowModel.create(
+            key,
+            n_data_dims=args.dim,
+            n_conditionals=args.cond_dim,
+            units=tuple(args.units),
+        )
+
     from .models.population import PopulationModelDiffusion
     from .ops import sde as sde_lib
 
@@ -78,6 +106,12 @@ def cmd_train(args):
     from .utils import checkpoint as ckpt_lib
     from .utils.data import standardization_stats
 
+    if args.family != "diffusion":
+        if args.no_sigma:
+            raise SystemExit("--no-sigma applies to --family diffusion only")
+        if args.sde != "vesde":
+            raise SystemExit("--sde applies to --family diffusion only")
+
     data = _load_array(args.data, args.dim + args.cond_dim)
     x = jnp.asarray(data[:, : args.dim])
     cond = jnp.asarray(data[:, args.dim :]) if args.cond_dim else None
@@ -89,7 +123,12 @@ def cmd_train(args):
     import dataclasses
 
     shift, scale = standardization_stats(x)
-    model = dataclasses.replace(model, shift=shift, scale=scale)
+    if args.family == "flow":
+        model = dataclasses.replace(
+            model, target_shift=shift, target_scale=scale
+        )
+    else:
+        model = dataclasses.replace(model, shift=shift, scale=scale)
     if cond is not None:
         c_shift, c_scale = standardization_stats(cond)
         model = dataclasses.replace(
@@ -119,6 +158,7 @@ def cmd_train(args):
         log_every=max(1, args.epochs // 5),
     )
     meta = {
+        "family": args.family,
         "dim": args.dim,
         "cond_dim": args.cond_dim,
         "units": list(args.units),
@@ -149,6 +189,7 @@ def _restore(args):
             "checkpoint?)"
         )
     ns = argparse.Namespace(
+        family=meta.get("family", "diffusion"),  # pre-family checkpoints
         dim=meta["dim"],
         cond_dim=meta["cond_dim"],
         units=meta["units"],
@@ -166,13 +207,34 @@ def cmd_sample(args):
     import jax.numpy as jnp
 
     model, meta = _restore(args)
+    family = meta.get("family", "diffusion")
     if args.n is not None and args.n < 1:
         raise SystemExit(f"--n must be >= 1; got {args.n}")
-    if args.method == "ode" and args.steps != 100:
+    if family == "flow" and args.method != "ode":
         raise SystemExit(
-            "--steps only applies to --method sde (the ODE sampler is "
-            "adaptive); drop it or use --method sde"
+            "flow checkpoints sample by the probability-flow ODE only; "
+            "pass --method ode"
         )
+    if family == "symplectic" and args.method != "euler":
+        raise SystemExit(
+            "symplectic checkpoints use the fixed-step euler sampler "
+            "(reference default: ONE step); pass --method euler"
+        )
+    if family == "diffusion" and args.method == "euler":
+        raise SystemExit(
+            "--method euler is the symplectic family's sampler; diffusion "
+            "checkpoints use --method sde or ode"
+        )
+    if args.method == "ode" and args.steps is not None:
+        raise SystemExit(
+            "--steps only applies to --method sde/euler (the ODE sampler "
+            "is adaptive); drop it"
+        )
+    steps = (
+        args.steps
+        if args.steps is not None
+        else (100 if args.method == "sde" else 1)
+    )
     key = jax.random.PRNGKey(args.seed)
     cond = None
     if meta["cond_dim"]:
@@ -212,9 +274,16 @@ def cmd_sample(args):
                 "wrong checkpoint?"
             )
         n = 50_000 if args.n is None else args.n
-    if args.method == "sde":
+    if family == "flow":
+        base = jax.random.normal(key, (n, meta["dim"]))
+        out, _ = model.sample(base, conditional=cond)
+    elif family == "symplectic":
+        out = model.sample(
+            key, (n, meta["dim"]), conditional=cond, num_steps=steps
+        )
+    elif args.method == "sde":
         out = model.sample_sde(
-            key, (n, meta["dim"]), conditional=cond, steps=args.steps
+            key, (n, meta["dim"]), conditional=cond, steps=steps
         )
     else:
         base = jax.random.normal(key, (n, meta["dim"]))
@@ -229,17 +298,41 @@ def cmd_logprob(args):
     import jax.numpy as jnp
 
     model, meta = _restore(args)
+    family = meta.get("family", "diffusion")
     x = jnp.asarray(_load_array(args.data, meta["dim"] + meta["cond_dim"]))
     cond = x[:, meta["dim"] :] if meta["cond_dim"] else None
     x = x[:, : meta["dim"]]
-    lp, stats = model.log_prob(
-        x,
-        conditional=cond,
-        key=jax.random.PRNGKey(args.seed),
-        atol=args.tol,
-        rtol=args.tol,
-        volume_corrected=args.volume_corrected,
-    )
+    if family != "diffusion" and args.volume_corrected:
+        raise SystemExit(
+            f"--volume-corrected only applies to diffusion checkpoints: "
+            f"the {family} family's log_prob already includes the "
+            "-sum(log scale) correction (densities are in data units)"
+        )
+    if family == "symplectic":
+        lp, stats = model.log_prob(
+            jax.random.PRNGKey(args.seed),  # draws the auxiliary momentum
+            x,
+            conditional=cond,
+            atol=args.tol,
+            rtol=args.tol,
+        )
+    elif family == "flow":
+        lp, stats = model.log_prob(
+            x,
+            conditional=cond,
+            key=jax.random.PRNGKey(args.seed),
+            atol=args.tol,
+            rtol=args.tol,
+        )
+    else:
+        lp, stats = model.log_prob(
+            x,
+            conditional=cond,
+            key=jax.random.PRNGKey(args.seed),
+            atol=args.tol,
+            rtol=args.tol,
+            volume_corrected=args.volume_corrected,
+        )
     np.save(args.out, np.asarray(lp))
     ok = bool(jnp.all(stats.succeeded))
     print(
@@ -263,13 +356,21 @@ def cmd_export(args):
     from .utils import serving
 
     model, meta = _restore(args)
+    family = meta.get("family", "diffusion")
+    if family != "diffusion" and args.volume_corrected:
+        raise SystemExit(
+            f"--volume-corrected only applies to diffusion checkpoints: the "
+            f"{family} family's log_prob already includes the "
+            "-sum(log scale) correction"
+        )
     if args.what == "logprob":
+        kw = (
+            dict(volume_corrected=args.volume_corrected)
+            if family == "diffusion"
+            else {}
+        )
         blob = serving.export_log_prob(
-            model,
-            batch=args.batch,
-            atol=args.tol,
-            rtol=args.tol,
-            volume_corrected=args.volume_corrected,
+            model, batch=args.batch, atol=args.tol, rtol=args.tol, **kw
         )
     else:
         if args.volume_corrected:
@@ -279,8 +380,9 @@ def cmd_export(args):
             )
         if args.tol != 1e-5:
             raise SystemExit(
-                "--tol has no effect on --what sampler: the population "
-                "wrapper pins atol=rtol=1e-5 (reference parity)"
+                "--tol has no effect on --what sampler: each family pins "
+                "its reference-parity sampling tolerances (diffusion "
+                "1e-5, flow torchdiffeq defaults, symplectic fixed-step)"
             )
         blob = serving.export_sampler(model, batch=args.batch)
     serving.save_artifact(args.out, blob)
@@ -296,12 +398,23 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="flowfusion_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    pt = sub.add_parser("train", help="train a (conditional) diffusion model")
+    pt = sub.add_parser(
+        "train", help="train a (conditional) diffusion/flow/symplectic model"
+    )
     pt.add_argument("--data", required=True, help=".f32 or .npy, columns [x | cond]")
+    pt.add_argument(
+        "--family", choices=["diffusion", "flow", "symplectic"],
+        default="diffusion",
+        help="model family: score-based diffusion (default), flow-matching "
+        "CNF, or symplectic (Hamiltonian) flow",
+    )
     pt.add_argument("--dim", type=int, required=True)
     pt.add_argument("--cond-dim", type=int, default=0)
     pt.add_argument("--units", type=int, nargs="+", default=[128, 128, 128])
-    pt.add_argument("--sde", choices=["vesde", "vpsde", "subvpsde"], default="vesde")
+    pt.add_argument(
+        "--sde", choices=["vesde", "vpsde", "subvpsde"], default="vesde",
+        help="diffusion family only",
+    )
     pt.add_argument("--no-sigma", action="store_true")
     pt.add_argument("--trace", choices=["exact", "hutchinson", "hutchpp", "xtrace"], default="exact")
     pt.add_argument("--stages", default="32:1e-3,64:1e-4,128:1e-5,256:1e-6")
@@ -318,13 +431,20 @@ def main(argv=None):
         "checkpoints defaults to the number of --cond-data rows, and an "
         "explicit --n must not exceed that row count)",
     )
-    ps.add_argument("--method", choices=["sde", "ode"], default="sde")
+    ps.add_argument(
+        "--method", choices=["sde", "ode", "euler"], default="sde",
+        help="diffusion: sde (default) or ode; flow: ode; symplectic: euler",
+    )
     ps.add_argument(
         "--cond-data", default=None,
         help=".f32/.npy of conditioning rows (required for conditional "
         "checkpoints; one sample is drawn per row)",
     )
-    ps.add_argument("--steps", type=int, default=100)
+    ps.add_argument(
+        "--steps", type=int, default=None,
+        help="fixed step count for --method sde (default 100) or euler "
+        "(default 1, the reference's fast sampler)",
+    )
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--out", required=True)
     ps.set_defaults(fn=cmd_sample)

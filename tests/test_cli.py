@@ -114,3 +114,75 @@ def test_cli_export_roundtrip(tmp_path):
     g = serving.deserialize_sampler(serving.load_artifact(art_s))
     s = g(np.random.default_rng(0).standard_normal((32, 2)).astype(np.float32))
     assert s.shape == (32, 2) and np.all(np.isfinite(np.asarray(s)))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("family,method", [("flow", "ode"), ("symplectic", "euler")])
+def test_cli_family_roundtrip(tmp_path, family, method):
+    """train -> sample -> logprob for the flow and symplectic families."""
+    x = np.asarray(DEMO_GMM.sample(jax.random.PRNGKey(0), 1000), np.float32)
+    data = str(tmp_path / "x.f32")
+    write_f32(data, x)
+    ckpt = str(tmp_path / f"{family}.npz")
+
+    main([
+        "train", "--data", data, "--family", family, "--dim", "2",
+        "--units", "32", "--stages", "64:1e-3", "--epochs", "2",
+        "--out", ckpt,
+    ])
+    from flowfusion_tpu.utils.checkpoint import read_npz_extra
+
+    meta = read_npz_extra(ckpt)
+    assert meta["family"] == family
+
+    samples_out = str(tmp_path / "s.npy")
+    main([
+        "sample", "--ckpt", ckpt, "--n", "128", "--method", method,
+        "--out", samples_out,
+    ])
+    s = np.load(samples_out)
+    assert s.shape == (128, 2) and np.all(np.isfinite(s))
+
+    lp_out = str(tmp_path / "lp.npy")
+    main([
+        "logprob", "--ckpt", ckpt, "--data", data, "--tol", "1e-3",
+        "--out", lp_out,
+    ])
+    lp = np.load(lp_out)
+    assert lp.shape == (1000,) and np.all(np.isfinite(lp))
+
+
+def test_cli_family_flag_validation(tmp_path):
+    """Wrong family/flag combinations die loudly, not silently."""
+    x = np.asarray(DEMO_GMM.sample(jax.random.PRNGKey(0), 256), np.float32)
+    data = str(tmp_path / "x.f32")
+    write_f32(data, x)
+
+    with pytest.raises(SystemExit, match="family diffusion only"):
+        main([
+            "train", "--data", data, "--family", "flow", "--dim", "2",
+            "--sde", "vpsde", "--units", "32", "--stages", "64:1e-3",
+            "--epochs", "1", "--out", str(tmp_path / "x.npz"),
+        ])
+    with pytest.raises(SystemExit, match="trace-free"):
+        main([
+            "train", "--data", data, "--family", "symplectic", "--dim", "2",
+            "--trace", "hutchinson", "--units", "32",
+            "--stages", "64:1e-3", "--epochs", "1",
+            "--out", str(tmp_path / "x.npz"),
+        ])
+
+    # a trained flow checkpoint rejects sde sampling and volume correction
+    ckpt = str(tmp_path / "flow.npz")
+    main([
+        "train", "--data", data, "--family", "flow", "--dim", "2",
+        "--units", "32", "--stages", "64:1e-3", "--epochs", "1",
+        "--out", ckpt,
+    ])
+    with pytest.raises(SystemExit, match="probability-flow ODE only"):
+        main(["sample", "--ckpt", ckpt, "--n", "8", "--out", str(tmp_path / "s.npy")])
+    with pytest.raises(SystemExit, match="volume-corrected"):
+        main([
+            "logprob", "--ckpt", ckpt, "--data", data, "--volume-corrected",
+            "--out", str(tmp_path / "lp.npy"),
+        ])
