@@ -306,6 +306,62 @@ def main():
             name, repeat_slope(per_solve, stack_of(x_raw, 17 + 100 * seed))
         )
 
+    # --- conditional density estimation (BASELINE configs[4]) ---------
+    # Alsing+2024-style conditional population workload: D=9 population
+    # parameters conditioned on C=7 observables (D+C=16, the fused
+    # rank-1-projection boundary).  Synthetic conditional field with a
+    # nontrivial cond->x map: x | c = tanh(c W) + 0.3 eps.  Hutchinson
+    # trace — its cost is D-independent (see "Scaling in the data
+    # dimension" in BENCHMARKS.md), so it is the at-scale estimator.
+    from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
+    from flowfusion_tpu.models.score import ScoreModel
+    from flowfusion_tpu.ops.sde import VESDE
+
+    D_c, C_c = 9, 7
+    k_mix, k_c, k_eps, k_net_c = jax.random.split(jax.random.PRNGKey(21), 4)
+    w_mix = jax.random.normal(k_mix, (C_c, D_c)) / np.sqrt(C_c)
+    cond_raw = jax.random.normal(k_c, (n, C_c))
+    x_cond = jnp.tanh(cond_raw @ w_mix) + 0.3 * jax.random.normal(k_eps, (n, D_c))
+    xc = jnp.concatenate([x_cond, cond_raw], axis=1)
+    cfg_c = ScoreMLPConfig(
+        n_dimensions=D_c, n_conditionals=C_c, units=(128, 128, 128)
+    )
+    cond_model = ScoreModel(
+        params=init_score_mlp(k_net_c, cfg_c), net=cfg_c, sde=VESDE()
+    )
+    cond_model = quick_train(
+        jax.random.PRNGKey(22), cond_model,
+        lambda m, k, xb: m.loss_fn(k, xb[:, :D_c], conditional=xb[:, D_c:]),
+        xc, args.train_steps,
+    )
+    cond_configs = [
+        (
+            "logprob/conditional-D9C7/fused-highf32",
+            dict(trace_mode="hutchinson", use_fused_kernel=True,
+                 kernel_compute_dtype="highf32"),
+        ),
+        (
+            "logprob/conditional-D9C7/fused-f32",
+            dict(trace_mode="hutchinson", use_fused_kernel=True),
+        ),
+    ]
+    if not on_tpu:
+        cond_configs = [
+            (
+                "logprob/conditional-D9C7/plain-f32",
+                dict(trace_mode="hutchinson", use_fused_kernel=False),
+            )
+        ]
+    for seed, (name, kw) in enumerate(cond_configs):
+        m = dataclasses.replace(cond_model, **kw)
+        per_solve = lambda xx, kk, m=m: m.log_prob(
+            xx[:, :D_c], conditional=xx[:, D_c:], key=kk,
+            atol=1e-5, rtol=1e-5, options=None,
+        )[0]
+        record_slope(
+            name, repeat_slope(per_solve, stack_of(xc, 21 + 100 * seed))
+        )
+
     # --- EM sampling --------------------------------------------------
     # sample_sde takes no data argument, so vary the MODEL per iteration
     # (sub-tolerance param perturbation) as well as the key — key-only
