@@ -28,6 +28,18 @@ import jax  # noqa: E402
 # 8-device CPU mesh, not through the TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
 
+# The sitecustomize also imports jax at interpreter startup, which snapshots
+# env-derived config defaults BEFORE the env mutations above run — so the
+# JAX_COMPILATION_CACHE_DIR env var alone never engages the cache here.
+# Set the config values directly; config.update works at runtime.
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+# Small entries too: the suite compiles hundreds of modest programs and the
+# win is aggregate, not per-entry.
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
