@@ -1,0 +1,113 @@
+"""Real multi-process distributed integration test (SURVEY.md §5.8).
+
+Round-1 coverage of ``parallel/distributed.py`` stopped at the
+single-process no-op; this launches an ACTUAL 2-process JAX cluster over
+localhost (2 processes x 4 virtual CPU devices = 8 global devices, gloo
+collectives across processes) and checks the documented pod-slice recipe
+end-to-end against a single-process oracle on the same 8-device total:
+
+  * ``initialize_distributed`` with explicit coordinator/rank arguments;
+  * ``make_mesh``'s process-contiguous device order +
+    ``local_rows``/``global_batch_from_local`` row bookkeeping;
+  * a batch-global adaptive likelihood solve (the error-norm psum spans
+    both processes every step);
+  * DSM gradients dividing by the global batch.
+
+Agreement bar: collectives may reduce in a different order across the
+process boundary than within one process, so exact-bitwise is not
+required; 1e-5 is far below any such reassociation noise at f32.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.slow
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "cpu", reason="CPU-cluster simulation only"
+)
+def test_two_process_cluster_matches_single_process(tmp_path):
+    port = _free_port()
+    env = {
+        **os.environ,
+        "PYTHONPATH": _REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(i), "2", str(port), str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed workers timed out:\n" + "\n".join(outs))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed (rc={p.returncode}):\n{out}"
+        assert f"worker {i}: OK" in out, out
+
+    data = np.load(tmp_path / "worker0.npz")
+
+    # single-process oracle on this pytest process's own 8 CPU devices —
+    # same global device count, same mesh axis, one process
+    import dataclasses
+
+    from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
+    from flowfusion_tpu.models.score import ScoreModel
+    from flowfusion_tpu.ops.sde import VESDE
+    from flowfusion_tpu.parallel import data_parallel, make_mesh, shard_batch
+    from flowfusion_tpu.utils.data import DEMO_GMM
+
+    cfg = ScoreMLPConfig(n_dimensions=2, units=(32, 32))
+    model = ScoreModel(
+        params=init_score_mlp(jax.random.PRNGKey(0), cfg), net=cfg, sde=VESDE()
+    )
+    x = np.asarray(DEMO_GMM.sample(jax.random.PRNGKey(1), 64))
+    mesh = make_mesh()
+    xg = shard_batch(jax.numpy.asarray(x), mesh)
+
+    lp = data_parallel(
+        lambda b: model.log_prob(b, key=jax.random.PRNGKey(7))[0], mesh
+    )(xg)
+    np.testing.assert_allclose(
+        np.asarray(lp), data["lp"], rtol=1e-5, atol=1e-5
+    )
+
+    def grads_fn(b):
+        def loss(p):
+            m = dataclasses.replace(model, params=p)
+            return m.loss_fn(jax.random.PRNGKey(3), b)
+
+        return jax.grad(loss)(model.params)
+
+    grads = jax.tree_util.tree_leaves(data_parallel(grads_fn, mesh)(xg))
+    for i, g in enumerate(grads):
+        np.testing.assert_allclose(
+            np.asarray(g), data[f"g{i}"], rtol=1e-5, atol=1e-6
+        )
