@@ -6,12 +6,17 @@ import time (pytest imports conftest before test modules import jax).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# RUN_TPU=1 is the on-device tier: keep the real TPU backend and run only
+# the ``tpu``-marked numerics tests (see pytest_collection_modifyitems).
+_TPU_TIER = os.environ.get("RUN_TPU") == "1"
+
+if not _TPU_TIER:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Persistent compilation cache: the adaptive-solver while_loops dominate
 # test wall-clock on first compile; cache them across runs.
@@ -25,8 +30,9 @@ import jax  # noqa: E402
 
 # The sandbox's sitecustomize force-registers the axon TPU platform and
 # overwrites jax_platforms; override it back — tests must run on the local
-# 8-device CPU mesh, not through the TPU tunnel.
-jax.config.update("jax_platforms", "cpu")
+# 8-device CPU mesh, not through the TPU tunnel (unless RUN_TPU=1).
+if not _TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
 
 # The sitecustomize also imports jax at interpreter startup, which snapshots
 # env-derived config defaults BEFORE the env mutations above run — so the
@@ -64,12 +70,26 @@ def pytest_addoption(parser):
 
 
 def pytest_collection_modifyitems(config, items):
-    """Two CI tiers: the default run skips ``slow``-marked tests (tight
-    edit loop, ~3 min on this 1-core sandbox); ``--runslow`` or RUN_SLOW=1
-    runs everything (nightly / pre-merge)."""
-    if config.getoption("--runslow") or os.environ.get("RUN_SLOW") == "1":
+    """Three CI tiers.  Default skips ``slow``-marked tests (tight edit
+    loop, ~3 min on this 1-core sandbox); ``--runslow`` / RUN_SLOW=1 runs
+    everything CPU (nightly / pre-merge); RUN_TPU=1 keeps the real TPU
+    backend and runs ONLY the ``tpu``-marked on-device numerics tests
+    (everything else assumes the 8-device CPU mesh)."""
+    if _TPU_TIER:
+        skip = pytest.mark.skip(
+            reason="RUN_TPU tier runs only tpu-marked on-device tests"
+        )
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip)
         return
+    skip_tpu = pytest.mark.skip(
+        reason="on-device tier: run with RUN_TPU=1 on a real TPU"
+    )
+    run_slow = config.getoption("--runslow") or os.environ.get("RUN_SLOW") == "1"
     skip = pytest.mark.skip(reason="slow tier: pass --runslow (or RUN_SLOW=1)")
     for item in items:
-        if "slow" in item.keywords:
+        if "tpu" in item.keywords:
+            item.add_marker(skip_tpu)
+        elif not run_slow and "slow" in item.keywords:
             item.add_marker(skip)
