@@ -36,15 +36,22 @@ def test_gmm_density_recovery():
         k_net, VESDE(), n_dimensions=2, units=(128, 128, 128),
         shift=shift, scale=scale,
     )
+    # 40 epochs/stage without EMA trained to ~5-7% density error, which
+    # is MACHINE-marginal: CPU float trajectories differ across hosts and
+    # the same seeds landed either side of the bar on different sandbox
+    # machines.  100 epochs + EMA reaches ~1.5% — a real margin.
     model, _ = fit(
         model, k_fit, x,
         stages=((128, 1e-3), (256, 3e-4), (256, 1e-4)),
-        epochs_per_stage=40,
+        epochs_per_stage=100,
+        ema_decay=0.999,
     )
 
     x_eval = DEMO_GMM.sample(jax.random.PRNGKey(5), 20_000)
     lp, stats = model.log_prob(x_eval, atol=1e-4, rtol=1e-4, volume_corrected=True)
-    assert bool(stats.succeeded)
+    # eager multi-device calls autoshard: stats then carry one entry per
+    # shard (models/score.py log_prob docstring) — all shards must succeed
+    assert bool(np.asarray(stats.succeeded).all())
     truth = DEMO_GMM.log_prob(x_eval)
     rel = abs(float(jnp.sum(lp)) - float(jnp.sum(truth))) / abs(float(jnp.sum(truth)))
     assert rel < 0.05, f"relative density error {rel:.2%}"
