@@ -230,6 +230,10 @@ def cmd_sample(args):
             "--steps only applies to --method sde/euler (the ODE sampler "
             "is adaptive); drop it"
         )
+    if args.steps is not None and args.steps < 1:
+        # steps=0 would run a zero-iteration sampler loop and save raw
+        # prior noise labeled as model samples
+        raise SystemExit(f"--steps must be >= 1; got {args.steps}")
     steps = (
         args.steps
         if args.steps is not None
@@ -316,22 +320,21 @@ def cmd_logprob(args):
             atol=args.tol,
             rtol=args.tol,
         )
-    elif family == "flow":
-        lp, stats = model.log_prob(
-            x,
-            conditional=cond,
-            key=jax.random.PRNGKey(args.seed),
-            atol=args.tol,
-            rtol=args.tol,
-        )
     else:
+        # only the diffusion wrapper takes the volume-corrected knob (the
+        # other families always report data-unit densities)
+        kw = (
+            {"volume_corrected": args.volume_corrected}
+            if family == "diffusion"
+            else {}
+        )
         lp, stats = model.log_prob(
             x,
             conditional=cond,
             key=jax.random.PRNGKey(args.seed),
             atol=args.tol,
             rtol=args.tol,
-            volume_corrected=args.volume_corrected,
+            **kw,
         )
     np.save(args.out, np.asarray(lp))
     ok = bool(jnp.all(stats.succeeded))

@@ -101,6 +101,35 @@ def _compute_mode(compute_dtype: str):
     )
 
 
+def _bf16_split(v):
+    """bf16 leading half + bf16 residual of an f32 operand."""
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def bf16_3pass_dot_general(a, b, dims):
+    """Manual 3-pass bf16 split-dot with f32 accumulation (the 'highf32'
+    mode): a = a_hi + a_lo, b = b_hi + b_lo (bf16 halves); the three
+    significant cross products run on the MXU and the ~2^-18-relative
+    lo*lo term is dropped.  Identical operands recur across unrolled
+    layer chains; MLIR CSE dedups their splits.  The single source of
+    this algorithm — the RHS kernels ([_kernel]) and the training-epoch
+    kernel (fused_train._make_dots) must not diverge in 'highf32'
+    semantics.
+    """
+    dn = (dims, ((), ()))
+    a_hi, a_lo = _bf16_split(a)
+    b_hi, b_lo = _bf16_split(b)
+    d = jax.lax.dot_general(a_hi, b_hi, dn, preferred_element_type=jnp.float32)
+    d = d + jax.lax.dot_general(
+        a_hi, b_lo, dn, preferred_element_type=jnp.float32
+    )
+    return d + jax.lax.dot_general(
+        a_lo, b_hi, dn, preferred_element_type=jnp.float32
+    )
+
+
 def _check_conditional(n_cond: int, conditional) -> None:
     """Refuse a config/argument conditional mismatch loudly.
 
@@ -357,21 +386,8 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
         else jax.lax.Precision.DEFAULT
     )
 
-    # Manual split-dot: w = w_hi + w_lo, a = a_hi + a_lo (bf16 halves),
-    # keep the three significant cross terms on the MXU with f32
-    # accumulation.  Identical weight slices recur across the unrolled
-    # layer chain; MLIR CSE dedups their splits.
-    def _split(v):
-        hi = v.astype(jnp.bfloat16)
-        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return hi, lo
-
     def mm_3pass(w_, a_):
-        w_hi, w_lo = _split(w_)
-        a_hi, a_lo = _split(a_)
-        d = jnp.dot(w_hi, a_hi, preferred_element_type=jnp.float32)
-        d = d + jnp.dot(w_hi, a_lo, preferred_element_type=jnp.float32)
-        return d + jnp.dot(w_lo, a_hi, preferred_element_type=jnp.float32)
+        return bf16_3pass_dot_general(w_, a_, ((1,), (0,)))
 
     if prec == "bf16_3pass":
         mm = mm_3pass

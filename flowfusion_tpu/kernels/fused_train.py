@@ -62,7 +62,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import _act_pair_fn, supports_config
+from .fused_mlp import _act_pair_fn, bf16_3pass_dot_general, supports_config
 
 __all__ = [
     "fused_train_epoch",
@@ -72,6 +72,14 @@ __all__ = [
 ]
 
 _LANES = 128
+
+# Live-activation budget for one grid step (see _live_bytes): Mosaic's
+# actual stack allocation runs ~2.6x the estimate, and the kernel's
+# vmem_limit is 96 MiB, so 24 MiB estimated keeps ~2.5x headroom.  The
+# ONLY admission gate — supports_batch (engine='auto' routing) and
+# fused_train_epoch's dispatch-time check both read it, so retuning it
+# cannot make auto admit a batch the kernel then rejects.
+_VMEM_BUDGET_BYTES = 24 * 2**20
 
 
 def _cfg_fields(cfg):
@@ -119,7 +127,7 @@ def _live_bytes(cfg, bs: int) -> int:
 def supports_batch(cfg, bs: int) -> bool:
     """True when a batch of ``bs`` rows fits the kernel's VMEM budget —
     train.fit(engine='auto') routes larger batches to the XLA scan."""
-    return _live_bytes(cfg, bs) <= 24 * 2**20
+    return _live_bytes(cfg, bs) <= _VMEM_BUDGET_BYTES
 
 
 def _make_dots(compute_dtype: str):
@@ -131,26 +139,9 @@ def _make_dots(compute_dtype: str):
     """
     s = str(compute_dtype)
 
-    def _dg(a, b, dims):
-        return jax.lax.dot_general(
-            a, b, (dims, ((), ())), preferred_element_type=jnp.float32
-        )
-
     if s == "highf32":
-
-        def _split(v):
-            hi = v.astype(jnp.bfloat16)
-            lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            return hi, lo
-
-        def _three(a, b, dims):
-            a_hi, a_lo = _split(a)
-            b_hi, b_lo = _split(b)
-            d = _dg(a_hi, b_hi, dims)
-            d = d + _dg(a_hi, b_lo, dims)
-            return d + _dg(a_lo, b_hi, dims)
-
-        mk = lambda dims: (lambda a, b: _three(a, b, dims))
+        # single source of the 3-pass split-dot: fused_mlp
+        mk = lambda dims: (lambda a, b: bf16_3pass_dot_general(a, b, dims))
     else:
         cd = jnp.dtype(s)
         prec = (
@@ -541,18 +532,16 @@ def fused_train_epoch(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     steps, bs, D = xt.shape
-    # Live VMEM at one grid step (see _live_bytes): the design depends on
-    # full state residency, so there is no spill path — batches beyond the
-    # guard belong to the XLA scan engine (train.fit(engine='xla')).
-    # Mosaic's stack allocation runs ~2.6x this estimate (measured: 19.2 MiB
-    # at an estimated 7.5 MiB, bs_pad=2048, 3x128 hidden); with the kernel's
-    # 96 MiB vmem cap, 24 MiB estimated keeps ~2.5x headroom.
-    live_bytes = _live_bytes(cfg, bs)
-    if live_bytes > 24 * 2**20:
+    # Live VMEM at one grid step: the design depends on full state
+    # residency, so there is no spill path — batches beyond the guard
+    # belong to the XLA scan engine (train.fit(engine='xla')).  Same
+    # predicate as engine='auto' routing (_VMEM_BUDGET_BYTES).
+    if not supports_batch(cfg, bs):
         raise ValueError(
-            f"fused training kernel: batch {bs} needs ~{live_bytes >> 20} MiB "
-            "of live activations (> 24 MiB budget) — use the XLA engine for "
-            "large batches (train.fit(engine='xla'))"
+            f"fused training kernel: batch {bs} needs "
+            f"~{_live_bytes(cfg, bs) >> 20} MiB of live activations "
+            f"(> {_VMEM_BUDGET_BYTES >> 20} MiB budget) — use the XLA "
+            "engine for large batches (train.fit(engine='xla'))"
         )
     if D != D_cfg:
         raise ValueError(f"xt feature dim {D} != config data dim {D_cfg}")

@@ -132,6 +132,62 @@ class StageResult:
     val_losses: np.ndarray  # (epochs,) — nan if no val set
 
 
+def _run_stages(
+    key,
+    stages,
+    epochs_per_stage,
+    n,
+    log_every,
+    val_loss_jit,
+    begin_stage,
+    run_epoch,
+    val_model,
+    tag: str = "",
+):
+    """Shared staged-training scaffolding for both engines — ``fit()``'s
+    XLA scan and ``_fit_fused()`` differ only in their epoch body, so the
+    batch-size clamp, per-epoch key splits, val-on-EMA evaluation,
+    logging, and StageResult assembly live here once.
+
+    ``begin_stage(batch_size, lr)`` resets per-stage engine state (fresh
+    optimizer — notebook parity) and ``run_epoch(epoch_key)`` runs one
+    epoch returning its mean train loss; both mutate state they close
+    over.  ``val_model()`` returns the model validation loss is evaluated
+    on (the EMA shadow when enabled).
+    """
+    results = []
+    for batch_size, lr in stages:
+        if batch_size > n:
+            # Mirror the notebooks' DataLoader semantics (a too-large batch
+            # yields one partial batch of the whole set) instead of
+            # crashing with steps_per_epoch == 0.
+            print(
+                f"fit: clamping stage batch_size {batch_size} to dataset "
+                f"size {n}"
+            )
+            batch_size = n
+        begin_stage(batch_size, lr)
+        tl, vl = [], []
+        for e in range(epochs_per_stage):
+            key, ke, kv = jax.random.split(key, 3)
+            tl.append(float(run_epoch(ke)))
+            if val_loss_jit:
+                vl.append(float(val_loss_jit(val_model(), kv)))
+            else:
+                vl.append(np.nan)
+            if log_every and (e + 1) % log_every == 0:
+                val_part = f" val={vl[-1]:.4f}" if val_loss_jit else ""
+                print(
+                    f"[bs={batch_size} lr={lr:.0e}] epoch "
+                    f"{e+1}/{epochs_per_stage} train={tl[-1]:.4f}"
+                    f"{val_part}{tag}"
+                )
+        results.append(
+            StageResult(batch_size, lr, np.asarray(tl), np.asarray(vl))
+        )
+    return results
+
+
 def _fused_family(model) -> Optional[str]:
     """Which fused-engine family a model belongs to, or None.
 
@@ -249,7 +305,6 @@ def fit(
     n = x_train.shape[0]
     if n == 0:
         raise ValueError("fit: x_train is empty")
-    results = []
     # The epoch step donates its carry for buffer reuse; copy the caller's
     # model (and the EMA tree) so donation never deletes the caller's arrays.
     copy_tree = lambda t: jax.tree_util.tree_map(
@@ -264,19 +319,16 @@ def fit(
         else None
     )
 
-    for batch_size, lr in stages:
-        if batch_size > n:
-            # Mirror the notebooks' DataLoader semantics (a too-large batch
-            # yields one partial batch of the whole set) instead of
-            # crashing with steps_per_epoch == 0.
-            print(
-                f"fit: clamping stage batch_size {batch_size} to dataset "
-                f"size {n}"
-            )
-            batch_size = n
-        tx = make_optimizer(lr, model, optimizer=optimizer)
+    has_cond = conditional_train is not None
+    # engine state the stage callbacks mutate (model/EMA persist across
+    # stages; the optimizer and jitted epoch are fresh per stage)
+    st = {"model": model, "ema": ema, "state": None, "epoch_jit": None}
+
+    def begin_stage(batch_size, lr):
+        if st["state"] is not None:
+            st["model"] = st["state"].model  # carry the trained model forward
+        tx = make_optimizer(lr, st["model"], optimizer=optimizer)
         steps_per_epoch = n // batch_size
-        has_cond = conditional_train is not None
 
         def epoch_fn(state, ema_model, epoch_key, x_all, cond_all):
             kperm, kscan = jax.random.split(epoch_key)
@@ -319,31 +371,27 @@ def fit(
             (state, ema_model), losses = jax.lax.scan(body, (state, ema_model), xs)
             return state, ema_model, jnp.mean(losses)
 
-        epoch_jit = jax.jit(epoch_fn, donate_argnums=(0, 1))
-
+        st["epoch_jit"] = jax.jit(epoch_fn, donate_argnums=(0, 1))
         # Fresh optimizer per stage (notebook parity), carried across epochs.
-        state = TrainState(model, tx.init(model), jnp.asarray(0, jnp.int32))
-        tl, vl = [], []
-        for e in range(epochs_per_stage):
-            key, ke, kv = jax.random.split(key, 3)
-            state, ema, loss = epoch_jit(state, ema, ke, x_train, conditional_train)
-            tl.append(float(loss))
-            if val_loss_jit:
-                val_model = ema if ema_decay else state.model
-                vl.append(float(val_loss_jit(val_model, kv)))
-            else:
-                vl.append(np.nan)
-            if log_every and (e + 1) % log_every == 0:
-                val_part = f" val={vl[-1]:.4f}" if val_loss_jit else ""
-                print(
-                    f"[bs={batch_size} lr={lr:.0e}] epoch {e+1}/{epochs_per_stage}"
-                    f" train={tl[-1]:.4f}{val_part}"
-                )
-        model = state.model
-        results.append(
-            StageResult(batch_size, lr, np.asarray(tl), np.asarray(vl))
+        st["state"] = TrainState(
+            st["model"], tx.init(st["model"]), jnp.asarray(0, jnp.int32)
         )
-    return (ema if ema_decay else model), results
+
+    def run_epoch(ke):
+        st["state"], st["ema"], loss = st["epoch_jit"](
+            st["state"], st["ema"], ke, x_train, conditional_train
+        )
+        return loss
+
+    def val_model():
+        return st["ema"] if ema_decay else st["state"].model
+
+    results = _run_stages(
+        key, stages, epochs_per_stage, n, log_every, val_loss_jit,
+        begin_stage, run_epoch, val_model,
+    )
+    final = st["state"].model if st["state"] is not None else st["model"]
+    return (st["ema"] if ema_decay else final), results
 
 
 def _fit_fused(
@@ -445,14 +493,10 @@ def _fit_fused(
         else None
     )
 
-    results = []
-    for batch_size, lr in stages:
-        if batch_size > n:
-            print(
-                f"fit: clamping stage batch_size {batch_size} to dataset "
-                f"size {n}"
-            )
-            batch_size = n
+    st = {"params": params, "ema": ema_params, "opt": None,
+          "tables_jit": None, "lr": None}
+
+    def begin_stage(batch_size, lr):
         steps_per_epoch = n // batch_size
 
         def epoch_tables(epoch_key, bs=batch_size, spe=steps_per_epoch):
@@ -467,41 +511,34 @@ def _fit_fused(
             xt, zw, t, beta = tables_fn(ktab, xb)
             return xt, zw, t, beta, cb
 
-        tables_jit = jax.jit(epoch_tables)
+        st["tables_jit"] = jax.jit(epoch_tables)
+        st["opt"] = None  # fresh Adam per stage (notebook parity)
+        st["lr"] = lr
 
-        opt_state = None  # fresh Adam per stage (notebook parity)
-        tl, vl = [], []
-        for e in range(epochs_per_stage):
-            key, ke, kv = jax.random.split(key, 3)
-            xt, zw, t, beta, cb = tables_jit(ke)
-            params, opt_state, ema_params, losses = fused_train_epoch(
-                params,
-                cfg,
-                opt_state,
-                xt=xt,
-                zw=zw,
-                t=t,
-                beta=beta,
-                conditional=cb,
-                lr=lr,
-                ema=ema_params,
-                ema_decay=float(ema_decay or 0.0),
-                mean_over_dims=mean_over_dims,
-            )
-            tl.append(float(jnp.mean(losses)))
-            if val_loss_jit:
-                val_params = ema_params if ema_decay else params
-                vl.append(float(val_loss_jit(rewrap(val_params), kv)))
-            else:
-                vl.append(np.nan)
-            if log_every and (e + 1) % log_every == 0:
-                val_part = f" val={vl[-1]:.4f}" if val_loss_jit else ""
-                print(
-                    f"[bs={batch_size} lr={lr:.0e}] epoch {e+1}/{epochs_per_stage}"
-                    f" train={tl[-1]:.4f}{val_part} (fused)"
-                )
-        results.append(
-            StageResult(batch_size, lr, np.asarray(tl), np.asarray(vl))
+    def run_epoch(ke):
+        xt, zw, t, beta, cb = st["tables_jit"](ke)
+        st["params"], st["opt"], st["ema"], losses = fused_train_epoch(
+            st["params"],
+            cfg,
+            st["opt"],
+            xt=xt,
+            zw=zw,
+            t=t,
+            beta=beta,
+            conditional=cb,
+            lr=st["lr"],
+            ema=st["ema"],
+            ema_decay=float(ema_decay or 0.0),
+            mean_over_dims=mean_over_dims,
         )
-    final = ema_params if ema_decay else params
+        return jnp.mean(losses)
+
+    def val_model():
+        return rewrap(st["ema"] if ema_decay else st["params"])
+
+    results = _run_stages(
+        key, stages, epochs_per_stage, n, log_every, val_loss_jit,
+        begin_stage, run_epoch, val_model, tag=" (fused)",
+    )
+    final = st["ema"] if ema_decay else st["params"]
     return rewrap(final), results
