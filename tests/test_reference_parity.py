@@ -81,7 +81,9 @@ def t2n(x):
 
 
 def n2t(x):
-    return torch.from_numpy(np.asarray(x, np.float32))
+    # np.array (copy) rather than np.asarray: jax arrays export as
+    # non-writable numpy views, which torch.from_numpy warns about.
+    return torch.from_numpy(np.array(x, np.float32))
 
 
 def sd_np(module):
@@ -451,7 +453,7 @@ def test_loss_parity(loss_name, sde_name, rng, monkeypatch):
         ref_loss = ref_diff.log_prob_score_matching(ref, n2t(x))
         my_loss = losses_lib.log_prob_score_matching(
             my.score, my.sde, key, jnp.asarray(x))
-    np.testing.assert_allclose(float(my_loss), float(ref_loss), atol=1e-5,
+    np.testing.assert_allclose(float(my_loss), float(ref_loss.detach()), atol=1e-5,
                                rtol=1e-5)
 
 
@@ -480,7 +482,7 @@ def test_flow_matching_loss_parity(rng, monkeypatch):
 
     ref_loss = ref.flow_matching_loss(n2t(x))
     my_loss = my.flow_matching_loss(key, jnp.asarray(x))
-    np.testing.assert_allclose(float(my_loss), float(ref_loss), atol=1e-6,
+    np.testing.assert_allclose(float(my_loss), float(ref_loss.detach()), atol=1e-6,
                                rtol=1e-5)
 
 
