@@ -81,6 +81,15 @@ _LANES = 128
 # cannot make auto admit a batch the kernel then rejects.
 _VMEM_BUDGET_BYTES = 24 * 2**20
 
+# The per-step loss row lands in a VMEM-persistent (steps, LANES) f32
+# block, the one operand whose footprint scales with steps_per_epoch
+# rather than batch size.  fused_train_epoch therefore splits long
+# epochs into dispatches of at most this many steps (optimizer state and
+# EMA chain across chunks exactly like across epochs), bounding the loss
+# block at 2 MiB — which _live_bytes counts as a constant term so the
+# admission gate stays steps-independent.
+_MAX_STEPS_PER_DISPATCH = 4096
+
 
 def _cfg_fields(cfg):
     """(units, D, C, E) for either net-config family.
@@ -110,17 +119,26 @@ def _live_bytes(cfg, bs: int) -> int:
     """Estimated live VMEM bytes at one grid step for batch size ``bs``.
 
     Counts the forward activations + derivative pairs the backward keeps
-    alive, plus the streamed per-step tables; Mosaic's actual stack
-    allocation runs ~2.6x this figure (measured), which the 24 MiB guard
-    in :func:`fused_train_epoch` accounts for.
+    alive and the streamed per-step tables (Mosaic's actual stack
+    allocation runs ~2.6x this figure, measured — the 24 MiB guard in
+    :func:`fused_train_epoch` accounts for that), plus the
+    steps-independent persistent blocks: the 8 parameter-shaped state
+    copies (p/m/v/ema, in + out) and the loss block at its
+    :data:`_MAX_STEPS_PER_DISPATCH` cap.
     """
     units, D, C, E = _cfg_fields(cfg)
     n_hidden = len(units)
     H = units[0]
     K_in = (E + D + C) if E is not None else (D + 1 + C)
     bs_pad = -(-bs // _LANES) * _LANES
-    return 4 * bs_pad * (
-        K_in + D + (2 * n_hidden + 1) * H + 2 * D + 2 + C
+    dims = [K_in] + list(units) + [D]
+    n_param_elems = sum(
+        dims[i + 1] * dims[i] + dims[i + 1] for i in range(len(dims) - 1)
+    )
+    return (
+        4 * bs_pad * (K_in + D + (2 * n_hidden + 1) * H + 2 * D + 2 + C)
+        + 8 * 4 * n_param_elems
+        + 4 * _LANES * _MAX_STEPS_PER_DISPATCH
     )
 
 
@@ -332,18 +350,17 @@ def train_tables(
     the residual tables (module docstring).  ``weighting``: 'dsm'
     (denoising_score_matching) or 'lw' (log_prob_score_matching).
     """
+    from ..ops.losses import _draw_t_and_z
+
     if weighting not in ("dsm", "lw"):
         raise ValueError(f"unknown weighting {weighting!r}; use 'dsm' or 'lw'")
     steps, bs, D = xb.shape
 
     def per_step(k, x):
-        kz, kt = jax.random.split(k)
-        z = jax.random.normal(kz, x.shape, x.dtype)
-        t = (
-            jax.random.uniform(kt, (bs,), jnp.float32)
-            * (sde.T - sde.epsilon)
-            + sde.epsilon
-        )
+        # the losses module owns the sampling convention — consuming the
+        # PRNG through it keeps the fused engine's training distribution
+        # bitwise-identical to the XLA engine's by construction
+        t, z = _draw_t_and_z(k, sde, x)
         nu, sigma = sde.marginal_prob_scalars(t)  # (bs,), (bs,)
         xt = nu[:, None] * x + sigma[:, None] * z
         if weighting == "dsm":
@@ -370,12 +387,12 @@ def train_tables_flow(key: jax.Array, xb: jax.Array):
     a MEAN over batch AND dims — pass ``mean_over_dims=True`` to
     :func:`fused_train_epoch`.
     """
+    from ..ops.losses import _draw_xT_and_t
+
     steps, bs, D = xb.shape
 
     def per_step(k, x0):
-        kz, kt = jax.random.split(k)
-        xT = jax.random.normal(kz, x0.shape, x0.dtype)
-        t = jax.random.uniform(kt, (bs,), jnp.float32)
+        xT, t = _draw_xT_and_t(k, x0)
         xt = (1.0 - t[:, None]) * x0 + t[:, None] * xT
         zw = -(xT - x0)
         beta = jnp.ones_like(t)
@@ -392,11 +409,53 @@ def train_tables_flow(key: jax.Array, xb: jax.Array):
     ),
 )
 def _fused_train_impl(
-    xt, zw, t, beta, cond, wemb, hyper, p_flat, m_flat, v_flat, ema_flat,
+    xt, zw, t, beta, cond, wemb, hyper, layers, m_flat, v_flat, ema_layers,
     *, n_hidden, compute_dtype, activation, interpret, with_ema,
 ):
+    """Jitted core: relayout -> pallas_call -> un-relayout.
+
+    Takes RAW layouts — ``xt``/``zw``/``cond`` (steps, bs, D/C),
+    ``t``/``beta`` (steps, bs), ``layers``/``ema_layers`` tuples of
+    (w (K, O), b (O,)) pairs, ``wemb`` (E/2,) or None — and performs every
+    transpose/pad INSIDE this jit so the whole epoch stays one device
+    dispatch (eager relayouts would each cost a separate relay round
+    trip; cf. em_sampler._fused_em_impl, which traces its V4 transposes
+    for the same reason).  Only the Adam moments cross the call boundary
+    in the kernel's transposed orientation: they are opaque chained
+    state, consumed by nothing but this function.
+
+    Returns ``(loss (steps,), layers', (m', v'), ema_layers')`` in the
+    same raw layouts.
+    """
     with_emb = wemb is not None
-    steps, D, bs = xt.shape
+    steps, bs, _ = xt.shape
+    bs_pad = -(-bs // _LANES) * _LANES
+
+    # V4 relayout: batch in lanes; beta = zw = 0 padding rows contribute
+    # nothing to loss or grads
+    xt = _pad_lanes(jnp.swapaxes(xt, 1, 2), bs_pad)
+    zw = _pad_lanes(jnp.swapaxes(zw, 1, 2), bs_pad)
+    t = _pad_lanes(t[:, None, :], bs_pad)
+    beta = _pad_lanes(beta[:, None, :], bs_pad)
+    cond = (
+        _pad_lanes(jnp.swapaxes(cond, 1, 2), bs_pad)
+        if cond is not None
+        else None
+    )
+    wemb = wemb[:, None] if with_emb else None  # (E/2, 1)
+    p_flat = []
+    for w, b in layers:
+        p_flat.append(w.T)
+        p_flat.append(b[:, None])
+    ema_flat = None
+    if with_ema:
+        ema_flat = []
+        for w, b in ema_layers:
+            ema_flat.append(w.T)
+            ema_flat.append(b[:, None])
+
+    D = xt.shape[1]
+    bs = bs_pad
     n_param = len(p_flat)
 
     def stream3(rows):
@@ -466,11 +525,18 @@ def _fused_train_impl(
     )(*operands)
     loss = result[0][:, 0]
     flat = result[1:]
-    p_new = flat[:n_param]
+
+    def unflatten(group):
+        return tuple(
+            (group[2 * l].T, group[2 * l + 1][:, 0])
+            for l in range(n_hidden + 1)
+        )
+
+    layers_new = unflatten(flat[:n_param])
     m_new = flat[n_param : 2 * n_param]
     v_new = flat[2 * n_param : 3 * n_param]
-    ema_new = flat[3 * n_param : 4 * n_param] if with_ema else None
-    return loss, p_new, m_new, v_new, ema_new
+    ema_new = unflatten(flat[3 * n_param : 4 * n_param]) if with_ema else None
+    return loss, layers_new, (m_new, v_new), ema_new
 
 
 def _pad_lanes(arr, bs_pad):
@@ -552,63 +618,61 @@ def fused_train_epoch(
     if E is not None and E % 2:
         raise ValueError(f"embedding_dimensions must be even; got {E}")
 
-    layers = params["layers"]
-    n_hidden = len(layers) - 1
-    # transposed parameter views (V4 orientation); Adam is elementwise so
-    # moments live in the same transposed layout
-    p_flat = []
-    for l in layers:
-        p_flat.append(l["w"].T)
-        p_flat.append(l["b"][:, None])
+    import numpy as np
+
+    n_hidden = len(params["layers"]) - 1
+    layers_t = tuple((l["w"], l["b"]) for l in params["layers"])
     if opt_state is None:
-        m_flat = [jnp.zeros_like(a) for a in p_flat]
-        v_flat = [jnp.zeros_like(a) for a in p_flat]
+        # Adam is elementwise, so the moments live in the kernel's
+        # transposed (V4) orientation between calls — opaque chained state
+        m_flat = tuple(
+            jnp.zeros(a.shape[::-1] if a.ndim == 2 else (a.shape[0], 1),
+                      a.dtype)
+            for pair in layers_t
+            for a in pair
+        )
+        v_flat = m_flat
         step0 = 0
     else:
         m_flat, v_flat, step0 = opt_state
     with_ema = ema_decay > 0.0
-    ema_flat = None
+    ema_t = None
     if with_ema:
         src = ema if ema is not None else params
-        ema_flat = []
-        for l in src["layers"]:
-            ema_flat.append(l["w"].T)
-            ema_flat.append(l["b"][:, None])
+        ema_t = tuple((l["w"], l["b"]) for l in src["layers"])
 
-    bs_pad = -(-bs // _LANES) * _LANES
-    # lane padding: beta = zw = 0 rows contribute nothing to loss or grads
-    xt_T = _pad_lanes(jnp.swapaxes(xt, 1, 2), bs_pad)
-    zw_T = _pad_lanes(jnp.swapaxes(zw, 1, 2), bs_pad)
-    t_T = _pad_lanes(t[:, None, :], bs_pad)
-    beta_T = _pad_lanes(beta[:, None, :], bs_pad)
-    cond_T = (
-        _pad_lanes(jnp.swapaxes(conditional, 1, 2), bs_pad)
-        if conditional is not None
-        else None
-    )
     # Fourier-embedding nets carry the frozen W; raw-time velocity nets
     # (E is None) feed t as a plain input row instead.
-    wemb = params["W"][:, None] if E is not None else None  # (E/2, 1)
+    wemb = params["W"] if E is not None else None  # (E/2,)
     inv = 1.0 / (bs * D) if mean_over_dims else 1.0 / bs
-    hyper = jnp.asarray(
-        [[lr, beta1, beta2, eps, ema_decay, inv, 0.0, 0.0]],
-        jnp.float32,
-    ).at[0, 6].set(jnp.asarray(step0, jnp.float32))
 
-    loss, p_new, m_new, v_new, ema_new = _fused_train_impl(
-        xt_T, zw_T, t_T, beta_T, cond_T, wemb, hyper,
-        tuple(p_flat), tuple(m_flat), tuple(v_flat),
-        tuple(ema_flat) if with_ema else None,
-        n_hidden=n_hidden, compute_dtype=compute_dtype,
-        activation=cfg.activation, interpret=interpret, with_ema=with_ema,
-    )
+    # Long epochs run as several dispatches so the VMEM-persistent
+    # (chunk_steps, LANES) loss block stays bounded (_MAX_STEPS_PER_
+    # DISPATCH); optimizer state and EMA chain across chunks exactly as
+    # across epochs.  All relayouts trace inside _fused_train_impl's jit —
+    # typical (un-chunked) epochs are exactly one device dispatch.
+    losses = []
+    for c0 in range(0, steps, _MAX_STEPS_PER_DISPATCH):
+        c1 = min(c0 + _MAX_STEPS_PER_DISPATCH, steps)
+        hyper = np.asarray(
+            [[lr, beta1, beta2, eps, ema_decay, inv,
+              float(step0 + c0), 0.0]],
+            np.float32,
+        )
+        loss_c, layers_t, (m_flat, v_flat), ema_t = _fused_train_impl(
+            xt[c0:c1], zw[c0:c1], t[c0:c1], beta[c0:c1],
+            conditional[c0:c1] if conditional is not None else None,
+            wemb, hyper, layers_t, m_flat, v_flat, ema_t,
+            n_hidden=n_hidden, compute_dtype=compute_dtype,
+            activation=cfg.activation, interpret=interpret,
+            with_ema=with_ema,
+        )
+        losses.append(loss_c)
+    loss = losses[0] if len(losses) == 1 else jnp.concatenate(losses)
 
-    def unflatten(flat):
-        out = []
-        for l in range(n_hidden + 1):
-            out.append({"w": flat[2 * l].T, "b": flat[2 * l + 1][:, 0]})
-        return out
+    def as_layers(pairs):
+        return [{"w": w, "b": b} for w, b in pairs]
 
-    params_new = dict(params, layers=unflatten(p_new))
-    ema_out = dict(params, layers=unflatten(ema_new)) if with_ema else None
-    return params_new, (m_new, v_new, step0 + steps), ema_out, loss
+    params_new = dict(params, layers=as_layers(layers_t))
+    ema_out = dict(params, layers=as_layers(ema_t)) if with_ema else None
+    return params_new, (m_flat, v_flat, step0 + steps), ema_out, loss

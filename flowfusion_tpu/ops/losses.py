@@ -38,6 +38,19 @@ def _draw_t_and_z(key: jax.Array, sde: SDE, x: jax.Array):
     return t, z
 
 
+def _draw_xT_and_t(key: jax.Array, x0: jax.Array):
+    """Flow-matching draw: base sample x_T ~ N(0,1) and t ~ U[0,1].
+
+    Single source of the flow sampling convention — the fused training
+    engine's table builder (kernels/fused_train.train_tables_flow) must
+    consume the PRNG identically to :func:`flow_matching_loss`.
+    """
+    kz, kt = jax.random.split(key)
+    xT = jax.random.normal(kz, x0.shape, x0.dtype)
+    t = jax.random.uniform(kt, (x0.shape[0],), jnp.float32)
+    return xT, t
+
+
 def denoising_score_matching(
     score_fn: ScoreFn,
     sde: SDE,
@@ -87,9 +100,7 @@ def flow_matching_loss(
     (Lipman+2023).  ``x0`` must already be standardized — the model wrappers
     own shift/scale (reference flow.py:191-256).  Mean over batch and dims.
     """
-    kz, kt = jax.random.split(key)
-    xT = jax.random.normal(kz, x0.shape, x0.dtype)
-    t = jax.random.uniform(kt, (x0.shape[0],), jnp.float32)
+    xT, t = _draw_xT_and_t(key, x0)
     # right-aligned broadcast over any per-sample rank (matches the
     # score-matching losses; a (B,1)-shaped t would misbroadcast 1-D or
     # rank-3 x0 silently)

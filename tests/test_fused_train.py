@@ -153,6 +153,34 @@ def test_fused_epoch_chained_opt_state():
     assert st2[2] == 6
 
 
+def test_fused_epoch_chunked_dispatch_matches_unchunked(monkeypatch):
+    """Epochs longer than _MAX_STEPS_PER_DISPATCH split into chained
+    dispatches (bounding the VMEM-persistent loss block) with the same
+    trajectory, losses, and EMA as a single dispatch."""
+    from flowfusion_tpu.kernels import fused_train as ft
+
+    cfg, params = _setup()
+    xt, zw, t, beta, _ = _tables(cfg, steps=5, bs=16)
+    decay = 0.95
+    kwargs = dict(
+        xt=xt, zw=zw, t=t, beta=beta, lr=1e-3,
+        ema=params, ema_decay=decay, interpret=INTERPRET,
+    )
+    p_one, st_one, ema_one, l_one = fused_train_epoch(
+        params, cfg, None, **kwargs
+    )
+    monkeypatch.setattr(ft, "_MAX_STEPS_PER_DISPATCH", 2)  # chunks 2+2+1
+    p_chk, st_chk, ema_chk, l_chk = fused_train_epoch(
+        params, cfg, None, **kwargs
+    )
+    np.testing.assert_allclose(
+        np.asarray(l_chk), np.asarray(l_one), rtol=1e-6, atol=1e-7
+    )
+    _assert_layers_close(p_chk["layers"], p_one["layers"], atol=1e-6)
+    _assert_layers_close(ema_chk["layers"], ema_one["layers"], atol=1e-6)
+    assert st_chk[2] == st_one[2] == 5
+
+
 def test_fused_epoch_ema_matches_reference():
     cfg, params = _setup()
     xt, zw, t, beta, _ = _tables(cfg, steps=5, bs=32)
