@@ -362,6 +362,56 @@ def main():
             name, repeat_slope(per_solve, stack_of(xc, 21 + 100 * seed))
         )
 
+    # --- wide-feature conditional workload (pop-cosmos scale) ----------
+    # D=16 population parameters (the Alsing+2024 pop-cosmos SPS
+    # dimension) conditioned on C=8 observables: D+C=24 is beyond the
+    # rank-1 input-projection boundary, so this row exercises the
+    # kernel's wide-feature MXU projection (fused_mlp.supports_features)
+    # — the envelope the plain-XLA conditional graph cannot serve on
+    # this platform (compiler SIGILL family, see BENCHMARKS.md).
+    D_w, C_w = 16, 8
+    k_mix, k_c, k_eps, k_net_w = jax.random.split(jax.random.PRNGKey(31), 4)
+    w_mix = jax.random.normal(k_mix, (C_w, D_w)) / np.sqrt(C_w)
+    cond_raw = jax.random.normal(k_c, (n, C_w))
+    x_wide = jnp.tanh(cond_raw @ w_mix) + 0.3 * jax.random.normal(
+        k_eps, (n, D_w)
+    )
+    xw = jnp.concatenate([x_wide, cond_raw], axis=1)
+    cfg_w = ScoreMLPConfig(
+        n_dimensions=D_w, n_conditionals=C_w, units=(128, 128, 128)
+    )
+    wide_model = ScoreModel(
+        params=init_score_mlp(k_net_w, cfg_w), net=cfg_w, sde=VESDE()
+    )
+    wide_model = quick_train(
+        jax.random.PRNGKey(32), wide_model,
+        lambda m, k, xb: m.loss_fn(k, xb[:, :D_w], conditional=xb[:, D_w:]),
+        xw, args.train_steps,
+    )
+    wide_configs = [
+        (
+            "logprob/conditional-D16C8/fused-highf32",
+            dict(trace_mode="hutchinson", use_fused_kernel=True,
+                 kernel_compute_dtype="highf32"),
+        ),
+    ]
+    if not on_tpu:
+        wide_configs = [
+            (
+                "logprob/conditional-D16C8/plain-f32",
+                dict(trace_mode="hutchinson", use_fused_kernel=False),
+            )
+        ]
+    for seed, (name, kw) in enumerate(wide_configs):
+        m = dataclasses.replace(wide_model, **kw)
+        per_solve = lambda xx, kk, m=m: m.log_prob(
+            xx[:, :D_w], conditional=xx[:, D_w:], key=kk,
+            atol=1e-5, rtol=1e-5, options=None,
+        )[0]
+        record_slope(
+            name, repeat_slope(per_solve, stack_of(xw, 31 + 100 * seed))
+        )
+
     # --- EM sampling --------------------------------------------------
     # sample_sde takes no data argument, so vary the MODEL per iteration
     # (sub-tolerance param perturbation) as well as the key — key-only

@@ -46,7 +46,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import _act_value_fn, _check_conditional, supports_config
+from .fused_mlp import (
+    _RANK1_MAX,
+    _act_value_fn,
+    _check_conditional,
+    supports_config,
+)
 
 __all__ = ["fused_em_sample", "em_prep"]
 
@@ -177,9 +182,14 @@ def _kernel(steps: int, n_hidden: int, compute_dtype, hw_rng, with_cond, refs, a
     step_iota = jax.lax.broadcasted_iota(jnp.int32, b_all.shape, 1)
 
     def net(x, s):
-        a = w_in[:, 0][:, None] * x[0:1, :]
-        for j in range(1, d_in):
-            a = a + w_in[:, j][:, None] * x[j : j + 1, :]
+        if d_in > _RANK1_MAX:
+            # wide-feature envelope: one (H, D) @ (D, tile) MXU pass
+            # beats D rank-1 VPU adds past ~16 rows (fused_mlp.in_proj)
+            a = mm(w_in[:], x)
+        else:
+            a = w_in[:, 0][:, None] * x[0:1, :]
+            for j in range(1, d_in):
+                a = a + w_in[:, j][:, None] * x[j : j + 1, :]
         b_col = jnp.sum(
             jnp.where(step_iota == s, b_all, 0.0), axis=1, keepdims=True
         )

@@ -48,6 +48,7 @@ __all__ = [
     "fused_velocity_sketch",
     "fused_velocity_tangents",
     "supports_config",
+    "supports_features",
 ]
 
 
@@ -56,6 +57,22 @@ def _round_up(n, m):
 
 
 _KERNEL_ACTIVATIONS = ("silu", "tanh", "relu", "gelu")
+
+# Input-projection strategy crossover: up to this many feature rows the
+# kernel accumulates rank-1 VPU outer products (no relayout, no wasted
+# systolic load for D ~ 2-16); beyond it, one (H, K) @ (K, subtile) MXU
+# pass is cheaper (K rank-1 VPU adds scale linearly; the padded matmul
+# is one pass regardless).
+_RANK1_MAX = 16
+
+# Widest feature count (D + C) the fused envelope admits for the
+# forward/Hutchinson/sketch modes.  Bounded by the probe/IO block VMEM
+# clamp in _dispatch, not by projection cost; raise only with a
+# measured VMEM plan.  Exact-trace stays at _RANK1_MAX: its cost is
+# d_out full tangent chains, so past ~16 features a stochastic
+# estimator is the right tool (the crossover the reference's own docs
+# describe — see BENCHMARKS.md "Scaling in the data dimension").
+MAX_FUSED_FEATURES = 64
 
 
 def supports_config(units: Sequence[int], activation: str = "silu") -> bool:
@@ -67,6 +84,15 @@ def supports_config(units: Sequence[int], activation: str = "silu") -> bool:
         and units[0] % 128 == 0
         and activation in _KERNEL_ACTIVATIONS
     )
+
+
+def supports_features(n_features: int, exact: bool = False) -> bool:
+    """Feature-count half of the fused support envelope.
+
+    ``n_features`` is the model's D + C.  ``exact=True`` applies the
+    tighter exact-trace bound (d_out tangent chains scale with D; the
+    wide-input MXU projection only helps the other modes)."""
+    return n_features <= (_RANK1_MAX if exact else MAX_FUSED_FEATURES)
 
 
 def _compute_mode(compute_dtype: str):
@@ -424,14 +450,21 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
     mm_tan = mm_3pass if relax_tangents else mm
 
     def in_proj(xc, nrows=None):
-        """sum_j w_inT[:, j] (H,1) * xc[j, :] (1,subtile) -> (H, subtile).
+        """Input projection w_inT[:, :n] @ xc[:n] -> (H, subtile).
 
-        Rank-1 VPU accumulation over natural (1, subtile) row slices — no
-        relayout; a K=D_in MXU pass would waste a systolic load.  Probe
-        tangents have zero conditional components, so their projection
-        accumulates only the first ``nrows`` (= d_out) weight columns."""
+        Up to ``_RANK1_MAX`` rows: rank-1 VPU accumulation over natural
+        (1, subtile) row slices — no relayout, and a K-row MXU pass would
+        waste a systolic load at K ~ 2-16.  Beyond that the K rank-1 adds
+        cost more than ONE padded (H, K) @ (K, subtile) MXU pass (the
+        wide-feature envelope, ``supports_features``), which runs at the
+        mode's matmul precision like every other layer.  Probe tangents
+        have zero conditional components, so their projection consumes
+        only the first ``nrows`` (= d_out) weight columns."""
+        n = nrows if nrows is not None else d_in
+        if n > _RANK1_MAX:
+            return mm(w_in[:, :n] if n < d_in else w_in[:], xc[:n, :])
         acc = w_in[:, 0][:, None] * xc[0:1, :]
-        for j in range(1, nrows if nrows is not None else d_in):
+        for j in range(1, n):
             acc = acc + w_in[:, j][:, None] * xc[j : j + 1, :]
         return acc
 
@@ -1088,15 +1121,34 @@ def _dispatch(
 
     For ``mode='tangents'`` ``e`` is the probe stack (n_tan, B, d_out);
     for the sketch modes it is the full (n_tan + n_tan2, B, d_out) stack."""
+    max_sub = 16 if mode == "forward" else 8
     if tile is None:
         tile = 4096 if mode == "forward" else 1024
+        # Wide-feature IO clamp: the per-grid-step x/probe/output blocks
+        # are (rows, tile * max_sub) f32, so their footprint scales with
+        # the feature count — shrink the tile until they fit an ~8 MiB
+        # budget (the legacy <=16-feature envelope sits under it at the
+        # default tiles, so this only bites wide configs).  An explicit
+        # ``tile`` argument is honoured untouched.
+        d_in_total = x.shape[1] + (
+            conditional.shape[1] if conditional is not None else 0
+        )
+        if mode == "hutchinson":
+            io_rows = d_out + 1
+        elif mode == "tangents":
+            io_rows = 2 * n_tan * d_out  # probe stack in, jv stack out
+        elif mode in ("hutchpp", "xtrace"):
+            io_rows = (n_tan + n_tan2) * d_out + 1
+        else:
+            io_rows = 0
+        heavy = d_in_total + io_rows + d_out
+        while tile > 256 and tile * max_sub * heavy * 4 > 8 * 2**20:
+            tile //= 2
     x_in = x if conditional is None else jnp.concatenate([x, conditional], -1)
     B = x_in.shape[0]
     # Tangent modes keep 2+ activation chains plus double-buffered in/out
     # blocks live: halve the per-grid-step packing to stay inside VMEM.
-    tile, n_sub, padded = _grid_plan(
-        B, tile, max_sub=16 if mode == "forward" else 8
-    )
+    tile, n_sub, padded = _grid_plan(B, tile, max_sub=max_sub)
     pad = padded - B
     if pad:
         x_in = jnp.pad(x_in, ((0, pad), (0, 0)))

@@ -36,8 +36,9 @@ def auto_fused(use_fused_kernel: Optional[bool], supported: bool) -> bool:
             raise ValueError(
                 "use_fused_kernel=True but the net config is outside the "
                 "fused kernel's support envelope (hidden units must be "
-                "multiples of 128 with a supported activation, and "
-                "feature count <= 16) — fix the config or drop the flag"
+                "multiples of 128 with a supported activation; feature "
+                "count D + C <= 64, or <= 16 for exact-trace solves) — "
+                "fix the config or drop the flag"
             )
         return bool(use_fused_kernel)
     return (

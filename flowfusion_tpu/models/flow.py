@@ -85,12 +85,18 @@ class ODEFlow:
         """Config-level support envelope for the fused velocity kernel
         (single source of truth for ``_fused_available`` and
         ``_per_shard_variant``)."""
-        from ..kernels.fused_mlp import supports_config
+        from ..kernels.fused_mlp import supports_config, supports_features
 
         return (
             isinstance(self.net, VelocityMLPConfig)
             and supports_config(self.net.hidden_units, self.net.activation)
-            and self.net.target_dimension + self.net.conditional_dimension <= 16
+            # exact trace keeps the tight feature bound (d_out tangent
+            # chains); the other modes admit wide inputs via the kernel's
+            # MXU input projection
+            and supports_features(
+                self.net.target_dimension + self.net.conditional_dimension,
+                exact=(self.trace_mode == "exact"),
+            )
         )
 
     def _fused_available(self, for_exact: bool = False) -> bool:

@@ -100,14 +100,18 @@ class ScoreModel:
     # fused-kernel plumbing
     # ------------------------------------------------------------------
     def _fused_supported(self) -> bool:
-        from ..kernels.fused_mlp import supports_config
+        from ..kernels.fused_mlp import supports_config, supports_features
 
         return (
             isinstance(self.net, ScoreMLPConfig)
             and supports_config(self.net.units, self.net.activation)
-            # the kernel's VPU rank-1 edge projections scale linearly in
-            # the feature count
-            and self.net.n_dimensions + self.net.n_conditionals <= 16
+            # wide inputs ride one MXU pass (kernel in_proj); exact trace
+            # keeps the tighter bound — its d_out tangent chains scale
+            # with the feature count (use a stochastic estimator there)
+            and supports_features(
+                self.net.n_dimensions + self.net.n_conditionals,
+                exact=(self.trace_mode == "exact"),
+            )
         )
 
     def _fused_available(self, for_exact: bool = False) -> bool:

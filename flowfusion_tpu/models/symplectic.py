@@ -55,12 +55,17 @@ class SymplecticFlowModel:
     )
 
     def _fused_supported(self) -> bool:
-        from ..kernels.fused_mlp import supports_config
+        from ..kernels.fused_mlp import supports_config, supports_features
 
         return (
             isinstance(self.net, SymplecticMLPConfig)
             and supports_config(self.net.units, self.net.activation)
-            and self.net.n_data_dims + self.net.n_conditionals <= 16
+            # forward-only velocity kernel: the wide-feature (MXU
+            # input-projection) envelope applies — no exact-trace bound
+            # (symplectic log-prob is trace-free)
+            and supports_features(
+                self.net.n_data_dims + self.net.n_conditionals
+            )
         )
 
     def _fused_available(self) -> bool:

@@ -566,3 +566,21 @@ def test_fit_fused_flow_trains():
     tl, vl = res[0].train_losses, res[0].val_losses
     assert np.isfinite(tl).all() and np.isfinite(vl).all()
     assert tl[-1] < tl[0]
+
+
+def test_fused_epoch_wide_features_matches_optax_trajectory():
+    """The training kernel's first layer is a full matmul (no rank-1
+    feature cap): a wide D=20, C=4 config must track the optax loop
+    exactly like the narrow configs."""
+    cfg = ScoreMLPConfig(n_dimensions=20, n_conditionals=4, units=(128,))
+    params = init_score_mlp(jax.random.PRNGKey(0), cfg)
+    xt, zw, t, beta, cond = _tables(cfg, steps=3, bs=32)
+    p_new, _, _, losses = fused_train_epoch(
+        params, cfg, None, xt=xt, zw=zw, t=t, beta=beta, conditional=cond,
+        lr=1e-3, interpret=INTERPRET,
+    )
+    want_layers, _, _, want_losses = _xla_epoch(
+        params, cfg, xt, zw, t, beta, cond, 1e-3
+    )
+    np.testing.assert_allclose(np.asarray(losses), want_losses, rtol=1e-5)
+    _assert_layers_close(p_new["layers"], want_layers)

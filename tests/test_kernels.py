@@ -998,3 +998,179 @@ def test_sample_dpm_fused_matches_plain():
         np.testing.assert_allclose(
             np.asarray(out_f), np.asarray(out_p), rtol=1e-5, atol=1e-4
         )
+
+
+def test_supports_features_envelope():
+    """Feature-count envelope: 64 for forward/Hutchinson/sketch (MXU
+    input projection), 16 for exact trace (d_out tangent chains)."""
+    from flowfusion_tpu.kernels.fused_mlp import supports_features
+
+    assert supports_features(16, exact=True)
+    assert not supports_features(17, exact=True)
+    assert supports_features(17)
+    assert supports_features(64)
+    assert not supports_features(65)
+
+
+def test_fused_drift_wide_features_matches_jvp():
+    """Wide inputs (D + C > 16) ride the kernel's MXU input projection;
+    forward drift and Hutchinson divergence must match the plain JVP."""
+    from flowfusion_tpu.models.nets import apply_score_mlp
+
+    D, C, B = 20, 8, 48
+    cfg = ScoreMLPConfig(n_dimensions=D, n_conditionals=C, units=(128, 128))
+    params = init_score_mlp(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, D))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (B, C))
+    e = jnp.sign(jax.random.normal(jax.random.PRNGKey(3), (B, D)))
+    t = jnp.asarray(0.4)
+    # tile=None exercises the wide-feature default-tile path end to end
+    drift, div = fused_drift(
+        params, cfg, t, x, conditional=cond, e=e, c0=-0.2, c1=1.1,
+        interpret=INTERPRET,
+    )
+
+    def net(xx):
+        return apply_score_mlp(cfg, params, jnp.full((B,), 0.4), xx, cond)
+
+    out, je = jax.jvp(net, (x,), (e,))
+    np.testing.assert_allclose(
+        np.asarray(drift), -0.2 * np.asarray(x) + 1.1 * np.asarray(out),
+        atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(div),
+        -0.2 * np.sum(np.asarray(e) ** 2, -1)
+        + 1.1 * np.sum(np.asarray(je) * np.asarray(e), -1),
+        rtol=1e-4, atol=5e-4,
+    )
+
+
+def test_fused_sketch_wide_features_matches_plain():
+    """Hutch++/XTrace single-dispatch kernels at D + C > 16 (MXU probe
+    projection + the wide-feature IO tile clamp) equal the plain
+    estimators with identical probes."""
+    from flowfusion_tpu.kernels.fused_mlp import fused_drift_sketch
+    from flowfusion_tpu.models.nets import apply_score_mlp
+    from flowfusion_tpu.ops import trace as trace_lib
+
+    D, C, B = 24, 4, 40
+    cfg = ScoreMLPConfig(n_dimensions=D, n_conditionals=C, units=(128,))
+    params = init_score_mlp(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, D))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (B, C))
+    t = jnp.asarray(0.6)
+    c0, c1 = 0.3, -0.9
+
+    def drift_fn(xx):
+        tt = jnp.full((xx.shape[0],), t)
+        return c0 * xx + c1 * apply_score_mlp(cfg, params, tt, xx, cond)
+
+    S = jnp.sign(jax.random.normal(jax.random.PRNGKey(3), (2, B, D)))
+    G = jnp.sign(jax.random.normal(jax.random.PRNGKey(4), (1, B, D)))
+    drift_k, div_k = fused_drift_sketch(
+        params, cfg, t, x, (S, G), "hutchpp", cond, c0=c0, c1=c1,
+        interpret=INTERPRET,
+    )
+    drift_p, div_p = trace_lib.hutchpp_divergence(drift_fn, x, S, G)
+    np.testing.assert_allclose(np.asarray(drift_k), np.asarray(drift_p),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(div_k), np.asarray(div_p),
+                               rtol=1e-4, atol=5e-4)
+
+    g = jax.random.normal(jax.random.PRNGKey(5), (2, B, D))
+    O = g / jnp.linalg.norm(g, axis=-1, keepdims=True) * jnp.sqrt(float(D))
+    drift_k, div_k = fused_drift_sketch(
+        params, cfg, t, x, (O,), "xtrace", cond, c0=c0, c1=c1,
+        interpret=INTERPRET,
+    )
+    drift_p, div_p = trace_lib.xtrace_divergence(drift_fn, x, O)
+    np.testing.assert_allclose(np.asarray(drift_k), np.asarray(drift_p),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(div_k), np.asarray(div_p),
+                               rtol=1e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_wide_feature_model_logprob_fused_matches_plain():
+    """Model-level wide envelope: a D=20, C=4 Hutchinson ScoreModel is
+    fused-supported (the old bound was D + C <= 16) and its fused solve
+    matches plain XLA; exact trace keeps the tight bound."""
+    import dataclasses
+
+    from flowfusion_tpu.models.score import ScoreModel
+    from flowfusion_tpu.ops.sde import VPSDE
+
+    D, C = 20, 4
+    cfg = ScoreMLPConfig(n_dimensions=D, n_conditionals=C, units=(128,))
+    params = init_score_mlp(jax.random.PRNGKey(0), cfg)
+    plain = ScoreModel(
+        params=params, net=cfg, sde=VPSDE(), trace_mode="hutchinson",
+        use_fused_kernel=False,
+    )
+    assert plain._fused_supported()
+    assert not dataclasses.replace(
+        plain, trace_mode="exact"
+    )._fused_supported()
+
+    fused = dataclasses.replace(plain, use_fused_kernel=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, D))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (64, C))
+    k = jax.random.PRNGKey(7)
+    solve = jax.jit(
+        lambda mm, xx, cc, kk: mm.solve_odes_forward(
+            xx, conditional=cc, key=kk, atol=1e-4, rtol=1e-4
+        )[1]
+    )
+    d_plain = solve(plain, x, cond, k)
+    d_fused = solve(fused, x, cond, k)
+    np.testing.assert_allclose(
+        np.asarray(d_fused), np.asarray(d_plain), atol=5e-4
+    )
+
+
+def test_fused_em_sampler_wide_features_matches_scan():
+    """Wide-D (> 16 features) EM kernel rides the MXU input projection;
+    trajectory equality vs a manual scan with shared noise (same check
+    as test_fused_em_sampler_matches_scan_with_shared_noise, at D=24)."""
+    from flowfusion_tpu.kernels import em_sampler as es
+    from flowfusion_tpu.models.nets import apply_score_mlp
+    from flowfusion_tpu.ops.sde import VPSDE
+
+    D = 24
+    cfg = ScoreMLPConfig(n_dimensions=D, n_conditionals=0, units=(128, 128))
+    params = init_score_mlp(jax.random.PRNGKey(0), cfg)
+    sde = VPSDE()
+    steps, n = 5, 32
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (n, D))
+    noise = jax.random.normal(jax.random.PRNGKey(3), (steps, n, D))
+
+    coeffs, b_eff = es.em_prep(params, cfg, sde, steps, no_sigma=False)
+    E = cfg.embedding_dimensions
+    layers = params["layers"]
+    w_in = layers[0]["w"][E : E + D]
+    hidden_flat = []
+    for l in layers[1:-1]:
+        hidden_flat.append(l["w"])
+        hidden_flat.append(l["b"][None, :])
+    xm_k, x_k = es._fused_em_impl(
+        x0, jnp.asarray([0], jnp.int32), noise, None, coeffs, b_eff, w_in,
+        tuple(hidden_flat), layers[-1]["w"], layers[-1]["b"][None, :],
+        steps=steps, n_hidden=len(layers) - 1, d_out=D, tile=n,
+        interpret=True, compute_dtype="float32",
+    )
+
+    x = x0
+    xm = x0
+    for s_ in range(steps):
+        t = sde.T + s_ * (-(sde.T - sde.epsilon) / steps)
+        tb = jnp.full((n,), t)
+        net_out = apply_score_mlp(cfg, params, tb, x)
+        g2 = sde.diffusion_squared_scalar(jnp.asarray(t))
+        c0 = sde.drift_coefficient(jnp.asarray(t))
+        c1 = -g2 / sde.sigma(jnp.asarray(t))
+        dt = -(sde.T - sde.epsilon) / steps
+        xm = (1 + c0 * dt) * x + c1 * dt * net_out
+        x = xm + jnp.sqrt(g2) * np.sqrt(abs(dt)) * noise[s_]
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(xm_k), np.asarray(xm), rtol=2e-4, atol=2e-4)
