@@ -90,6 +90,36 @@ def test_stochastic_trace_requires_key():
         m.solve_odes_forward(jnp.ones((2, 2)))
 
 
+def test_log_prob_input_gradients_match_analytic_score():
+    """grad_x log_prob — the downstream-inference path (HMC / MAP over a
+    trained population model, the pop-cosmos use case for the reference's
+    odeint_adjoint, diffusion.py:733): differentiating log_prob(adjoint=True)
+    w.r.t. the *inputs* must reproduce the closed-form model score.
+
+    For the analytic-score model the density is N(0, prior_scale^2
+    var(eps)/var(T)) (see test_log_prob_matches_analytic_gaussian), so
+    grad_x log p = -x / model_var exactly.
+    """
+    sde = VPSDE()
+    m = _analytic_model(sde, s0=0.8)
+    x = jnp.asarray(
+        np.linspace(-1.0, 1.0, 5)[:, None] * np.ones((1, 2)), jnp.float32
+    )
+
+    def total_lp(xx):
+        lp, _ = m.log_prob(xx, atol=1e-6, rtol=1e-6, adjoint=True)
+        return jnp.sum(lp)
+
+    g = jax.grad(total_lp)(x)
+
+    def var_at(t):
+        nu, eta = sde.marginal_prob_scalars(jnp.asarray(t))
+        return float(nu) ** 2 * 0.8**2 + float(eta) ** 2
+
+    model_var = sde.prior_scale**2 * var_at(float(sde.epsilon)) / var_at(sde.T)
+    np.testing.assert_allclose(g, -np.asarray(x) / model_var, atol=2e-3)
+
+
 @pytest.mark.slow
 def test_round_trip_sample_then_logprob_shapes():
     key = jax.random.PRNGKey(0)
