@@ -305,38 +305,27 @@ def main():
         # device time.  Every solve in every rep gets distinct data (the
         # relay caches identical executable+argument pairs and XLA could
         # CSE identical scan inputs) at sub-tolerance 1e-6 offsets.
-        def scanned(xs, ks):
-            def body(acc, inp):
-                xx, kk = inp
-                lp, _ = logprob_fn(model, xx, kk)
-                return acc + jnp.sum(lp), None
+        # The slope machinery (incl. the doubled-repeat retry when jitter
+        # makes a slope non-positive) is shared with the suite — ONE copy.
+        from benchmarks.bench_suite import repeat_slope
 
-            return jax.lax.scan(body, jnp.float32(0.0), (xs, ks))[0]
+        def per_solve(xx, kk):
+            lp, _ = logprob_fn(model, xx, kk)
+            return lp
 
-        jscan = jax.jit(scanned)
-
-        def stack(K, rep):
-            xs = jnp.stack([x + (rep * 8 + j + 1) * 1e-6 for j in range(K)])
+        def make_stack(K, rep):
+            # rep*16 keeps offsets distinct across reps even after the
+            # retry doubles K (k2=3 -> 6 < 16)
+            xs = jnp.stack([x + (rep * 16 + j + 1) * 1e-6 for j in range(K)])
             ks = jax.random.split(jax.random.PRNGKey(100 * K + rep), K)
             return xs, ks
 
-        totals = {}
-        for K in (1, 3):
-            xs, ks = stack(K, 0)  # warmup/compile
-            np.asarray(jscan(xs, ks))
-            best_k = float("inf")
-            for rep in range(1, 4):
-                xs, ks = stack(K, rep)
-                jax.block_until_ready(xs)
-                t0 = time.perf_counter()
-                np.asarray(jscan(xs, ks))  # host fetch = true barrier
-                best_k = min(best_k, time.perf_counter() - t0)
-            totals[K] = best_k
-        best = (totals[3] - totals[1]) / 2
+        best = repeat_slope(per_solve, make_stack, k2=3)
         if not (best > 0.05):
             raise RuntimeError(
                 f"marginal solve time {best*1e3:.1f} ms for {n} rows — "
-                "implausible (relay jitter swamped the slope); rerun"
+                "implausible (relay jitter swamped the slope even after "
+                "the doubled-repeat retry); rerun"
             )
 
     rate = n / best

@@ -81,12 +81,18 @@ class ODEFlow:
         default="float32", metadata=dict(static=True)
     )
 
-    def _fused_supported(self) -> bool:
+    def _fused_supported(self, exact=None) -> bool:
         """Config-level support envelope for the fused velocity kernel
         (single source of truth for ``_fused_available`` and
-        ``_per_shard_variant``)."""
+        ``_per_shard_variant``).  ``exact`` = does the solve at hand
+        propagate exact-trace tangent chains (tighter feature bound)?
+        It is per-SOLVE: a wide model with ``trace_mode='exact'`` still
+        runs forward-only sampling on the kernel.  None = derive from
+        ``trace_mode``."""
         from ..kernels.fused_mlp import supports_config, supports_features
 
+        if exact is None:
+            exact = self.trace_mode == "exact"
         return (
             isinstance(self.net, VelocityMLPConfig)
             and supports_config(self.net.hidden_units, self.net.activation)
@@ -95,7 +101,7 @@ class ODEFlow:
             # MXU input projection
             and supports_features(
                 self.net.target_dimension + self.net.conditional_dimension,
-                exact=(self.trace_mode == "exact"),
+                exact=exact,
             )
         )
 
@@ -113,7 +119,7 @@ class ODEFlow:
         as the diffusion exact graph (see _common.fused_dispatch for the
         full policy, including the multi-device raise)."""
         return _common.fused_dispatch(
-            self.use_fused_kernel, self._fused_supported(),
+            self.use_fused_kernel, self._fused_supported(exact=for_exact),
             for_exact=for_exact, what="exact-trace flow solves",
         )
 
@@ -374,15 +380,16 @@ class ODEFlow:
         )
         return xs[-1], ljs[-1], stats
 
-    def _per_shard_variant(self) -> "ODEFlow":
+    def _per_shard_variant(self, exact=None) -> "ODEFlow":
         """Model each device runs under auto-sharding (see
         ScoreModel._per_shard_variant — same reasoning: inside shard_map
         each device runs a single-device program, so the fused kernel is
-        safe and preferred on TPU)."""
+        safe and preferred on TPU).  ``exact`` as in ``_fused_supported``:
+        sampling entry points pass False (forward-only envelope)."""
         if (
             self.use_fused_kernel is None
             and jax.default_backend() == "tpu"
-            and self._fused_supported()
+            and self._fused_supported(exact=exact)
         ):
             return dataclasses.replace(self, use_fused_kernel=True)
         return self
@@ -533,7 +540,7 @@ def _flow_sample_per_shard(rtol, atol, method, opts):
 
     def per_shard(model, zb, cb, kb):
         del kb
-        x0, stats = model._per_shard_variant().sample(
+        x0, stats = model._per_shard_variant(exact=False).sample(
             zb,
             cb,
             rtol=rtol,

@@ -79,7 +79,7 @@ class ScoreModel:
     # ------------------------------------------------------------------
     # multi-device plumbing
     # ------------------------------------------------------------------
-    def _per_shard_variant(self) -> "ScoreModel":
+    def _per_shard_variant(self, exact: Optional[bool] = None) -> "ScoreModel":
         """The model each device runs under auto-sharding (shard_map).
 
         Inside shard_map every device executes a single-device program, so
@@ -87,11 +87,16 @@ class ScoreModel:
         conditional-RHS graph family crashes this platform's compiler);
         ``auto_fused`` cannot see that from ``jax.devices()`` alone, hence
         the explicit opt-in here.  Off-TPU the auto policy stands.
+
+        ``exact`` declares whether the sharded solve propagates exact-trace
+        tangent chains (their tighter feature envelope); forward-only
+        entry points (sampling) pass False so wide models still ride the
+        kernel per shard.  None = derive from ``trace_mode``.
         """
         if (
             self.use_fused_kernel is None
             and jax.default_backend() == "tpu"
-            and self._fused_supported()
+            and self._fused_supported(exact=exact)
         ):
             return dataclasses.replace(self, use_fused_kernel=True)
         return self
@@ -99,9 +104,16 @@ class ScoreModel:
     # ------------------------------------------------------------------
     # fused-kernel plumbing
     # ------------------------------------------------------------------
-    def _fused_supported(self) -> bool:
+    def _fused_supported(self, exact: Optional[bool] = None) -> bool:
+        """``exact`` = does the solve at hand propagate exact-trace tangent
+        chains?  The feature envelope is per-SOLVE, not per-model: a wide
+        (D + C in 17..64) model with ``trace_mode='exact'`` still runs its
+        forward-only paths (sampling, EM drift) on the kernel.  None =
+        conservative model-wide answer (``trace_mode``)."""
         from ..kernels.fused_mlp import supports_config, supports_features
 
+        if exact is None:
+            exact = self.trace_mode == "exact"
         return (
             isinstance(self.net, ScoreMLPConfig)
             and supports_config(self.net.units, self.net.activation)
@@ -110,7 +122,7 @@ class ScoreModel:
             # with the feature count (use a stochastic estimator there)
             and supports_features(
                 self.net.n_dimensions + self.net.n_conditionals,
-                exact=(self.trace_mode == "exact"),
+                exact=exact,
             )
         )
 
@@ -128,7 +140,7 @@ class ScoreModel:
         ``use_fused_kernel=False`` forces plain XLA.
         """
         return _common.fused_dispatch(
-            self.use_fused_kernel, self._fused_supported(),
+            self.use_fused_kernel, self._fused_supported(exact=for_exact),
             for_exact=for_exact, what="exact-trace solves",
         )
 
@@ -866,7 +878,7 @@ def _sample_ode_per_shard(atol, rtol, method, opts):
 
     def per_shard(model, zb, cb, kb):
         del kb
-        samples, stats = model._per_shard_variant().sample_ode_from_base(
+        samples, stats = model._per_shard_variant(exact=False).sample_ode_from_base(
             zb,
             cb,
             atol=atol,
@@ -886,7 +898,7 @@ def _sample_dpm_per_shard(steps, order):
     (module-level: its identity is the jit-cache key)."""
 
     def per_shard(model, xb, cb, kb):
-        out = model._per_shard_variant().sample_dpm(
+        out = model._per_shard_variant(exact=False).sample_dpm(
             xb, conditional=cb, steps=steps, order=order
         )
         return (out,), ()
@@ -898,7 +910,7 @@ def _sample_sde_per_shard(local_rows, shape_rest, steps):
     """Per-shard sample_sde body for ``parallel.autoshard``."""
 
     def per_shard(model, cb, kb):
-        res = model._per_shard_variant().sample_sde(
+        res = model._per_shard_variant(exact=False).sample_sde(
             kb, (local_rows, *shape_rest), cb, steps=steps
         )
         return (res.x_mean, res.x), jnp.reshape(res.nan_encountered, (1,))

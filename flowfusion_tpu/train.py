@@ -232,8 +232,13 @@ def _fused_engine_ok(model, loss_fn, optimizer, stages, n_train) -> bool:
         return False
     from .kernels.fused_train import _cfg_fields, supports_batch
     from .kernels.fused_mlp import supports_config
+    from .models.nets import ScoreMLPConfig, VelocityMLPConfig
 
     cfg = model.score_model.net if family == "population" else model.net
+    # Custom nets (anything with an .apply but not one of the two config
+    # families the kernel compiles) train on the XLA engine.
+    if not isinstance(cfg, (ScoreMLPConfig, VelocityMLPConfig)):
+        return False
     units, _, _, _ = _cfg_fields(cfg)
     if not supports_config(units, cfg.activation):
         return False

@@ -24,7 +24,13 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.expanduser("~"), ".cache", "jax_test_cache"),
 )
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# In THIS process the env vars are dead (sitecustomize imports jax before
+# conftest runs, snapshotting env-derived defaults — the config.update
+# calls below are what engage the cache here); they are kept for the
+# suite's SUBPROCESS children (CLI round-trips, distributed workers),
+# which inherit os.environ and read them at their own jax import.  Keep
+# the value in sync with the config.update below.
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import jax  # noqa: E402
 

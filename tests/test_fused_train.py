@@ -364,6 +364,15 @@ def test_engine_auto_selection():
         cfg_bad, params_bad = _setup(units=(96,))
         bad = dataclasses.replace(model, params=params_bad, net=cfg_bad)
         assert not _fused_engine_ok(bad, _default_loss, "adam", stages, 64)
+        # custom net (duck-typed fused family but not a compiled config
+        # class): must route to XLA, not AttributeError on config fields
+        @dataclasses.dataclass(frozen=True)
+        class _CustomNet:
+            def apply(self, params, t, x, conditional=None):
+                return -x
+
+        custom = dataclasses.replace(model, params={}, net=_CustomNet())
+        assert not _fused_engine_ok(custom, _default_loss, "adam", stages, 64)
         # batch beyond the VMEM guard routes to xla (clamped to n_train)
         big = [(1_000_000, 1e-3)]
         assert not _fused_engine_ok(

@@ -345,6 +345,53 @@ def test_fused_dispatch_policy(monkeypatch):
     assert _common.fused_dispatch(None, True, for_exact=True) is True
 
 
+def test_fused_envelope_is_per_solve_not_per_model(monkeypatch):
+    """A wide (D + C in 17..64) model with the default trace_mode='exact'
+    must keep its forward-only paths (sampling / EM drift) on the fused
+    kernel: the exact-trace feature bound applies per SOLVE, not
+    model-wide.  Regression: the envelope was once gated on the model's
+    trace_mode, so wide exact models refused fused sampling (explicit
+    use_fused_kernel=True raised) and sharded sampling fell through to
+    the plain-XLA graph family that crashes this platform's compiler."""
+    import dataclasses
+
+    from flowfusion_tpu.models import _common
+    from flowfusion_tpu.models.flow import ODEFlow
+
+    D, C = 20, 4
+    cfg = ScoreMLPConfig(n_dimensions=D, n_conditionals=C, units=(128,))
+    m = ScoreModel(
+        params=init_score_mlp(jax.random.PRNGKey(0), cfg), net=cfg, sde=VPSDE()
+    )
+    assert m.trace_mode == "exact"
+    assert m._fused_supported(exact=False)       # forward envelope: wide ok
+    assert not m._fused_supported(exact=True)    # exact keeps the 16 bound
+    assert not m._fused_supported()              # model-wide = conservative
+
+    # explicit use_fused_kernel=True: sampling dispatch fine, exact raises
+    forced = dataclasses.replace(m, use_fused_kernel=True)
+    assert forced._fused_available() is True
+    with pytest.raises(ValueError, match="support envelope"):
+        forced._fused_available(for_exact=True)
+
+    # mocked single-device TPU realm: the per-shard variant forces the
+    # kernel for sampling bodies (exact=False) but not for exact solves
+    monkeypatch.setattr(_common.jax, "default_backend", lambda: "tpu")
+    assert m._per_shard_variant(exact=False).use_fused_kernel is True
+    assert m._per_shard_variant().use_fused_kernel is None
+
+    # same contract on the flow side
+    f = ODEFlow.create(
+        jax.random.PRNGKey(0), target_dimension=D, conditional_dimension=C,
+        hidden_units=(128,),
+    )
+    assert f.trace_mode == "exact"
+    assert f._fused_supported(exact=False)
+    assert not f._fused_supported(exact=True)
+    assert f._per_shard_variant(exact=False).use_fused_kernel is True
+    assert f._per_shard_variant().use_fused_kernel is None
+
+
 def test_log_prob_fixed_step_method_works():
     """log_prob with a fixed-step method must not inject the adaptive-only
     min_step option (regression: ValueError 'unknown fixed-step options')."""
