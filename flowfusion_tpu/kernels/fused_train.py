@@ -589,15 +589,54 @@ def fused_train_epoch(
     :func:`train_tables_flow` and ``mean_over_dims=True`` for the flow
     loss's mean-over-batch-and-dims normalization).
     """
+    # The kernel hard-codes the two config families' forward passes; a
+    # duck-typed custom net could expose the same field names yet apply a
+    # different function, and would then be silently mis-trained.  Guard
+    # here at the choke point (not only in fit's auto routing).  Lazy
+    # import: models lazily import kernels, never the reverse at import
+    # time.
+    from ..models.nets import ScoreMLPConfig, VelocityMLPConfig
+
+    if not isinstance(cfg, (ScoreMLPConfig, VelocityMLPConfig)):
+        raise ValueError(
+            "fused training kernel compiles ScoreMLPConfig / "
+            f"VelocityMLPConfig nets only; got {type(cfg).__name__} — "
+            "custom nets train on the XLA engine "
+            "(train.fit(engine='xla'))"
+        )
     units, D_cfg, n_cond, E = _cfg_fields(cfg)
     if not supports_config(units, cfg.activation):
         raise ValueError(
             f"fused training kernel does not support units={units} "
             f"activation={cfg.activation}"
         )
+    # All state blocks are pinned float32 (out_shape structs, Adam
+    # moments, loss block); non-f32 leaves would die inside Mosaic with
+    # an opaque ref-dtype error.  Mixed-precision belongs to
+    # compute_dtype (the in-kernel matmul cast), not the stored state.
+    bad = {
+        str(l.dtype)
+        for l in jax.tree_util.tree_leaves(
+            (params, xt, zw, t, beta, conditional, ema)
+        )
+        if l.dtype != jnp.float32
+    }
+    if bad:
+        raise ValueError(
+            "fused training kernel stores float32 state; got leaves of "
+            f"dtype {sorted(bad)} — cast the params/tables to float32 or "
+            "use the XLA engine (train.fit(engine='xla')); for reduced-"
+            "precision matmuls set compute_dtype instead"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     steps, bs, D = xt.shape
+    if steps < 1:
+        raise ValueError(
+            f"fused training kernel needs at least one step; got tables "
+            f"with steps={steps} (is the dataset smaller than the batch "
+            "size?)"
+        )
     # Live VMEM at one grid step: the design depends on full state
     # residency, so there is no spill path — batches beyond the guard
     # belong to the XLA scan engine (train.fit(engine='xla')).  Same

@@ -8,6 +8,7 @@ the copies had started to diverge.  One definition here, consumed by all.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Tuple
 
 import math
@@ -16,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "auto_fused", "fused_dispatch", "std_stats", "cond_stats", "norm_cond",
+    "auto_fused", "fused_dispatch", "per_shard_variant",
+    "std_stats", "cond_stats", "norm_cond",
 ]
 
 
@@ -88,6 +90,32 @@ def fused_dispatch(
             "compiles it)"
         )
     return auto
+
+
+def per_shard_variant(model, supported: bool):
+    """The model each device runs under auto-sharding (shard_map) — the
+    shared force-fused-on-TPU rule for all three families.
+
+    Inside shard_map every device executes a single-device program, so on
+    TPU the fused kernel is both safe and (for the score/flow exact-trace
+    graphs) required — the plain-XLA conditional-RHS graph family crashes
+    this platform's compiler.  :func:`auto_fused` cannot see that from
+    ``jax.devices()`` alone (it counts the realm, not the shard), hence
+    the explicit opt-in here.  Off-TPU, or when the caller's envelope
+    check says the config is unsupported, the auto policy stands.
+
+    ``supported`` is the caller's per-solve envelope answer
+    (``_fused_supported(...)``) — each family owns that check; this
+    helper owns only the dispatch rule, so the rule cannot diverge
+    between families again.
+    """
+    if (
+        model.use_fused_kernel is None
+        and jax.default_backend() == "tpu"
+        and supported
+    ):
+        return dataclasses.replace(model, use_fused_kernel=True)
+    return model
 
 
 # Python-level constant: module import must stay device-free (a jnp.log

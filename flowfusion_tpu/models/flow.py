@@ -381,18 +381,11 @@ class ODEFlow:
         return xs[-1], ljs[-1], stats
 
     def _per_shard_variant(self, exact=None) -> "ODEFlow":
-        """Model each device runs under auto-sharding (see
-        ScoreModel._per_shard_variant — same reasoning: inside shard_map
-        each device runs a single-device program, so the fused kernel is
-        safe and preferred on TPU).  ``exact`` as in ``_fused_supported``:
-        sampling entry points pass False (forward-only envelope)."""
-        if (
-            self.use_fused_kernel is None
-            and jax.default_backend() == "tpu"
-            and self._fused_supported(exact=exact)
-        ):
-            return dataclasses.replace(self, use_fused_kernel=True)
-        return self
+        """Model each device runs under auto-sharding (the shared
+        ``_common.per_shard_variant`` rule).  ``exact`` as in
+        ``_fused_supported``: sampling entry points pass False
+        (forward-only envelope)."""
+        return _common.per_shard_variant(self, self._fused_supported(exact=exact))
 
     def log_prob_per_sample(
         self,

@@ -93,13 +93,7 @@ class ScoreModel:
         entry points (sampling) pass False so wide models still ride the
         kernel per shard.  None = derive from ``trace_mode``.
         """
-        if (
-            self.use_fused_kernel is None
-            and jax.default_backend() == "tpu"
-            and self._fused_supported(exact=exact)
-        ):
-            return dataclasses.replace(self, use_fused_kernel=True)
-        return self
+        return _common.per_shard_variant(self, self._fused_supported(exact=exact))
 
     # ------------------------------------------------------------------
     # fused-kernel plumbing

@@ -72,17 +72,10 @@ class SymplecticFlowModel:
         return _common.auto_fused(self.use_fused_kernel, self._fused_supported())
 
     def _per_shard_variant(self) -> "SymplecticFlowModel":
-        """Model each device runs under auto-sharding (see
-        ScoreModel._per_shard_variant: inside shard_map each device runs a
-        single-device program, so the fused kernel is safe and preferred
-        on TPU)."""
-        if (
-            self.use_fused_kernel is None
-            and jax.default_backend() == "tpu"
-            and self._fused_supported()
-        ):
-            return dataclasses.replace(self, use_fused_kernel=True)
-        return self
+        """Model each device runs under auto-sharding (the shared
+        ``_common.per_shard_variant`` rule; the symplectic envelope is
+        forward-only — its log-prob is trace-free)."""
+        return _common.per_shard_variant(self, self._fused_supported())
 
     def _solve_dynamics(self, conditional):
         """RHS for the no-grad solve paths: fused kernel when available."""

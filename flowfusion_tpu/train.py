@@ -239,6 +239,16 @@ def _fused_engine_ok(model, loss_fn, optimizer, stages, n_train) -> bool:
     # families the kernel compiles) train on the XLA engine.
     if not isinstance(cfg, (ScoreMLPConfig, VelocityMLPConfig)):
         return False
+    # The kernel stores float32 state only (its VMEM blocks are pinned
+    # f32); a bf16-initialized model trains on the XLA engine instead of
+    # crashing inside Mosaic.
+    params = (
+        model.score_model.params if family == "population" else model.params
+    )
+    if any(
+        l.dtype != jnp.float32 for l in jax.tree_util.tree_leaves(params)
+    ):
+        return False
     units, _, _, _ = _cfg_fields(cfg)
     if not supports_config(units, cfg.activation):
         return False

@@ -303,6 +303,70 @@ def test_fit_fused_engine_guards():
             stages=[(32, 1e-3)], epochs_per_stage=1)
 
 
+def test_fused_epoch_choke_point_guards():
+    """The kernel entry point itself (not just fit's auto routing) must
+    reject inputs it cannot honestly train: custom net configs (the
+    hard-coded forward would silently optimize a different function),
+    non-float32 state (the VMEM blocks are pinned f32 — Mosaic dies with
+    an opaque ref-dtype error), and empty step tables (the chunk loop
+    would fall through to an unrelated concatenate error)."""
+    cfg, params = _setup()
+    xt, zw, t, beta, cond = _tables(cfg, steps=2, bs=8)
+
+    # custom duck-typed config: clean ValueError, not AttributeError or
+    # a silently mis-trained net
+    @dataclasses.dataclass(frozen=True)
+    class _CustomCfg:
+        hidden_units: tuple = (128,)
+        target_dimension: int = 2
+        conditional_dimension: int = 0
+        activation: str = "silu"
+
+        def apply(self, params, t, x, conditional=None):
+            return -x
+
+    with pytest.raises(ValueError, match="XLA engine"):
+        fused_train_epoch(
+            params, _CustomCfg(), xt=xt, zw=zw, t=t, beta=beta, lr=1e-3,
+            interpret=INTERPRET,
+        )
+
+    # bf16 params: loud float32 contract, pointing at compute_dtype
+    params_bf16 = jax.tree_util.tree_map(
+        lambda l: l.astype(jnp.bfloat16), params
+    )
+    with pytest.raises(ValueError, match="float32"):
+        fused_train_epoch(
+            params_bf16, cfg, xt=xt, zw=zw, t=t, beta=beta, lr=1e-3,
+            interpret=INTERPRET,
+        )
+
+    # zero-step tables: named cause, not 'need at least one array'
+    with pytest.raises(ValueError, match="at least one step"):
+        fused_train_epoch(
+            params, cfg, xt=xt[:0], zw=zw[:0], t=t[:0], beta=beta[:0],
+            lr=1e-3, interpret=INTERPRET,
+        )
+
+
+def test_engine_auto_routes_bf16_params_to_xla():
+    """A bf16-initialized model must fall back to the XLA engine under
+    engine='auto' instead of crashing inside the Pallas kernel."""
+    from flowfusion_tpu.train import _fused_engine_ok, _default_loss
+
+    model = _make_score_model()
+    stages = [(32, 1e-3)]
+    bf16 = dataclasses.replace(
+        model,
+        params=jax.tree_util.tree_map(
+            lambda l: l.astype(jnp.bfloat16), model.params
+        ),
+    )
+    if jax.default_backend() == "tpu":
+        assert _fused_engine_ok(model, _default_loss, "adam", stages, 64)
+    assert not _fused_engine_ok(bf16, _default_loss, "adam", stages, 64)
+
+
 @pytest.mark.slow
 def test_fit_fused_trains_and_matches_xla_statistically():
     """fit(engine='fused') learns the same field as engine='xla': losses
