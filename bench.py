@@ -88,9 +88,9 @@ def tpu_numerics_check(model, x):
     counts — orders of magnitude beyond these bounds (measured healthy
     values: ~3e-7 RHS deviation, identical step counts).
 
-    Asserts, so a precision regression fails the bench loudly instead of
-    shipping a wrong number.  Diagnostics go to stderr (stdout carries
-    exactly one JSON line).
+    Raises RuntimeError, so a precision regression fails the bench loudly
+    instead of shipping a wrong number.  Diagnostics go to stderr (stdout
+    carries exactly one JSON line).
     """
     import sys
     import dataclasses
@@ -157,14 +157,21 @@ def tpu_numerics_check(model, x):
         f"div_dev {div_dev3:.2e} mean|dlogp| {dlp3:.2e}",
         file=sys.stderr,
     )
-    assert rhs_dev <= 1e-5, f"fused RHS deviates {rhs_dev:.2e} (bf16 trap?)"
-    assert div_dev <= 1e-4, f"fused divergence deviates {div_dev:.2e}"
-    assert nfe_f == nfe_p, f"step counts diverge: fused {nfe_f} plain {nfe_p}"
-    assert dlp <= 1e-4, f"fused log_prob deviates {dlp:.2e}"
-    assert rhs_dev3 <= 5e-5, f"3pass RHS deviates {rhs_dev3:.2e} (bf16 trap?)"
-    assert div_dev3 <= 2e-4, f"3pass divergence deviates {div_dev3:.2e}"
-    assert nfe_3 == nfe_p, f"step counts diverge: 3pass {nfe_3} plain {nfe_p}"
-    assert dlp3 <= 1e-4, f"3pass log_prob deviates {dlp3:.2e}"
+    # Plain raises, not asserts: the guard must survive python -O /
+    # PYTHONOPTIMIZE (asserts compile away and a silent bf16 regression
+    # would ship a wrong headline number as healthy).
+    def _check(ok: bool, msg: str) -> None:
+        if not ok:
+            raise RuntimeError(f"tpu_numerics_check: {msg}")
+
+    _check(rhs_dev <= 1e-5, f"fused RHS deviates {rhs_dev:.2e} (bf16 trap?)")
+    _check(div_dev <= 1e-4, f"fused divergence deviates {div_dev:.2e}")
+    _check(nfe_f == nfe_p, f"step counts diverge: fused {nfe_f} plain {nfe_p}")
+    _check(dlp <= 1e-4, f"fused log_prob deviates {dlp:.2e}")
+    _check(rhs_dev3 <= 5e-5, f"3pass RHS deviates {rhs_dev3:.2e} (bf16 trap?)")
+    _check(div_dev3 <= 2e-4, f"3pass divergence deviates {div_dev3:.2e}")
+    _check(nfe_3 == nfe_p, f"step counts diverge: 3pass {nfe_3} plain {nfe_p}")
+    _check(dlp3 <= 1e-4, f"3pass log_prob deviates {dlp3:.2e}")
 
 
 def _device_preflight(timeout_s: int = 120, total_budget_s: int = 600) -> None:
@@ -211,32 +218,40 @@ def _device_preflight(timeout_s: int = 120, total_budget_s: int = 600) -> None:
                 stderr=subprocess.PIPE,
             )
             break
-        except subprocess.TimeoutExpired:
+        except (
+            subprocess.TimeoutExpired,
+            subprocess.CalledProcessError,
+        ) as e:
+            # Fast failures (connection refused, rc != 0) are retried just
+            # like hangs: transient relay outages surface both ways, and
+            # the whole point of the window is to ride them out.
+            if isinstance(e, subprocess.CalledProcessError):
+                tail = (
+                    (e.stderr or b"")
+                    .decode(errors="replace")
+                    .strip()
+                    .splitlines()
+                )
+                detail = f"probe failed fast (rc={e.returncode}): " + " | ".join(
+                    tail[-3:]
+                )
+            else:
+                detail = f"probe timed out after {timeout_s}s"
             if _time.monotonic() + timeout_s + 30 > deadline:
                 print(
-                    f"bench preflight: device backend unresponsive across "
-                    f"{attempt} probes over ~{total_budget_s}s (tiny matmul "
-                    "never completed) — relay/tunnel outage, not a framework "
-                    "failure; rerun when the device path recovers",
+                    f"bench preflight: device backend unhealthy across "
+                    f"{attempt} probes over ~{total_budget_s}s "
+                    f"(last: {detail}) — relay/tunnel outage, not a "
+                    "framework failure; rerun when the device path recovers",
                     file=sys.stderr,
                 )
                 sys.exit(3)
             print(
-                f"bench preflight: probe {attempt} timed out after "
-                f"{timeout_s}s; retrying (transient relay outages recover)",
+                f"bench preflight: {detail}; retrying (transient relay "
+                "outages recover)",
                 file=sys.stderr,
             )
             _time.sleep(30)
-        except subprocess.CalledProcessError as e:
-            tail = (
-                (e.stderr or b"").decode(errors="replace").strip().splitlines()
-            )
-            print(
-                f"bench preflight: device probe failed (rc={e.returncode}):\n"
-                + "\n".join(tail[-8:]),
-                file=sys.stderr,
-            )
-            sys.exit(3)
     print("bench preflight: backend responsive", file=sys.stderr)
 
 
@@ -306,21 +321,15 @@ def main():
         # relay caches identical executable+argument pairs and XLA could
         # CSE identical scan inputs) at sub-tolerance 1e-6 offsets.
         # The slope machinery (incl. the doubled-repeat retry when jitter
-        # makes a slope non-positive) is shared with the suite — ONE copy.
-        from benchmarks.bench_suite import repeat_slope
+        # makes a slope non-positive) and the cache-proof input-stack
+        # builder are shared with the suite — ONE copy of each.
+        from benchmarks.bench_suite import repeat_slope, stack_of
 
         def per_solve(xx, kk):
             lp, _ = logprob_fn(model, xx, kk)
             return lp
 
-        def make_stack(K, rep):
-            # rep*16 keeps offsets distinct across reps even after the
-            # retry doubles K (k2=3 -> 6 < 16)
-            xs = jnp.stack([x + (rep * 16 + j + 1) * 1e-6 for j in range(K)])
-            ks = jax.random.split(jax.random.PRNGKey(100 * K + rep), K)
-            return xs, ks
-
-        best = repeat_slope(per_solve, make_stack, k2=3)
+        best = repeat_slope(per_solve, stack_of(x, 100), k2=3)
         if not (best > 0.05):
             raise RuntimeError(
                 f"marginal solve time {best*1e3:.1f} ms for {n} rows — "

@@ -53,10 +53,15 @@ import numpy as np
 def _sync(out):
     """Force a real device sync: on this sandbox's remote-TPU relay,
     block_until_ready alone can return before execution and identical
-    dispatches may be served from a cache — fetch one element to be sure."""
+    dispatches may be served from a cache — fetch one element to be sure.
+
+    The slice happens ON DEVICE first (``leaf.ravel()[:1]`` is a lazy
+    device op for jax arrays): fetching the whole leaf would pull
+    megabytes through the very relay whose fixed fetch cost the slope
+    machinery exists to cancel."""
     jax.block_until_ready(out)
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf).ravel()[:1]
+    np.asarray(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf)
     return out
 
 
@@ -130,6 +135,23 @@ def repeat_slope(per_solve, make_stack, k2=4, reps=3, retry=True):
     return slope
 
 
+def stack_of(base, seed):
+    """(K, rep) -> (xs, ks) input stacks for repeat_slope: every solve
+    in every rep gets distinct data (sub-tolerance 1e-6 offsets) and a
+    distinct key — the relay cache has been observed to hit on key-only
+    variation, and identical scan inputs could be CSE'd.  ``rep * 16``
+    keeps offsets distinct across reps even after the non-positive-slope
+    retry doubles K.  Module-level on purpose: bench.py's headline metric
+    uses the same builder (ONE copy of the cache-proofing scheme)."""
+
+    def make_stack(K, rep):
+        xs = jnp.stack([base + (rep * 16 + j + 1) * 1e-6 for j in range(K)])
+        ks = jax.random.split(jax.random.PRNGKey(seed + rep), K)
+        return xs, ks
+
+    return make_stack
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=50_000)
@@ -166,19 +188,6 @@ def main():
         record(name, seconds, per_what)
 
     # --- log-prob -----------------------------------------------------
-    def stack_of(base, seed):
-        """(K, rep) -> (xs, ks) input stacks for repeat_slope: every solve
-        in every rep gets distinct data (sub-tolerance 1e-6 offsets) and a
-        distinct key — the relay cache has been observed to hit on
-        key-only variation, and identical scan inputs could be CSE'd."""
-
-        def make_stack(K, rep):
-            xs = jnp.stack([base + (rep * 16 + j + 1) * 1e-6 for j in range(K)])
-            ks = jax.random.split(jax.random.PRNGKey(seed + rep), K)
-            return xs, ks
-
-        return make_stack
-
     configs = [
         ("logprob/hutchinson/plain-f32", dict(trace_mode="hutchinson", use_fused_kernel=False)),
         ("logprob/hutchinson/fused-f32", dict(trace_mode="hutchinson", use_fused_kernel=True)),
@@ -460,8 +469,11 @@ def main():
         em_slope(
             f"em-sample/{args.steps}steps/fused-bf16", m_bf16, "sample_sde_fused"
         )
-    except Exception as e:
-        print(f"fused EM unavailable: {type(e).__name__}: {e}")
+    except ValueError as e:
+        # Only the kernel's own unsupported-config guard is an expected
+        # skip; anything else (shape/dtype/trace errors) is a regression
+        # and must fail the suite, not ship a green run without the rows.
+        print(f"fused EM unavailable: {e}")
 
     # --- ODE sampling -------------------------------------------------
     z_base = jax.random.normal(jax.random.PRNGKey(5), (n, 2))

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fixed import FIXED_METHODS, _tree_axpy as _axpy
+from .fixed import _tree_axpy as _axpy
 
 __all__ = ["odeint_multistep", "MULTISTEP_METHODS"]
 
@@ -68,9 +68,24 @@ def _push(hist, f):
     )
 
 
+def _rk4_known_k1(func, t, dt, y, k1):
+    """One RK4 step reusing the already-evaluated ``k1 = f(t, y)``.
+
+    The startup loop below always holds f(t_n, y_n) in the derivative
+    history, so letting the stock ``FIXED_METHODS['rk4']`` recompute k1
+    would waste one RHS evaluation per startup step (the same
+    share-the-boundary-eval argument as fixed.py's leapfrog)."""
+    k2 = func(t + 0.5 * dt, _axpy(y, 0.5 * dt, k1))
+    k3 = func(t + 0.5 * dt, _axpy(y, 0.5 * dt, k2))
+    k4 = func(t + dt, _axpy(y, dt, k3))
+    upd = jax.tree_util.tree_map(
+        lambda a, b, c, d: (a + 2.0 * b + 2.0 * c + d) / 6.0, k1, k2, k3, k4
+    )
+    return _axpy(y, dt, upd)
+
+
 def _integrate_interval(func, y0, t0, dt, n_steps, method):
     """Uniform-grid Adams integration of one output interval."""
-    rk4 = FIXED_METHODS["rk4"]
     n_startup = min(3, n_steps)
 
     # RK4 startup: fill the derivative history at t0, t1, ... (newest first).
@@ -80,10 +95,12 @@ def _integrate_interval(func, y0, t0, dt, n_steps, method):
     )
     y = y0
     t = t0
+    f_t = f0  # f(t, y) — newest history entry, reused as the next k1
     for i in range(n_startup):
-        y = rk4(func, t, dt, y)
+        y = _rk4_known_k1(func, t, dt, y, f_t)
         t = t0 + (i + 1) * dt
-        hist = _push(hist, func(t, y))
+        f_t = func(t, y)
+        hist = _push(hist, f_t)
     if n_steps <= 3:
         return y
 
@@ -118,22 +135,40 @@ def odeint_multistep(
 
     Returns a pytree whose leaves gain a leading axis of len(ts); row 0 is
     ``y0``.  ``ts`` may be increasing or decreasing (dt is signed).
+
+    The whole trajectory is ONE ``lax.scan`` over output intervals (the
+    per-interval sub-program — RK4 startup + Adams scan — is traced
+    once, with the interval's (t0, dt) carried as scan inputs), so dense
+    output grids do not balloon trace/compile time the way a per-interval
+    Python loop would.
     """
     if method not in MULTISTEP_METHODS:
         raise ValueError(
             f"unknown multistep method {method!r}; use one of {MULTISTEP_METHODS}"
         )
+    if steps_per_interval < 1:
+        raise ValueError(
+            f"steps_per_interval must be >= 1; got {steps_per_interval}"
+        )
     ts = np.asarray(ts, np.float64)
     if ts.ndim != 1 or len(ts) < 2:
         raise ValueError("ts must be a 1-D grid with at least two times")
 
-    outs = [y0]
-    y = y0
-    for a, b in zip(ts[:-1], ts[1:]):
-        dt = float(b - a) / steps_per_interval
-        y = _integrate_interval(
-            func, y, jnp.asarray(a, jnp.float32), jnp.asarray(dt, jnp.float32),
-            steps_per_interval, method,
+    # Sub-step sizes in float64 on host, cast once (the same precision
+    # discipline as odeint_fixed's grid construction).
+    t0s = jnp.asarray(ts[:-1], jnp.float32)
+    dts = jnp.asarray((ts[1:] - ts[:-1]) / steps_per_interval, jnp.float32)
+
+    def interval(y, t0_dt):
+        t0, dt = t0_dt
+        y_new = _integrate_interval(
+            func, y, t0, dt, steps_per_interval, method
         )
-        outs.append(y)
-    return jax.tree_util.tree_map(lambda *rows: jnp.stack(rows, axis=0), *outs)
+        return y_new, y_new
+
+    y0 = jax.tree_util.tree_map(jnp.asarray, y0)
+    _, rows = jax.lax.scan(interval, y0, (t0s, dts))
+    return jax.tree_util.tree_map(
+        lambda first, rest: jnp.concatenate([first[None], rest], axis=0),
+        y0, rows,
+    )

@@ -50,8 +50,6 @@ def summarize_stats(stats) -> Dict[str, Any]:
     """
     if stats is None:
         return {}
-    import numpy as np
-
     nfe = np.asarray(stats.n_func_evals)
     acc = np.asarray(stats.n_accepted)
     rej = np.asarray(stats.n_rejected)

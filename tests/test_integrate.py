@@ -304,6 +304,44 @@ def test_adams_backward_and_multiple_outputs():
     np.testing.assert_allclose(ys[:, 0], expected, rtol=1e-5)
 
 
+def test_adams_rejects_bad_step_counts():
+    """steps <= 0 must be a named ValueError, not ZeroDivisionError (0)
+    or silently-returned initial state (negative: the startup loop went
+    empty and the <=3 early-exit handed y0 back for every output row)."""
+    from flowfusion_tpu.ops.integrate.multistep import odeint_multistep
+
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="steps_per_interval"):
+            odeint_multistep(
+                lambda t, y: -y, jnp.ones(2), [0.0, 1.0],
+                steps_per_interval=bad,
+            )
+
+
+def test_adams_dense_grid_single_trace():
+    """A dense output grid compiles ONE scan-over-intervals program (the
+    per-interval Python loop used to emit len(ts)-1 copies) and still
+    matches the analytic solution on a non-uniform grid."""
+    from flowfusion_tpu.ops.integrate.multistep import odeint_multistep
+
+    calls = 0
+
+    def rhs(t, y):
+        nonlocal calls
+        calls += 1  # counts TRACES, not runtime evals
+        return -y
+
+    ts = np.concatenate([np.linspace(0, 0.5, 17), [0.7, 1.0]])
+    ys = odeint_multistep(rhs, jnp.ones(3), ts, method="explicit_adams",
+                          steps_per_interval=8)
+    # one interval body traced once: startup (f0 + 3x(3 rk4 stages + push)) +
+    # scan body (1 eval) = a small constant, nowhere near len(ts)-1 copies
+    assert calls <= 16, f"interval body traced per interval? ({calls} traces)"
+    np.testing.assert_allclose(
+        np.asarray(ys)[:, 0], np.exp(-ts), rtol=1e-5
+    )
+
+
 def test_adams_tuple_state_and_grad():
     # Augmented (x, logp)-style tuple state; scan path is reverse-differentiable.
     def rhs(t, state):
