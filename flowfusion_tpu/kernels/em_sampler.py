@@ -23,7 +23,9 @@ Per batch tile the kernel:
      b. runs the score-net layer chain on the MXU;
      c. draws N(0,1) noise via Box--Muller from pltpu.prng_random_bits;
      d. x_mean = x + (c0 x + c1 net) dt;  x = x_mean + g sqrt(dt) z.
-  3. writes the final (x_mean, x) tile.
+  3. writes the final (x_mean, x) tile plus a per-tile divergence flag
+     (the NaN-freeze keeps outputs finite, so the flag is the only
+     signal a tile froze — see ``fused_em_sample``).
 
 Host-side preparation computes, for the uniform grid t_s = T + s*dt:
   b1_eff[s]  = b1 + temb(t_s) @ W1_emb
@@ -47,9 +49,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_mlp import (
-    _RANK1_MAX,
     _act_value_fn,
     _check_conditional,
+    in_proj_rows,
     supports_config,
 )
 
@@ -139,7 +141,8 @@ def _kernel(steps: int, n_hidden: int, compute_dtype, hw_rng, with_cond, refs, a
     w_out = refs[i]; i += 1  # (D, H)
     b_out = refs[i]; i += 1  # (D, 1)
     mean_ref = refs[i]; i += 1
-    out_ref = refs[i]
+    out_ref = refs[i]; i += 1
+    flag_ref = refs[i]  # (1, tile) per-tile ok flag (1.0 = no divergence)
 
     if hw_rng:
         # separate seed words: seed+program_id ADDITION would collide
@@ -182,14 +185,7 @@ def _kernel(steps: int, n_hidden: int, compute_dtype, hw_rng, with_cond, refs, a
     step_iota = jax.lax.broadcasted_iota(jnp.int32, b_all.shape, 1)
 
     def net(x, s):
-        if d_in > _RANK1_MAX:
-            # wide-feature envelope: one (H, D) @ (D, tile) MXU pass
-            # beats D rank-1 VPU adds past ~16 rows (fused_mlp.in_proj)
-            a = mm(w_in[:], x)
-        else:
-            a = w_in[:, 0][:, None] * x[0:1, :]
-            for j in range(1, d_in):
-                a = a + w_in[:, j][:, None] * x[j : j + 1, :]
+        a = in_proj_rows(mm, w_in, x, d_in, d_in)
         b_col = jnp.sum(
             jnp.where(step_iota == s, b_all, 0.0), axis=1, keepdims=True
         )
@@ -212,20 +208,33 @@ def _kernel(steps: int, n_hidden: int, compute_dtype, hw_rng, with_cond, refs, a
         else:
             z = noise_ref[s, :, :]
         new_x = new_mean + gsdt * z
-        # NaN-freeze parity with the reference sampler and the lax.scan
-        # path (fixed.euler_maruyama): a non-finite step stops updates and
-        # the last finite state is returned instead of NaN poison.
-        keep = ok & jnp.all(jnp.isfinite(new_x)) & jnp.all(jnp.isfinite(new_mean))
+        # NaN-freeze like the reference sampler and the lax.scan path
+        # (fixed.euler_maruyama): a non-finite step stops updates and the
+        # last finite state is returned instead of NaN poison.  Checking
+        # new_x alone suffices (z is always finite, so a non-finite
+        # new_mean makes new_x non-finite too — same predicate as the
+        # scan path).  Granularity delta: the scan path freezes the WHOLE
+        # batch; grid programs are independent, so this kernel freezes
+        # per batch TILE — diverged solves keep more finite samples here,
+        # and the per-tile flag output preserves the divergence
+        # diagnostic either way.
+        keep = ok & jnp.all(jnp.isfinite(new_x))
         x = jnp.where(keep, new_x, x)
         x_mean = jnp.where(keep, new_mean, x_mean)
         return (x, x_mean, keep)
 
     x0 = x_ref[:]
-    x, x_mean, _ = jax.lax.fori_loop(
+    x, x_mean, ok = jax.lax.fori_loop(
         0, steps, body, (x0, x0, jnp.asarray(True))
     )
     mean_ref[:] = x_mean
     out_ref[:] = x
+    # per-tile divergence flag (1.0 = clean): the freeze above guarantees
+    # finite outputs, so callers cannot detect divergence from the
+    # samples — this flag is the only signal that a tile froze.
+    flag_ref[:] = jnp.broadcast_to(
+        ok.astype(jnp.float32)[None, None], flag_ref.shape
+    )
 
 
 def em_prep(params: dict, cfg, sde, steps: int, no_sigma: bool):
@@ -315,10 +324,12 @@ def _fused_em_impl(
         out_specs=[
             pl.BlockSpec((D, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((D, B), jnp.float32),
             jax.ShapeDtypeStruct((D, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=B * steps * 2 * H * (D + (n_hidden - 1) * H + d_out),
@@ -327,7 +338,10 @@ def _fused_em_impl(
         ),
         interpret=interpret,
     )(*operands)
-    return out[0].T, out[1].T
+    # (x_mean, x, diverged): diverged=True iff ANY batch tile hit a
+    # non-finite step and froze (the in-kernel freeze makes the sample
+    # arrays themselves always finite, so this flag is the diagnostic).
+    return out[0].T, out[1].T, jnp.any(out[2][0] < 0.5)
 
 
 def fused_em_sample(
@@ -342,13 +356,18 @@ def fused_em_sample(
     tile: int = 2048,
     interpret: Optional[bool] = None,
     compute_dtype: str = "float32",
-) -> Tuple[jax.Array, jax.Array]:
-    """Run the fused EM loop from prior samples ``x0``; returns (x_mean, x).
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Run the fused EM loop from prior samples ``x0``; returns
+    ``(x_mean, x, diverged)``.
 
     ``conditional`` (already standardized) is folded into a precomputed
     first-layer contribution — conditioning is one add per step in-kernel.
     ``seed`` is an int32 scalar; each batch tile derives an independent
-    hardware-PRNG stream.
+    hardware-PRNG stream.  ``diverged`` is a scalar bool: True iff any
+    batch tile hit a non-finite step and froze at its last finite state
+    (the in-kernel NaN-freeze keeps the returned samples finite, so the
+    arrays alone cannot reveal divergence — callers must consult the
+    flag, e.g. for ``EMResult.nan_encountered``).
     """
     if not supports_config(cfg.units, cfg.activation):
         raise ValueError(
@@ -389,11 +408,11 @@ def fused_em_sample(
             jax.random.PRNGKey(seed), (steps,) + x0.shape, jnp.float32
         )
 
-    x_mean, x = _fused_em_impl(
+    x_mean, x, diverged = _fused_em_impl(
         x0, seed_arr, noise, cond_proj, coeffs, b_eff_all, w_in, tuple(hidden_flat),
         layers[-1]["w"].astype(wdt), layers[-1]["b"][None, :],
         steps=steps, n_hidden=len(layers) - 1, d_out=D, tile=tile,
         interpret=interpret, compute_dtype=compute_dtype,
         activation=cfg.activation,
     )
-    return x_mean[:B], x[:B]
+    return x_mean[:B], x[:B], diverged

@@ -233,6 +233,26 @@ def _act_pair_fn(activation: str, fast_sigmoid: bool = False):
     return pair
 
 
+def in_proj_rows(mm_fn, w_in_ref, xc, n, d_total):
+    """Input projection ``w_inT[:, :n] @ xc[:n]`` -> (H, cols) — the single
+    source of the rank-1/MXU crossover for every kernel with a V4
+    first layer (the RHS kernels here and the EM sampler).
+
+    Up to ``_RANK1_MAX`` rows: rank-1 VPU accumulation over natural
+    (1, cols) row slices — no relayout, and an n-row MXU pass would waste
+    a systolic load at n ~ 2-16.  Beyond that the n rank-1 adds cost more
+    than ONE padded (H, n) @ (n, cols) MXU pass (the wide-feature
+    envelope, ``supports_features``) through ``mm_fn``.  ``d_total`` is
+    the ref's full feature width: when ``n == d_total`` the whole-ref
+    load ``w_in_ref[:]`` avoids a strided column slice."""
+    if n > _RANK1_MAX:
+        return mm_fn(w_in_ref[:, :n] if n < d_total else w_in_ref[:], xc[:n, :])
+    acc = w_in_ref[:, 0][:, None] * xc[0:1, :]
+    for j in range(1, n):
+        acc = acc + w_in_ref[:, j][:, None] * xc[j : j + 1, :]
+    return acc
+
+
 def _act_value_fn(activation: str, fast_sigmoid: bool = False):
     """act(a) only — for forward-only kernels (e.g. the EM sampler),
     which would otherwise materialize the derivative half of
@@ -326,6 +346,16 @@ def _stack_sketch_probes(probes, sketch_mode, D):
             )
         return O, O.shape[0], 0
     raise ValueError(f"unknown sketch mode {sketch_mode!r}")
+
+
+def _io_clamped_tile(tile: int, max_sub: int, io_rows_total: int) -> int:
+    """Halve ``tile`` (floor 256) until the per-grid-step IO blocks —
+    ``io_rows_total`` f32 rows of ``tile * max_sub`` columns — fit an
+    ~8 MiB VMEM budget (double-buffered by Mosaic, so ~16 MiB peak of
+    the ~128 MiB/core VMEM, leaving room for the activation chains)."""
+    while tile > 256 and tile * max_sub * io_rows_total * 4 > 8 * 2**20:
+        tile //= 2
+    return tile
 
 
 def _grid_plan(B: int, tile: int, max_sub: int = 16):
@@ -449,24 +479,15 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
     )
     mm_tan = mm_3pass if relax_tangents else mm
 
-    def in_proj(xc, nrows=None):
-        """Input projection w_inT[:, :n] @ xc[:n] -> (H, subtile).
-
-        Up to ``_RANK1_MAX`` rows: rank-1 VPU accumulation over natural
-        (1, subtile) row slices — no relayout, and a K-row MXU pass would
-        waste a systolic load at K ~ 2-16.  Beyond that the K rank-1 adds
-        cost more than ONE padded (H, K) @ (K, subtile) MXU pass (the
-        wide-feature envelope, ``supports_features``), which runs at the
-        mode's matmul precision like every other layer.  Probe tangents
-        have zero conditional components, so their projection consumes
-        only the first ``nrows`` (= d_out) weight columns."""
+    def in_proj(xc, nrows=None, matmul=None):
+        """Input projection (see ``in_proj_rows`` for the rank-1/MXU
+        crossover).  Probe tangents have zero conditional components, so
+        their projection consumes only the first ``nrows`` (= d_out)
+        weight columns — and passes ``matmul=mm_tan`` so a wide-input
+        MXU projection honours the tangent-chain precision split like
+        every other tangent matmul."""
         n = nrows if nrows is not None else d_in
-        if n > _RANK1_MAX:
-            return mm(w_in[:, :n] if n < d_in else w_in[:], xc[:n, :])
-        acc = w_in[:, 0][:, None] * xc[0:1, :]
-        for j in range(1, n):
-            acc = acc + w_in[:, j][:, None] * xc[j : j + 1, :]
-        return acc
+        return in_proj_rows(matmul or mm, w_in, xc, n, d_in)
 
     # Throughput modes take the tanh-form sigmoid (see _act_pair_fn);
     # the strict f32 parity mode keeps exp, bit-matching plain XLA.
@@ -564,7 +585,7 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
 
         def apply_A(v):
             """A v = c0 v + c1 J_net v through the stored dh chain."""
-            ta = in_proj(v, nrows=d_out)
+            ta = in_proj(v, nrows=d_out, matmul=mm_tan)
             for li in range(n_hidden - 1):
                 ta = mm_tan(w_hidden[li][:], dh_list[li] * ta)
             return c0 * v + c1 * mm_tan(w_out[:], dh_list[-1] * ta)
@@ -641,10 +662,14 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
             # probe tangents have zero conditional components: e_ref
             # carries only d_out rows and projects through the x-weight
             # columns (no host-side zero-padding over the conditional)
-            tangents = [in_proj(e_ref[:, sl], nrows=d_out)]
+            tangents = [in_proj(e_ref[:, sl], nrows=d_out, matmul=mm_tan)]
         elif mode == "tangents":
             tangents = [
-                in_proj(e_ref[k * d_out : (k + 1) * d_out, sl], nrows=d_out)
+                in_proj(
+                    e_ref[k * d_out : (k + 1) * d_out, sl],
+                    nrows=d_out,
+                    matmul=mm_tan,
+                )
                 for k in range(n_tan)
             ]
         elif mode == "exact":
@@ -1124,26 +1149,29 @@ def _dispatch(
     max_sub = 16 if mode == "forward" else 8
     if tile is None:
         tile = 4096 if mode == "forward" else 1024
-        # Wide-feature IO clamp: the per-grid-step x/probe/output blocks
-        # are (rows, tile * max_sub) f32, so their footprint scales with
-        # the feature count — shrink the tile until they fit an ~8 MiB
-        # budget (the legacy <=16-feature envelope sits under it at the
-        # default tiles, so this only bites wide configs).  An explicit
-        # ``tile`` argument is honoured untouched.
-        d_in_total = x.shape[1] + (
-            conditional.shape[1] if conditional is not None else 0
-        )
-        if mode == "hutchinson":
-            io_rows = d_out + 1
-        elif mode == "tangents":
-            io_rows = 2 * n_tan * d_out  # probe stack in, jv stack out
-        elif mode in ("hutchpp", "xtrace"):
-            io_rows = (n_tan + n_tan2) * d_out + 1
-        else:
-            io_rows = 0
-        heavy = d_in_total + io_rows + d_out
-        while tile > 256 and tile * max_sub * heavy * 4 > 8 * 2**20:
-            tile //= 2
+    # Wide-feature IO clamp: the per-grid-step x/probe/output blocks are
+    # (rows, tile * max_sub) f32, so their footprint scales with the
+    # feature count — shrink the tile until they fit an ~8 MiB budget.
+    # Applied to EVERY tile (the mode defaults above, the wrapper-tuned
+    # tiles like fused_drift's 2048/3072 and the sketch 1024, and
+    # explicit arguments): the legacy <=16-feature envelope sits under
+    # the budget at all of those, so this only bites wide configs —
+    # which would otherwise Mosaic-OOM at compile (e.g. D=64 hutchinson
+    # at fused_drift's 2048 default keeps ~12.6 MiB of IO blocks per
+    # grid step, ~25 MiB double-buffered).  Shrink-only: a small
+    # explicit tile is honoured untouched.
+    d_in_total = x.shape[1] + (
+        conditional.shape[1] if conditional is not None else 0
+    )
+    if mode == "hutchinson":
+        io_rows = d_out + 1
+    elif mode == "tangents":
+        io_rows = 2 * n_tan * d_out  # probe stack in, jv stack out
+    elif mode in ("hutchpp", "xtrace"):
+        io_rows = (n_tan + n_tan2) * d_out + 1
+    else:
+        io_rows = 0
+    tile = _io_clamped_tile(tile, max_sub, d_in_total + io_rows + d_out)
     x_in = x if conditional is None else jnp.concatenate([x, conditional], -1)
     B = x_in.shape[0]
     # Tangent modes keep 2+ activation chains plus double-buffered in/out

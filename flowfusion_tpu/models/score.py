@@ -437,7 +437,7 @@ class ScoreModel:
         k_prior, k_seed = jax.random.split(key)
         x0 = self.sde.prior_sample(k_prior, shape)
         seed = jax.random.randint(k_seed, (), 0, 2**31 - 1, jnp.int32)
-        x_mean, x = fused_em_sample(
+        x_mean, x, diverged = fused_em_sample(
             self.params,
             self.net,
             self.sde,
@@ -448,7 +448,14 @@ class ScoreModel:
             no_sigma=self.no_sigma,
             compute_dtype=compute_dtype or self.kernel_compute_dtype,
         )
-        nan = ~(jnp.all(jnp.isfinite(x_mean)) & jnp.all(jnp.isfinite(x)))
+        # The kernel's NaN-freeze guarantees finite outputs, so divergence
+        # is reported by its per-tile flag, not output finiteness (the
+        # finiteness check additionally catches a non-finite prior draw,
+        # which freezes at step 0 and propagates x0 through).
+        nan = (
+            diverged
+            | ~(jnp.all(jnp.isfinite(x_mean)) & jnp.all(jnp.isfinite(x)))
+        )
         return EMResult(x_mean=x_mean, x=x, nan_encountered=nan)
 
     def sample_ode_from_base(

@@ -174,7 +174,7 @@ def test_fused_em_sampler_matches_scan_with_shared_noise():
     for l in layers[1:-1]:
         hidden_flat.append(l["w"])
         hidden_flat.append(l["b"][None, :])
-    xm_k, x_k = es._fused_em_impl(
+    xm_k, x_k, _ = es._fused_em_impl(
         x0, jnp.asarray([0], jnp.int32), noise, None, coeffs, b_eff, w_in,
         tuple(hidden_flat), layers[-1]["w"], layers[-1]["b"][None, :],
         steps=steps, n_hidden=len(layers) - 1, d_out=2, tile=n,
@@ -425,7 +425,7 @@ def test_fused_em_conditional_matches_scan_with_shared_noise():
     for l in layers[1:-1]:
         hidden_flat.append(l["w"])
         hidden_flat.append(l["b"][None, :])
-    xm_k, x_k = es._fused_em_impl(
+    xm_k, x_k, _ = es._fused_em_impl(
         x0, jnp.asarray([0], jnp.int32), noise, cond_proj, coeffs, b_eff, w_in,
         tuple(hidden_flat), layers[-1]["w"], layers[-1]["b"][None, :],
         steps=steps, n_hidden=len(layers) - 1, d_out=2, tile=n,
@@ -1153,7 +1153,7 @@ def test_fused_em_sampler_wide_features_matches_scan():
     for l in layers[1:-1]:
         hidden_flat.append(l["w"])
         hidden_flat.append(l["b"][None, :])
-    xm_k, x_k = es._fused_em_impl(
+    xm_k, x_k, _ = es._fused_em_impl(
         x0, jnp.asarray([0], jnp.int32), noise, None, coeffs, b_eff, w_in,
         tuple(hidden_flat), layers[-1]["w"], layers[-1]["b"][None, :],
         steps=steps, n_hidden=len(layers) - 1, d_out=D, tile=n,
@@ -1174,3 +1174,75 @@ def test_fused_em_sampler_wide_features_matches_scan():
         x = xm + jnp.sqrt(g2) * np.sqrt(abs(dt)) * noise[s_]
     np.testing.assert_allclose(np.asarray(x_k), np.asarray(x), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(xm_k), np.asarray(xm), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_em_divergence_flag():
+    """The EM kernel's NaN-freeze keeps the returned samples finite, so
+    divergence must surface through the per-tile flag: a solve started
+    from an astronomically large state overflows the net at step 0,
+    freezes, and must report diverged=True (previously the finite frozen
+    outputs made nan_encountered silently False); a normal solve from
+    prior samples must stay diverged=False."""
+    from flowfusion_tpu.kernels.em_sampler import fused_em_sample
+    from flowfusion_tpu.models.score import ScoreModel
+    from flowfusion_tpu.ops.sde import VPSDE
+
+    cfg, params = _setup(units=(128,))
+    sde = VPSDE()
+
+    x_big = jnp.full((64, 2), 1e38, jnp.float32)
+    xm, x, diverged = fused_em_sample(params, cfg, sde, x_big, 0, steps=5)
+    assert bool(diverged)
+    # frozen at the last finite state (the initial state): finite outputs
+    assert bool(jnp.all(jnp.isfinite(x)))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x_big))
+
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+    _, _, clean = fused_em_sample(params, cfg, sde, x0, 0, steps=5)
+    assert not bool(clean)
+
+    # model-level: nan_encountered must carry the kernel flag
+    m = ScoreModel(params=params, net=cfg, sde=sde)
+    res = m.sample_sde_fused(jax.random.PRNGKey(0), (64, 2), steps=5)
+    assert not bool(res.nan_encountered)
+
+
+def test_io_clamp_applies_to_wrapper_tiles():
+    """Every fused entry point's tile (mode default, wrapper-tuned, or
+    explicit) passes through the IO-block VMEM clamp, so wide-feature
+    configs admitted by supports_features cannot exceed the ~8 MiB
+    per-grid-step IO budget (a D=64 Hutchinson dispatch at fused_drift's
+    2048 default would otherwise keep ~12.6 MiB live)."""
+    from flowfusion_tpu.kernels.fused_mlp import _io_clamped_tile
+
+    budget = 8 * 2**20
+    # fused_drift hutchinson, D=64 unconditional: heavy = 64 + 65 + 64
+    assert _io_clamped_tile(2048, 8, 193) * 8 * 193 * 4 <= budget
+    # fused_drift_sketch hutchpp, D=64, r=m=4: heavy = 64 + 8*64+1 + 64
+    assert _io_clamped_tile(1024, 8, 641) * 8 * 641 * 4 <= budget
+    # narrow legacy configs are untouched by the clamp at their defaults
+    assert _io_clamped_tile(4096, 16, 2 + 0 + 2) == 4096
+    assert _io_clamped_tile(3072, 8, 2 + 3 + 2) == 3072
+    # floor: never clamps below 256
+    assert _io_clamped_tile(256, 8, 10**6) == 256
+
+
+def test_wide_hutchinson_default_tile_dispatch():
+    """End-to-end: a D=64 Hutchinson fused_drift with the DEFAULT tile
+    (the config the unclamped wrapper default would VMEM-OOM on real
+    hardware) dispatches and matches the plain-XLA JVP reference."""
+    from flowfusion_tpu.kernels.fused_mlp import (
+        fused_drift,
+        fused_drift_reference,
+    )
+
+    D = 64
+    cfg = ScoreMLPConfig(n_dimensions=D, n_conditionals=0, units=(128,))
+    params = init_score_mlp(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (512, D))
+    e = jax.random.rademacher(jax.random.PRNGKey(2), (512, D), jnp.float32)
+    t = jnp.asarray(0.7)
+    dr_k, div_k = fused_drift(params, cfg, t, x, e=e, c0=0.3, c1=-1.7)
+    dr_p, div_p = fused_drift_reference(params, cfg, t, x, e=e, c0=0.3, c1=-1.7)
+    np.testing.assert_allclose(np.asarray(dr_k), np.asarray(dr_p), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(div_k), np.asarray(div_p), rtol=1e-4, atol=5e-4)
