@@ -51,6 +51,7 @@ MODULE_GROUPS = {
     "api/kernels.md": [
         "flowfusion_tpu.kernels.fused_mlp",
         "flowfusion_tpu.kernels.em_sampler",
+        "flowfusion_tpu.kernels.fused_train",
     ],
     "api/utils.md": [
         "flowfusion_tpu.train",

@@ -66,8 +66,10 @@ from .fused_mlp import _act_pair_fn, bf16_3pass_dot_general, supports_config
 
 __all__ = [
     "fused_train_epoch",
+    "fused_train_epoch_symplectic",
     "train_tables",
     "train_tables_flow",
+    "train_tables_symplectic",
     "supports_batch",
 ]
 
@@ -92,14 +94,25 @@ _MAX_STEPS_PER_DISPATCH = 4096
 
 
 def _cfg_fields(cfg):
-    """(units, D, C, E) for either net-config family.
+    """(units, D, C, E) for any net-config family.
 
     ``ScoreMLPConfig`` (Fourier time embedding, input [temb | x | cond])
     exposes units/n_dimensions/n_conditionals/embedding_dimensions;
     ``VelocityMLPConfig`` (raw time scalar, input [x | t | cond],
     reference flow.py:110-118) exposes hidden_units/target_dimension/
-    conditional_dimension and gets E=None.
+    conditional_dimension and gets E=None.  ``SymplecticMLPConfig``
+    (n_data_dims; two independent half-nets) reports ONE half-stack's
+    dims — the symplectic engine dispatches the two stacks as separate
+    kernels (``fused_train_epoch_symplectic``), so one stack's footprint
+    is the right admission unit for ``supports_batch``.
     """
+    if hasattr(cfg, "n_data_dims"):
+        return (
+            cfg.units,
+            cfg.n_data_dims,
+            cfg.n_conditionals,
+            cfg.embedding_dimensions,
+        )
     if hasattr(cfg, "embedding_dimensions"):
         return (
             cfg.units,
@@ -376,6 +389,193 @@ def train_tables(
     return jax.vmap(per_step)(keys, xb)  # (steps,bs,D) x2, (steps,bs) x2
 
 
+def train_tables_symplectic(key: jax.Array, qb: jax.Array):
+    """Per-step per-STACK tables for the symplectic joint FM loss.
+
+    ``qb``: (steps, bs, D) STANDARDIZED q minibatches.  Mirrors
+    ``SymplecticFlowModel.loss_fn`` draw for draw (same key splits): the
+    auxiliary momentum p0 ~ N(0,1) joins q0 into the joint state s0, then
+    the flow-matching draw (``_draw_xT_and_t``) interpolates s0 -> xT.
+
+    The joint field is [mlp_q(p_t), -mlp_p(q_t)] (nets.apply_symplectic_mlp,
+    reference symplectic.py:82-123), so the joint residual splits into two
+    INDEPENDENT half-net residuals the score-net kernel already computes:
+
+      q-stack:  r_q = zw_q + (+1) * mlp_q(xt_q)   xt_q = p_t,  zw_q = -vhat_q
+      p-stack:  r_p = zw_p + (-1) * mlp_p(xt_p)   xt_p = q_t,  zw_p = -vhat_p
+
+    (the p-stack's sign rides in beta — built by
+    :func:`fused_train_epoch_symplectic`).  Returns
+    ``(xt_q, zw_q, xt_p, zw_p, t)``; each half normalizes by the JOINT
+    dimension count 1/(bs*2D) via ``loss_scale``.
+    """
+    from ..ops.losses import _draw_xT_and_t
+
+    steps, bs, D = qb.shape
+
+    def per_step(k, q0):
+        kq, k_fm = jax.random.split(k)
+        p0 = jax.random.normal(kq, q0.shape, q0.dtype)
+        s0 = jnp.concatenate([q0, p0], axis=-1)
+        xT, t = _draw_xT_and_t(k_fm, s0)
+        xt = (1.0 - t[:, None]) * s0 + t[:, None] * xT
+        vhat = xT - s0
+        return xt[:, D:], -vhat[:, :D], xt[:, :D], -vhat[:, D:], t
+
+    keys = jax.random.split(key, steps)
+    return jax.vmap(per_step)(keys, qb)
+
+
+def _sympl_half_cfg(cfg):
+    """The ScoreMLP-shaped config of ONE symplectic half-stack.
+
+    Each half (nets._symplectic_half) is a Fourier-time-embedding MLP over
+    [x, cond, temb] — the same architecture as a score net's
+    [temb, x, cond] modulo input ordering, which
+    :func:`_sympl_perm_layer0` folds into the first-layer weights.
+    """
+    from ..models.nets import ScoreMLPConfig
+
+    return ScoreMLPConfig(
+        n_dimensions=cfg.n_data_dims,
+        n_conditionals=cfg.n_conditionals,
+        embedding_dimensions=cfg.embedding_dimensions,
+        units=cfg.units,
+        activation=cfg.activation,
+    )
+
+
+def _sympl_perm_layer0(layers, D: int, C: int, E: int, inverse: bool):
+    """Permute layer-0 weight ROWS between the symplectic half-net input
+    order [x(D), cond(C), temb(E)] (nets._symplectic_half) and the score
+    kernel's [temb(E), x(D), cond(C)] — a pure relabeling of the input
+    features, so training in the permuted basis IS training the original
+    net.  Biases and deeper layers are order-free."""
+    w0 = layers[0]["w"]  # (D+C+E, H) rows
+    if inverse:  # kernel order -> symplectic order
+        w0p = jnp.concatenate(
+            [w0[E : E + D], w0[E + D :], w0[:E]], axis=0
+        )
+    else:  # symplectic order -> kernel order
+        w0p = jnp.concatenate(
+            [w0[D + C :], w0[:D], w0[D : D + C]], axis=0
+        )
+    return [dict(layers[0], w=w0p)] + list(layers[1:])
+
+
+def fused_train_epoch_symplectic(
+    params: dict,
+    cfg,
+    opt_state: Optional[Tuple] = None,
+    *,
+    xt_q: jax.Array,
+    zw_q: jax.Array,
+    xt_p: jax.Array,
+    zw_p: jax.Array,
+    t: jax.Array,
+    conditional: Optional[jax.Array] = None,
+    lr: float,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    eps: float = 1e-8,
+    ema: Optional[dict] = None,
+    ema_decay: float = 0.0,
+    compute_dtype: str = "float32",
+    interpret: Optional[bool] = None,
+):
+    """Fused training epochs for ``SymplecticFlowModel`` (two dispatches).
+
+    The separable-Hamiltonian net is two INDEPENDENT MLP stacks coupled
+    only through the scalar loss sum, so each stack trains as its own
+    :func:`fused_train_epoch` run on its half of the joint FM tables
+    (:func:`train_tables_symplectic`): the p-stack's output sign
+    (dp/dt = -mlp_p) rides in ``beta = -1``, the joint
+    mean-over-(bs, 2D) normalization in ``loss_scale = 1/(bs*2D)``, and
+    the half-nets' [x, cond, temb] input order in a first-layer row
+    permutation (:func:`_sympl_perm_layer0`).  Gradients are EXACTLY the
+    joint-loss gradients (the stacks share no parameters; the frozen
+    Fourier ``W`` is a constant input to both).
+
+    ``opt_state`` is ``None`` or the ``(opt_q, opt_p)`` pair returned by
+    a previous call (each half an ``fused_train_epoch`` state, chained
+    per stack).  Returns ``(params', (opt_q, opt_p), ema', losses)``
+    with ``losses`` the per-step JOINT loss (q-half + p-half).
+    """
+    from ..models.nets import SymplecticMLPConfig
+
+    if not isinstance(cfg, SymplecticMLPConfig):
+        raise ValueError(
+            "fused_train_epoch_symplectic compiles SymplecticMLPConfig "
+            f"nets only; got {type(cfg).__name__} — custom nets train on "
+            "the XLA engine (train.fit(engine='xla'))"
+        )
+    D, C, E = cfg.n_data_dims, cfg.n_conditionals, cfg.embedding_dimensions
+    half_cfg = _sympl_half_cfg(cfg)
+    steps, bs = t.shape
+    inv = 1.0 / (bs * 2 * D)
+    opt_q, opt_p = opt_state if opt_state is not None else (None, None)
+    ema_on = ema_decay > 0.0
+    ema_src = (ema if ema is not None else params) if ema_on else None
+
+    outs = {}
+    for stack, xt_s, zw_s, sign, opt_s in (
+        ("q_layers", xt_q, zw_q, 1.0, opt_q),
+        ("p_layers", xt_p, zw_p, -1.0, opt_p),
+    ):
+        half_params = {
+            "W": params["W"],
+            "layers": _sympl_perm_layer0(params[stack], D, C, E, False),
+        }
+        half_ema = (
+            {
+                "W": params["W"],
+                "layers": _sympl_perm_layer0(ema_src[stack], D, C, E, False),
+            }
+            if ema_on
+            else None
+        )
+        p_new, opt_new, ema_new, losses = fused_train_epoch(
+            half_params,
+            half_cfg,
+            opt_s,
+            xt=xt_s,
+            zw=zw_s,
+            t=t,
+            beta=jnp.full_like(t, sign),
+            conditional=conditional,
+            lr=lr,
+            beta1=beta1,
+            beta2=beta2,
+            eps=eps,
+            ema=half_ema,
+            ema_decay=ema_decay,
+            compute_dtype=compute_dtype,
+            interpret=interpret,
+            loss_scale=inv,
+        )
+        outs[stack] = (
+            _sympl_perm_layer0(p_new["layers"], D, C, E, True),
+            opt_new,
+            _sympl_perm_layer0(ema_new["layers"], D, C, E, True)
+            if ema_on
+            else None,
+            losses,
+        )
+
+    params_new = dict(
+        params,
+        q_layers=outs["q_layers"][0],
+        p_layers=outs["p_layers"][0],
+    )
+    ema_out = (
+        dict(params, q_layers=outs["q_layers"][2], p_layers=outs["p_layers"][2])
+        if ema_on
+        else None
+    )
+    loss = outs["q_layers"][3] + outs["p_layers"][3]
+    return params_new, (outs["q_layers"][1], outs["p_layers"][1]), ema_out, loss
+
+
 def train_tables_flow(key: jax.Array, xb: jax.Array):
     """Per-step (xt, zw, t, beta) tables for flow matching.
 
@@ -567,6 +767,7 @@ def fused_train_epoch(
     compute_dtype: str = "float32",
     interpret: Optional[bool] = None,
     mean_over_dims: bool = False,
+    loss_scale: Optional[float] = None,
 ):
     """Run ``steps`` fused Adam updates; one Pallas dispatch.
 
@@ -588,6 +789,12 @@ def fused_train_epoch(
     ``VelocityMLPConfig`` (raw-time flow-matching net — use
     :func:`train_tables_flow` and ``mean_over_dims=True`` for the flow
     loss's mean-over-batch-and-dims normalization).
+
+    ``loss_scale`` overrides the residual normalization entirely (the
+    1/bs or 1/(bs*D) the flags above derive) — for losses whose
+    normalizer is not expressible from this call's own table shapes,
+    e.g. each half of the symplectic joint FM loss normalizes by the
+    JOINT dimension count (``fused_train_epoch_symplectic``).
     """
     # The kernel hard-codes the two config families' forward passes; a
     # duck-typed custom net could expose the same field names yet apply a
@@ -683,7 +890,10 @@ def fused_train_epoch(
     # Fourier-embedding nets carry the frozen W; raw-time velocity nets
     # (E is None) feed t as a plain input row instead.
     wemb = params["W"] if E is not None else None  # (E/2,)
-    inv = 1.0 / (bs * D) if mean_over_dims else 1.0 / bs
+    if loss_scale is not None:
+        inv = float(loss_scale)
+    else:
+        inv = 1.0 / (bs * D) if mean_over_dims else 1.0 / bs
 
     # Long epochs run as several dispatches so the VMEM-persistent
     # (chunk_steps, LANES) loss block stays bounded (_MAX_STEPS_PER_

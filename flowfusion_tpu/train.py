@@ -195,7 +195,10 @@ def _fused_family(model) -> Optional[str]:
     'population': PopulationModelDiffusion[Conditional] — the wrapper owns
     shift/scale; the kernel trains the inner score model on standardized
     tables.  'flow': ODEFlow/ConditionalODEFlow — raw-time velocity net,
-    flow-matching tables, mean-over-dims loss.
+    flow-matching tables, mean-over-dims loss.  'symplectic':
+    SymplecticFlowModel — joint-(q, p) FM tables, the two half-stacks
+    trained as separate kernel dispatches
+    (kernels.fused_train.fused_train_epoch_symplectic).
     """
     if all(hasattr(model, a) for a in ("params", "net", "sde", "no_sigma")):
         return "score"
@@ -211,6 +214,12 @@ def _fused_family(model) -> Optional[str]:
                   "flow_matching_loss")
     ):
         return "flow"
+    # SymplecticFlowModel: owns shift/scale directly (unlike flow's
+    # target_* naming) and has neither an SDE nor an inner score model
+    if all(
+        hasattr(model, a) for a in ("params", "net", "shift", "scale")
+    ) and not hasattr(model, "sde"):
+        return "symplectic"
     return None
 
 
@@ -232,12 +241,18 @@ def _fused_engine_ok(model, loss_fn, optimizer, stages, n_train) -> bool:
         return False
     from .kernels.fused_train import _cfg_fields, supports_batch
     from .kernels.fused_mlp import supports_config
-    from .models.nets import ScoreMLPConfig, VelocityMLPConfig
+    from .models.nets import (
+        ScoreMLPConfig,
+        SymplecticMLPConfig,
+        VelocityMLPConfig,
+    )
 
     cfg = model.score_model.net if family == "population" else model.net
-    # Custom nets (anything with an .apply but not one of the two config
-    # families the kernel compiles) train on the XLA engine.
-    if not isinstance(cfg, (ScoreMLPConfig, VelocityMLPConfig)):
+    # Custom nets (anything with an .apply but not one of the config
+    # families the kernels compile) train on the XLA engine.
+    if not isinstance(
+        cfg, (ScoreMLPConfig, VelocityMLPConfig, SymplecticMLPConfig)
+    ):
         return False
     # The kernel stores float32 state only (its VMEM blocks are pinned
     # f32); a bf16-initialized model trains on the XLA engine instead of
@@ -428,15 +443,18 @@ def _fit_fused(
     Mirrors the XLA path step for step — same per-epoch reshuffle with the
     remainder dropped, fresh Adam per stage, EMA of the post-update
     params — but each epoch is a single ``fused_train_epoch`` kernel call.
-    Supports three model families (see _fused_family): bare score models,
+    Supports four model families (see _fused_family): bare score models,
     population-diffusion wrappers (standardization applied up front, the
-    inner score model trained in-kernel), and flow-matching CNFs
-    (flow tables, mean-over-dims loss).
+    inner score model trained in-kernel), flow-matching CNFs (flow
+    tables, mean-over-dims loss), and symplectic flow models (joint-(q,p)
+    FM tables, the two half-stacks as separate kernel dispatches).
     """
     from .kernels.fused_train import (
         fused_train_epoch,
+        fused_train_epoch_symplectic,
         train_tables,
         train_tables_flow,
+        train_tables_symplectic,
     )
 
     if loss_fn is not _default_loss:
@@ -452,7 +470,7 @@ def _fit_fused(
     if family is None:
         raise ValueError(
             "engine='fused' needs a score model, a population-diffusion "
-            "wrapper, or a flow-matching CNF; "
+            "wrapper, a flow-matching CNF, or a symplectic flow model; "
             f"{type(model).__name__} matches none of those surfaces"
         )
 
@@ -485,6 +503,14 @@ def _fit_fused(
         cond_tab = model._norm_cond(conditional_train) if has_cond else None
         tables_fn = lambda ktab, xb: train_tables_flow(ktab, xb)
         mean_over_dims = True
+        rewrap = lambda p: dataclasses.replace(model, params=p)
+    elif family == "symplectic":
+        cfg = model.net
+        src_params = model.params
+        x_tab = (x_train - model.shift) / model.scale
+        cond_tab = model._norm_cond(conditional_train) if has_cond else None
+        tables_fn = lambda ktab, xb: train_tables_symplectic(ktab, xb)
+        mean_over_dims = False  # unused: the symplectic epoch owns 1/(bs*2D)
         rewrap = lambda p: dataclasses.replace(model, params=p)
     else:  # bare score model: x is the caller's responsibility, cond raw
         cfg = model.net
@@ -523,29 +549,37 @@ def _fit_fused(
                 if has_cond
                 else None
             )
-            xt, zw, t, beta = tables_fn(ktab, xb)
-            return xt, zw, t, beta, cb
+            return tables_fn(ktab, xb) + (cb,)
 
         st["tables_jit"] = jax.jit(epoch_tables)
         st["opt"] = None  # fresh Adam per stage (notebook parity)
         st["lr"] = lr
 
     def run_epoch(ke):
-        xt, zw, t, beta, cb = st["tables_jit"](ke)
-        st["params"], st["opt"], st["ema"], losses = fused_train_epoch(
-            st["params"],
-            cfg,
-            st["opt"],
-            xt=xt,
-            zw=zw,
-            t=t,
-            beta=beta,
+        *tabs, cb = st["tables_jit"](ke)
+        common = dict(
             conditional=cb,
             lr=st["lr"],
             ema=st["ema"],
             ema_decay=float(ema_decay or 0.0),
-            mean_over_dims=mean_over_dims,
         )
+        if family == "symplectic":
+            xt_q, zw_q, xt_p, zw_p, t = tabs
+            st["params"], st["opt"], st["ema"], losses = (
+                fused_train_epoch_symplectic(
+                    st["params"], cfg, st["opt"],
+                    xt_q=xt_q, zw_q=zw_q, xt_p=xt_p, zw_p=zw_p, t=t,
+                    **common,
+                )
+            )
+        else:
+            xt, zw, t, beta = tabs
+            st["params"], st["opt"], st["ema"], losses = fused_train_epoch(
+                st["params"], cfg, st["opt"],
+                xt=xt, zw=zw, t=t, beta=beta,
+                mean_over_dims=mean_over_dims,
+                **common,
+            )
         return jnp.mean(losses)
 
     def val_model():

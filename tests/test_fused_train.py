@@ -584,6 +584,12 @@ def test_fused_family_detection():
         jax.random.PRNGKey(1), target_dimension=2, hidden_units=(128,)
     )
     assert _fused_family(flow) == "flow"
+    from flowfusion_tpu.models.symplectic import SymplecticFlowModel
+
+    sympl = SymplecticFlowModel.create(
+        jax.random.PRNGKey(2), n_data_dims=2, units=(128,)
+    )
+    assert _fused_family(sympl) == "symplectic"
     assert _fused_family(object()) is None
 
 
@@ -639,6 +645,256 @@ def test_fit_fused_flow_trains():
     tl, vl = res[0].train_losses, res[0].val_losses
     assert np.isfinite(tl).all() and np.isfinite(vl).all()
     assert tl[-1] < tl[0]
+
+
+# ---------------------------------------------------------------------------
+# symplectic (two-stack) kernel mode
+# ---------------------------------------------------------------------------
+
+
+def _sympl_setup(n_cond=0, units=(128,), key=0):
+    from flowfusion_tpu.models.nets import (
+        SymplecticMLPConfig,
+        init_symplectic_mlp,
+    )
+
+    cfg = SymplecticMLPConfig(
+        n_data_dims=2, n_conditionals=n_cond, units=units
+    )
+    return cfg, init_symplectic_mlp(jax.random.PRNGKey(key), cfg)
+
+
+def _sympl_tables(cfg, steps=4, bs=32, key=1):
+    """Synthetic per-stack tables (parameter-independent)."""
+    D = cfg.n_data_dims
+    ks = jax.random.split(jax.random.PRNGKey(key), 6)
+    xt_q = jax.random.normal(ks[0], (steps, bs, D))
+    zw_q = jax.random.normal(ks[1], (steps, bs, D))
+    xt_p = jax.random.normal(ks[2], (steps, bs, D))
+    zw_p = jax.random.normal(ks[3], (steps, bs, D))
+    t = jax.random.uniform(ks[4], (steps, bs))
+    cond = (
+        jax.random.normal(ks[5], (steps, bs, cfg.n_conditionals))
+        if cfg.n_conditionals
+        else None
+    )
+    return xt_q, zw_q, xt_p, zw_p, t, cond
+
+
+def _xla_epoch_symplectic(
+    params, cfg, xt_q, zw_q, xt_p, zw_p, t, cond, lr,
+    ema=None, ema_decay=0.0,
+):
+    """Reference trajectory: optax.adam on the JOINT loss
+
+        L = (sum(r_q^2) + sum(r_p^2)) / (bs * 2D)
+        r_q = zw_q + mlp_q(xt_q),  r_p = zw_p - mlp_p(xt_p)
+
+    which is exactly the joint FM residual loss split stack-wise (the
+    p-velocity is -mlp_p).  W stays frozen."""
+    from flowfusion_tpu.models.nets import _symplectic_half
+
+    D = cfg.n_data_dims
+    bs = t.shape[1]
+    W = params["W"]
+    trainable = {"q_layers": params["q_layers"], "p_layers": params["p_layers"]}
+    tx = optax.adam(lr)
+    opt_state = tx.init(trainable)
+    losses = []
+    for s in range(t.shape[0]):
+        cond_s = cond[s] if cond is not None else None
+
+        def loss_of(tr):
+            p = {"W": W, **tr}
+            vq = _symplectic_half(cfg, p, "q_layers", t[s], xt_q[s], cond_s)
+            vp = _symplectic_half(cfg, p, "p_layers", t[s], xt_p[s], cond_s)
+            r_q = zw_q[s] + vq
+            r_p = zw_p[s] - vp
+            return (jnp.sum(r_q * r_q) + jnp.sum(r_p * r_p)) / (bs * 2 * D)
+
+        loss, g = jax.value_and_grad(loss_of)(trainable)
+        upd, opt_state = tx.update(g, opt_state)
+        trainable = optax.apply_updates(trainable, upd)
+        if ema_decay:
+            ema = jax.tree_util.tree_map(
+                lambda e, p_: ema_decay * e + (1.0 - ema_decay) * p_,
+                ema,
+                trainable,
+            )
+        losses.append(float(loss))
+    return trainable, ema, np.asarray(losses)
+
+
+@pytest.mark.parametrize("n_cond", [0, 3])
+def test_fused_symplectic_epoch_matches_optax_trajectory(n_cond):
+    """Both half-stacks track optax.adam on the joint loss step for step
+    (beta=-1 sign fold, layer-0 input permutation, 1/(bs*2D) loss_scale)."""
+    from flowfusion_tpu.kernels.fused_train import fused_train_epoch_symplectic
+
+    cfg, params = _sympl_setup(n_cond=n_cond)
+    xt_q, zw_q, xt_p, zw_p, t, cond = _sympl_tables(cfg)
+    p_new, opt, _, losses = fused_train_epoch_symplectic(
+        params, cfg, None, xt_q=xt_q, zw_q=zw_q, xt_p=xt_p, zw_p=zw_p, t=t,
+        conditional=cond, lr=1e-3, interpret=INTERPRET,
+    )
+    want, _, want_losses = _xla_epoch_symplectic(
+        params, cfg, xt_q, zw_q, xt_p, zw_p, t, cond, 1e-3
+    )
+    np.testing.assert_allclose(np.asarray(losses), want_losses, rtol=1e-5)
+    _assert_layers_close(p_new["q_layers"], want["q_layers"])
+    _assert_layers_close(p_new["p_layers"], want["p_layers"])
+    np.testing.assert_array_equal(np.asarray(p_new["W"]), np.asarray(params["W"]))
+    assert opt[0][2] == opt[1][2] == t.shape[0]
+
+
+def test_fused_symplectic_epoch_chained_and_ema():
+    """Chained opt state and EMA across two symplectic epochs equal one
+    optax run over the concatenated tables."""
+    from flowfusion_tpu.kernels.fused_train import fused_train_epoch_symplectic
+
+    cfg, params = _sympl_setup()
+    xt_q, zw_q, xt_p, zw_p, t, _ = _sympl_tables(cfg, steps=6, bs=16)
+    decay = 0.9
+    half = 3
+    sl0 = lambda a: a[:half]
+    sl1 = lambda a: a[half:]
+    p1, st1, e1, l1 = fused_train_epoch_symplectic(
+        params, cfg, None, xt_q=sl0(xt_q), zw_q=sl0(zw_q), xt_p=sl0(xt_p),
+        zw_p=sl0(zw_p), t=sl0(t), lr=1e-3, ema=params, ema_decay=decay,
+        interpret=INTERPRET,
+    )
+    p2, st2, e2, l2 = fused_train_epoch_symplectic(
+        p1, cfg, st1, xt_q=sl1(xt_q), zw_q=sl1(zw_q), xt_p=sl1(xt_p),
+        zw_p=sl1(zw_p), t=sl1(t), lr=1e-3, ema=e1, ema_decay=decay,
+        interpret=INTERPRET,
+    )
+    want, want_ema, want_losses = _xla_epoch_symplectic(
+        params, cfg, xt_q, zw_q, xt_p, zw_p, t, None, 1e-3,
+        ema={"q_layers": params["q_layers"], "p_layers": params["p_layers"]},
+        ema_decay=decay,
+    )
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(l1), np.asarray(l2)]), want_losses,
+        rtol=1e-5,
+    )
+    # 6 chained Adam steps at the small 1/(bs*2D) loss scale: near-zero
+    # second moments amplify f32 rounding through m/(sqrt(v)+eps) for a
+    # handful of elements (the losses above still match at rtol=1e-5;
+    # the single-epoch test pins the trajectory at 3e-5)
+    _assert_layers_close(p2["q_layers"], want["q_layers"], atol=3e-4)
+    _assert_layers_close(p2["p_layers"], want["p_layers"], atol=3e-4)
+    _assert_layers_close(e2["q_layers"], want_ema["q_layers"], atol=3e-4)
+    _assert_layers_close(e2["p_layers"], want_ema["p_layers"], atol=3e-4)
+    assert st2[0][2] == st2[1][2] == 6
+
+
+def test_train_tables_symplectic_matches_loss_in_distribution():
+    """train_tables_symplectic + the two-stack residual algebra reproduce
+    SymplecticFlowModel.loss_fn (joint FM loss) in expectation."""
+    from flowfusion_tpu.kernels.fused_train import (
+        fused_train_epoch_symplectic,
+        train_tables_symplectic,
+    )
+    from flowfusion_tpu.models.symplectic import SymplecticFlowModel
+
+    model = SymplecticFlowModel.create(
+        jax.random.PRNGKey(0), n_data_dims=2, units=(128,)
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+
+    reps = 128
+    direct = np.mean(
+        [
+            float(model.loss_fn(jax.random.PRNGKey(100 + i), x))
+            for i in range(reps)
+        ]
+    )
+    xt_q, zw_q, xt_p, zw_p, t = train_tables_symplectic(
+        jax.random.PRNGKey(7), jnp.tile(x[None], (reps, 1, 1))
+    )
+    # lr=0: Adam moves nothing, the kernels just evaluate the loss table
+    _, _, _, losses = fused_train_epoch_symplectic(
+        model.params, model.net, None, xt_q=xt_q, zw_q=zw_q, xt_p=xt_p,
+        zw_p=zw_p, t=t, lr=0.0, interpret=INTERPRET,
+    )
+    tabled = float(jnp.mean(losses))
+    assert abs(direct - tabled) / direct < 0.1, (direct, tabled)
+
+
+def test_fit_fused_symplectic_matches_xla_engine():
+    """fit(engine='fused') on a SymplecticFlowModel tracks the XLA engine
+    epoch for epoch with the same key: the fused tables consume the PRNG
+    identically to loss_fn, so the two engines optimize the SAME draw
+    sequence (a far stronger contract than loss-goes-down, which the
+    joint FM objective's ~2.0 irreducible-variance floor drowns out at
+    test-sized step counts).  Also: W frozen, wrapper rebuilt, both
+    stacks actually move."""
+    from flowfusion_tpu.models.symplectic import SymplecticFlowModel
+    from flowfusion_tpu.train import fit
+    from flowfusion_tpu.utils.data import standardization_stats
+
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (256, 2)) + 1.0
+    shift, scale = standardization_stats(x)
+    model = SymplecticFlowModel.create(
+        jax.random.PRNGKey(0), n_data_dims=2, units=(128,),
+        shift=shift, scale=scale,
+    )
+    kwargs = dict(
+        x_val=x[:64], stages=[(64, 1e-3)], epochs_per_stage=6,
+        ema_decay=0.9,
+    )
+    m, res = fit(
+        model, jax.random.PRNGKey(2), x, engine="fused", **kwargs
+    )
+    m_x, res_x = fit(
+        model, jax.random.PRNGKey(2), x, engine="xla", **kwargs
+    )
+    tl, vl = res[0].train_losses, res[0].val_losses
+    assert np.isfinite(tl).all() and np.isfinite(vl).all()
+    np.testing.assert_allclose(tl, res_x[0].train_losses, rtol=2e-4, atol=2e-4)
+    assert type(m) is type(model)
+    np.testing.assert_array_equal(
+        np.asarray(m.params["W"]), np.asarray(model.params["W"])
+    )
+    for stack in ("q_layers", "p_layers"):
+        before = jax.tree_util.tree_leaves(model.params[stack])
+        after = jax.tree_util.tree_leaves(m.params[stack])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(before, after)
+        )
+        # the two engines land on (numerically) the same parameters
+        for a, b in zip(
+            jax.tree_util.tree_leaves(m.params[stack]),
+            jax.tree_util.tree_leaves(m_x.params[stack]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4
+            )
+
+
+def test_fused_engine_ok_symplectic():
+    """engine='auto' admits symplectic models on TPU (within the usual
+    loss/optimizer/config/batch clauses)."""
+    from flowfusion_tpu.models.symplectic import SymplecticFlowModel
+    from flowfusion_tpu.train import _default_loss, _fused_engine_ok
+    import flowfusion_tpu.train as train_mod
+
+    model = SymplecticFlowModel.create(
+        jax.random.PRNGKey(0), n_data_dims=2, units=(128,)
+    )
+    stages = [(32, 1e-3)]
+    orig = jax.default_backend
+    train_mod.jax.default_backend = lambda: "tpu"
+    try:
+        assert _fused_engine_ok(model, _default_loss, "adam", stages, 64)
+        bad = dataclasses.replace(
+            model,
+            net=dataclasses.replace(model.net, units=(96,)),
+        )
+        assert not _fused_engine_ok(bad, _default_loss, "adam", stages, 64)
+    finally:
+        train_mod.jax.default_backend = orig
 
 
 def test_fused_epoch_wide_features_matches_optax_trajectory():
