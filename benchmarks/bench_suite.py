@@ -590,6 +590,47 @@ def main():
         record_slope(f"train-step-fused/bs{bs}(marginal)", per_step, per_what=1)
         record_slope(f"train-throughput-fused/bs{bs}", per_step, per_what=bs)
 
+    # --- fused training engine: symplectic family ----------------------
+    # Two kernel dispatches per epoch (one per half-stack,
+    # fused_train_epoch_symplectic) — the row documents that the engine
+    # family extension keeps the fused step advantage.
+    from flowfusion_tpu.kernels.fused_train import (
+        fused_train_epoch_symplectic,
+        train_tables_symplectic,
+    )
+
+    x_sym_std = (x_raw - fshift) / fscale
+    sym_tables_jit = jax.jit(train_tables_symplectic)
+    sym_lengths = {2048: (400, 4000)}
+    if args.quick:
+        sym_lengths = {2048: (5, 20)}
+    for bs, (s1, s2) in sym_lengths.items():
+
+        def run_for_steps(steps, rep, bs=bs):
+            idx = jax.random.randint(
+                jax.random.PRNGKey(12), (steps, bs), 0, n
+            )
+            xt_q, zw_q, xt_p, zw_p, t_tab = sym_tables_jit(
+                jax.random.PRNGKey(rep), x_sym_std[idx]
+            )
+            _sync(t_tab)
+            t0 = time.perf_counter()
+            out = fused_train_epoch_symplectic(
+                sym.params, sym.net, None, xt_q=xt_q, zw_q=zw_q,
+                xt_p=xt_p, zw_p=zw_p, t=t_tab, lr=1e-3,
+            )
+            return t0, out[3]
+
+        per_step = slope_time(run_for_steps, s1, s2)
+        record_slope(
+            f"train-step-fused-symplectic/bs{bs}(marginal)", per_step,
+            per_what=1,
+        )
+        record_slope(
+            f"train-throughput-fused-symplectic/bs{bs}", per_step,
+            per_what=bs,
+        )
+
     # quick smoke runs must not clobber the committed full-batch snapshot
     out_name = "results_quick.json" if args.quick else "results.json"
     out_path = os.path.join(_HERE, out_name)
