@@ -174,7 +174,7 @@ def tpu_numerics_check(model, x):
     _check(dlp3 <= 1e-4, f"3pass log_prob deviates {dlp3:.2e}")
 
 
-def _device_preflight(timeout_s: int = 120, total_budget_s: int = 600) -> None:
+def _device_preflight(timeout_s: int = 120, total_budget_s: int | None = None) -> None:
     """Fail fast (with a diagnosis) if the device path is wedged.
 
     The axon relay has been observed to hang indefinitely — even an 8x8
@@ -186,13 +186,22 @@ def _device_preflight(timeout_s: int = 120, total_budget_s: int = 600) -> None:
     bench exits nonzero with a clear message instead of letting the
     driver's whole time budget burn on a hang.
 
+    ``total_budget_s`` defaults to ``BENCH_PREFLIGHT_BUDGET_S`` (env) or
+    1200 s: a 2026-08-20 outage outlasted the previous 600 s window, and
+    the bench itself only needs ~5 min once the path is healthy, so a
+    longer ride-out window is the better trade for an end-of-round run.
+
     Runs in a subprocess: the hang sits inside a blocking native RPC, so
     an in-process SIGALRM handler would never get to run — the probe must
     be killable from outside.
     """
+    import os
     import subprocess
     import sys
     import time as _time
+
+    if total_budget_s is None:
+        total_budget_s = int(os.environ.get("BENCH_PREFLIGHT_BUDGET_S", "1200"))
 
     # honour JAX_PLATFORMS in the child explicitly: this sandbox's
     # sitecustomize force-prefers the axon platform over the env var, and
