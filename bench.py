@@ -174,7 +174,7 @@ def tpu_numerics_check(model, x):
     _check(dlp3 <= 1e-4, f"3pass log_prob deviates {dlp3:.2e}")
 
 
-def _device_preflight(timeout_s: int = 120, total_budget_s: int | None = None) -> None:
+def _device_preflight(timeout_s: int = 60, total_budget_s: int | None = None) -> None:
     """Fail fast (with a diagnosis) if the device path is wedged.
 
     The axon relay has been observed to hang indefinitely — even an 8x8
@@ -246,7 +246,7 @@ def _device_preflight(timeout_s: int = 120, total_budget_s: int | None = None) -
                 )
             else:
                 detail = f"probe timed out after {timeout_s}s"
-            if _time.monotonic() + timeout_s + 30 > deadline:
+            if _time.monotonic() + timeout_s + 12 > deadline:
                 print(
                     f"bench preflight: device backend unhealthy across "
                     f"{attempt} probes over ~{total_budget_s}s "
@@ -260,7 +260,11 @@ def _device_preflight(timeout_s: int = 120, total_budget_s: int | None = None) -
                 "outages recover)",
                 file=sys.stderr,
             )
-            _time.sleep(30)
+            # Short pause: the single-tenancy tunnel frees up in brief
+            # windows during flapping outages (observed 2026-08-20 — one
+            # probe succeeded mid-outage); a tight retry cadence catches
+            # them, and a healthy backend answers the probe in seconds.
+            _time.sleep(10)
     print("bench preflight: backend responsive", file=sys.stderr)
 
 
