@@ -9,15 +9,34 @@ reference's Hutchinson timing: 50,000 points in 15.79 s = 3,166 evals/s
 *tighter* 1e-5 target and still compare against that number, which is
 conservative in our disfavour).
 
-Protocol: briefly train the score net with jitted DSM steps so the solve
-integrates a realistic (trained) vector field, then time the compiled,
+Protocol: load the committed demo-grade flagship checkpoint
+(benchmarks/flagship_ckpt.npz — staged-schedule + EMA training, ~0.1%
+density error; see benchmarks/make_flagship_ckpt.py) so the solve
+integrates a realistic trained vector field without spending the
+measurement window training over the TPU tunnel, then time the compiled,
 batch-sharded log-prob on a 1M-point batch (the 50k reference set tiled
-20x — throughput saturates around 1M rows on a v5e core), best of 3.
+20x — throughput saturates around 1M rows on a v5e core), slope-timed.
 The solve uses the Lund-stabilized PI step controller
 (options={"controller": "pi"}), which on this field is both faster
 (~11% fewer RHS evals) and more accurate than the torchdiffeq-identical
-default controller (measured: mean |dlogp| vs a rtol=1e-9 solve of
-1.6e-3 vs 1.9e-3; see BENCHMARKS.md).
+default controller (see BENCHMARKS.md).
+
+BUDGET DISCIPLINE — the driver runs this under a kill timeout, and the
+TPU tunnel has multi-hour flapping outages (observed 2026-08-17 and
+2026-08-20; round 2's artifact was rc=124 because the preflight rode out
+a 10.5-min outage and the measurement was then killed mid-flight).
+Preflight + measurement therefore share ONE wall-clock budget
+(BENCH_TOTAL_BUDGET_S, default 780 s from process start):
+
+  * the preflight may spend at most (budget - reserve) riding an outage;
+  * after preflight the remaining time picks the measurement ladder —
+    full (numerics check + 50k slope + 1M slope), reduced (shorter 1M
+    slope), or minimal (50k slope only, numerics check skipped with a
+    loud stderr note);
+  * a cheap 50k-batch slope runs FIRST so a valid number exists early,
+    and a SIGTERM handler prints the best result captured so far — the
+    driver's `timeout` sends SIGTERM before SIGKILL, so even a
+    mid-upgrade kill ships a measured number instead of rc=124.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N}
@@ -26,18 +45,111 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+_T_START = time.monotonic()
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 BASELINE_EVALS_PER_SEC = 3166.0  # reference Hutchinson rate (BASELINE.md)
+CKPT_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "benchmarks", "flagship_ckpt.npz"
+)
+
+# Best measurement captured so far: set by main() as soon as any valid
+# slope exists, printed by the SIGTERM backstop if the driver kills us.
+_BEST_RESULT: dict | None = None
 
 
-def build_trained_model(key, steps: int = 400, batch: int = 4096):
-    """Flagship model, briefly DSM-trained on the demo GMM."""
-    import optax
+def _env_int(name: str, default: int) -> int:
+    """Env-var int with a warning fallback (a malformed value like '20m'
+    must not crash the bench with a bare traceback)."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        print(
+            f"bench: ignoring malformed {name}={raw!r} (want an integer "
+            f"number of seconds); using default {default}",
+            file=sys.stderr,
+        )
+        return default
+
+
+def _result(rate: float, note: str = "") -> dict:
+    if note:
+        print(f"bench: {note}", file=sys.stderr)
+    return {
+        "metric": "probflow_logprob_evals_per_sec_hutchinson_rtol1e-5",
+        "value": round(rate, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(rate / BASELINE_EVALS_PER_SEC, 2),
+    }
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result))
+    sys.stdout.flush()
+
+
+def _install_sigterm_backstop() -> None:
+    """On SIGTERM (the driver's `timeout` sends it before SIGKILL), print
+    the best measurement captured so far and exit 0 — a measured number
+    from the cheap early slope beats rc=124 with no output.  Without a
+    captured number, exit 3 with a diagnosis."""
+    import signal
+
+    def handler(signum, frame):
+        if _BEST_RESULT is not None:
+            _emit(_BEST_RESULT)
+            os._exit(0)
+        print(
+            "bench: SIGTERM before any measurement completed "
+            f"({time.monotonic() - _T_START:.0f}s elapsed) — raise the "
+            "driver window or BENCH_TOTAL_BUDGET_S",
+            file=sys.stderr,
+        )
+        os._exit(3)
+
+    try:
+        signal.signal(signal.SIGTERM, handler)
+    except (ValueError, OSError):  # non-main thread / exotic platform
+        pass
+
+
+def _enable_compile_cache() -> None:
+    """Persistent compilation cache via config.update — the env-var route
+    is dead in this sandbox (sitecustomize imports jax at interpreter
+    startup, snapshotting env-derived defaults before we run; see
+    tests/conftest.py for the full story)."""
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "jax_bench_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # cache is an optimization, never a failure
+        print(f"bench: compile cache unavailable ({e})", file=sys.stderr)
+
+
+def build_trained_model(key, steps: int = 400, batch: int = 4096,
+                        from_checkpoint: bool = True):
+    """Flagship model + standardized 50k eval rows.
+
+    Loads the committed demo-grade checkpoint when present (the driver
+    path — no training over the tunnel inside the kill window); falls
+    back to the historical quick protocol (``steps`` jitted DSM steps)
+    when the checkpoint is absent or ``from_checkpoint=False``.
+    """
+    import dataclasses
 
     from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
     from flowfusion_tpu.models.score import ScoreModel
@@ -47,8 +159,26 @@ def build_trained_model(key, steps: int = 400, batch: int = 4096):
     k_net, k_data, k_train = jax.random.split(key, 3)
     cfg = ScoreMLPConfig(n_dimensions=2, units=(128, 128, 128))
     model = ScoreModel(params=init_score_mlp(k_net, cfg), net=cfg, sde=VESDE())
-
     x_raw = DEMO_GMM.sample(k_data, 50_000)
+
+    if from_checkpoint and os.path.exists(CKPT_PATH):
+        from flowfusion_tpu.utils.checkpoint import load_npz, read_npz_extra
+
+        model = load_npz(CKPT_PATH, model)
+        extra = read_npz_extra(CKPT_PATH)
+        shift = jnp.asarray(extra["shift"], jnp.float32)
+        scale = jnp.asarray(extra["scale"], jnp.float32)
+        print(
+            "bench: loaded flagship checkpoint "
+            f"(density err {extra.get('density_rel_error_exact_1e-4', float('nan')):.2%}, "
+            f"trained {extra.get('date', '?')} on "
+            f"{extra.get('trained_on_backend', '?')})",
+            file=sys.stderr,
+        )
+        return model, (x_raw - shift) / scale, (shift, scale)
+
+    import optax
+
     shift, scale = standardization_stats(x_raw)
     x = (x_raw - shift) / scale
 
@@ -61,8 +191,6 @@ def build_trained_model(key, steps: int = 400, batch: int = 4096):
         idx = jax.random.randint(kb, (batch,), 0, x.shape[0])
 
         def loss_fn(p):
-            import dataclasses
-
             m = dataclasses.replace(model, params=p)
             return m.loss_fn(kl, x[idx])
 
@@ -72,8 +200,6 @@ def build_trained_model(key, steps: int = 400, batch: int = 4096):
 
     keys = jax.random.split(k_train, steps)
     (params, _), losses = jax.lax.scan(step, (model.params, opt_state), keys)
-    import dataclasses
-
     return dataclasses.replace(model, params=params), x, (shift, scale)
 
 
@@ -92,7 +218,6 @@ def tpu_numerics_check(model, x):
     instead of shipping a wrong number.  Diagnostics go to stderr (stdout
     carries exactly one JSON line).
     """
-    import sys
     import dataclasses
 
     m_fused = dataclasses.replace(
@@ -174,34 +299,44 @@ def tpu_numerics_check(model, x):
     _check(dlp3 <= 1e-4, f"3pass log_prob deviates {dlp3:.2e}")
 
 
-def _device_preflight(timeout_s: int = 60, total_budget_s: int | None = None) -> None:
+def _device_preflight(timeout_s: int | None = None,
+                      total_budget_s: int | None = None) -> None:
     """Fail fast (with a diagnosis) if the device path is wedged.
 
     The axon relay has been observed to hang indefinitely — even an 8x8
     matmul never returns (2026-08-17 outage).  A healthy backend finishes
-    the first tiny op (backend init + compile included) in seconds; if it
-    doesn't within ``timeout_s``, the probe is retried with a pause until
-    ``total_budget_s`` is spent (observed outages are often transient —
-    e.g. a competing client holding the single-tenancy tunnel), then the
-    bench exits nonzero with a clear message instead of letting the
-    driver's whole time budget burn on a hang.
+    the first tiny op (backend init + compile included) in well under two
+    minutes (measured: ~50 s cold); if a probe doesn't return within
+    ``timeout_s`` it is retried with a pause until ``total_budget_s`` is
+    spent (observed outages are often transient — e.g. a competing client
+    holding the single-tenancy tunnel), then the bench exits nonzero with
+    a clear message instead of letting the driver's whole time budget
+    burn on a hang.
 
-    ``total_budget_s`` defaults to ``BENCH_PREFLIGHT_BUDGET_S`` (env) or
-    1200 s: a 2026-08-20 outage outlasted the previous 600 s window, and
-    the bench itself only needs ~5 min once the path is healthy, so a
-    longer ride-out window is the better trade for an end-of-round run.
+    ``timeout_s`` defaults to ``BENCH_PROBE_TIMEOUT_S`` (env) or 120 s —
+    generous enough that a healthy-but-cold first device init (observed
+    ~50 s) is never misclassified as an outage.  ``total_budget_s`` is
+    the caller-computed share of the bench's ONE overall budget (main()
+    reserves measurement time off BENCH_TOTAL_BUDGET_S); the legacy
+    ``BENCH_PREFLIGHT_BUDGET_S`` env var still caps it if set lower.
 
     Runs in a subprocess: the hang sits inside a blocking native RPC, so
     an in-process SIGALRM handler would never get to run — the probe must
     be killable from outside.
     """
-    import os
     import subprocess
-    import sys
     import time as _time
 
+    if timeout_s is None:
+        timeout_s = _env_int("BENCH_PROBE_TIMEOUT_S", 120)
     if total_budget_s is None:
-        total_budget_s = int(os.environ.get("BENCH_PREFLIGHT_BUDGET_S", "1200"))
+        total_budget_s = _env_int("BENCH_PREFLIGHT_BUDGET_S", 1200)
+    else:
+        total_budget_s = min(
+            total_budget_s, _env_int("BENCH_PREFLIGHT_BUDGET_S", total_budget_s)
+        )
+    # A budget below one probe length degenerates to a single short probe.
+    total_budget_s = max(total_budget_s, timeout_s + 5)
 
     # honour JAX_PLATFORMS in the child explicitly: this sandbox's
     # sitecustomize force-prefers the axon platform over the env var, and
@@ -269,10 +404,20 @@ def _device_preflight(timeout_s: int = 60, total_budget_s: int | None = None) ->
 
 
 def main():
+    global _BEST_RESULT
     import dataclasses
-    import os
 
     from flowfusion_tpu.parallel.sharding import make_mesh, shard_batch
+
+    _install_sigterm_backstop()
+
+    # ONE overall budget from process start; everything after the
+    # preflight adapts to what is left of it.
+    total_budget = _env_int("BENCH_TOTAL_BUDGET_S", 780)
+    deadline = _T_START + total_budget
+
+    def remaining() -> float:
+        return deadline - time.monotonic()
 
     # Honour JAX_PLATFORMS in THIS process too (sitecustomize force-prefers
     # axon over the env var), so the parent benches the same backend the
@@ -280,10 +425,26 @@ def main():
     p = os.environ.get("JAX_PLATFORMS")
     if p:
         jax.config.update("jax_platforms", p)
-    _device_preflight()
+    _enable_compile_cache()
+
+    # Reserve enough for a minimal measurement (checkpoint load + one 50k
+    # slope ≈ 2 compiles + seconds of runtime); the preflight gets the rest.
+    MIN_MEASURE_S = 150
+    _device_preflight(total_budget_s=int(max(remaining() - MIN_MEASURE_S, 0)))
+
     key = jax.random.PRNGKey(0)
     model, x, _ = build_trained_model(key)
-    tpu_numerics_check(model, x)
+
+    if remaining() >= 240:
+        tpu_numerics_check(model, x)
+    else:
+        print(
+            f"bench: SKIPPING tpu_numerics_check — only {remaining():.0f}s "
+            "of budget left after preflight (outage ride-out); the printed "
+            "number is measured but unguarded this run",
+            file=sys.stderr,
+        )
+
     # Fastest verified TPU config at rtol=1e-5: the V4 fused Pallas RHS
     # in 'highf32' (manual 3-pass bf16 split-dot + tanh-form sigmoid) —
     # step counts identical to both the plain and the HIGHEST-kernel
@@ -295,11 +456,6 @@ def main():
         kernel_compute_dtype="highf32",
     )
 
-    # 1M-row batch: tile the 50k reference set 20x (throughput saturates
-    # around 1M rows; rate is identical work-per-point, just better HBM
-    # utilization per dispatch).
-    x = jnp.tile(x, (20, 1))
-    n = x.shape[0]
     n_dev = len(jax.devices())
     mesh = make_mesh()
 
@@ -313,54 +469,81 @@ def main():
         # multi-device: shard the batch over the mesh and time single
         # dispatches (the solve is long enough that dispatch overhead is
         # in the noise at this size)
+        x_big = jnp.tile(x, (20, 1))
+        n = x_big.shape[0]
         jfn = jax.jit(logprob_fn)
-        lp, nfe = jfn(model, shard_batch(x, mesh), jax.random.PRNGKey(1))
+        lp, nfe = jfn(model, shard_batch(x_big, mesh), jax.random.PRNGKey(1))
         jax.block_until_ready(lp)
         times = []
         for i in range(3):
-            xv = shard_batch(x + (i + 1) * 1e-6, mesh)
+            xv = shard_batch(x_big + (i + 1) * 1e-6, mesh)
             t0 = time.perf_counter()
             lp, nfe = jfn(model, xv, jax.random.PRNGKey(100 + i))
             jax.block_until_ready(lp)
             np.asarray(lp[:1])
             times.append(time.perf_counter() - t0)
-        best = min(times)
-    else:
-        # single chip: slope over a lax.scan'd repeat count so the relay's
-        # fixed dispatch+fetch overhead (window-dependent 1.5-120 ms; can
-        # also return before execution — block_until_ready is not a true
-        # barrier here) cancels out and the number approximates pure
-        # device time.  Every solve in every rep gets distinct data (the
-        # relay caches identical executable+argument pairs and XLA could
-        # CSE identical scan inputs) at sub-tolerance 1e-6 offsets.
-        # The slope machinery (incl. the doubled-repeat retry when jitter
-        # makes a slope non-positive) and the cache-proof input-stack
-        # builder are shared with the suite — ONE copy of each.
-        from benchmarks.bench_suite import repeat_slope, stack_of
+        _BEST_RESULT = _result(n / min(times))
+        _emit(_BEST_RESULT)
+        return
 
-        def per_solve(xx, kk):
-            lp, _ = logprob_fn(model, xx, kk)
-            return lp
+    # single chip: slope over a lax.scan'd repeat count so the relay's
+    # fixed dispatch+fetch overhead (window-dependent 1.5-120 ms; can
+    # also return before execution — block_until_ready is not a true
+    # barrier here) cancels out and the number approximates pure
+    # device time.  Every solve in every rep gets distinct data (the
+    # relay caches identical executable+argument pairs and XLA could
+    # CSE identical scan inputs) at sub-tolerance 1e-6 offsets.
+    # The slope machinery (incl. the doubled-repeat retry when jitter
+    # makes a slope non-positive) and the cache-proof input-stack
+    # builder are shared with the suite — ONE copy of each.
+    from benchmarks.bench_suite import repeat_slope, stack_of
 
-        best = repeat_slope(per_solve, stack_of(x, 100), k2=3)
-        if not (best > 0.05):
-            raise RuntimeError(
-                f"marginal solve time {best*1e3:.1f} ms for {n} rows — "
-                "implausible (relay jitter swamped the slope even after "
-                "the doubled-repeat retry); rerun"
-            )
+    def per_solve(xx, kk):
+        lp, _ = logprob_fn(model, xx, kk)
+        return lp
 
-    rate = n / best
-    print(
-        json.dumps(
-            {
-                "metric": "probflow_logprob_evals_per_sec_hutchinson_rtol1e-5",
-                "value": round(rate, 1),
-                "unit": "evals/s",
-                "vs_baseline": round(rate / BASELINE_EVALS_PER_SEC, 2),
-            }
+    # Cheap safety slope FIRST (50k rows, short scan): from here on a
+    # valid measured number exists for the SIGTERM backstop.
+    t50 = repeat_slope(per_solve, stack_of(x, 100), k2=2, reps=2)
+    if t50 > 0:
+        _BEST_RESULT = _result(
+            x.shape[0] / t50,
+            f"50k-row safety slope captured ({x.shape[0]/t50:,.0f} evals/s, "
+            f"{remaining():.0f}s of budget left)",
         )
-    )
+
+    # Full-size measurement if the budget allows: 1M rows saturate the
+    # chip (identical work per point, better HBM utilization per
+    # dispatch) — this is the headline configuration.
+    if remaining() >= 120 or _BEST_RESULT is None:
+        x_big = jnp.tile(x, (20, 1))
+        n = x_big.shape[0]
+        reps = 3 if remaining() >= 300 else 2
+        best = repeat_slope(per_solve, stack_of(x_big, 100), k2=3, reps=reps)
+        if not (best > 0.05):
+            # implausible marginal time (relay jitter swamped the slope
+            # even after the doubled-repeat retry): fall back to the
+            # safety number rather than shipping garbage or dying
+            if _BEST_RESULT is None:
+                raise RuntimeError(
+                    f"marginal solve time {best*1e3:.1f} ms for {n} rows — "
+                    "implausible and no safety slope available; rerun"
+                )
+            print(
+                f"bench: 1M-row slope implausible ({best*1e3:.1f} ms); "
+                "keeping the 50k safety number",
+                file=sys.stderr,
+            )
+        else:
+            _BEST_RESULT = _result(n / best)
+    else:
+        print(
+            f"bench: skipping the 1M-row slope ({remaining():.0f}s left) — "
+            "reporting the 50k safety slope",
+            file=sys.stderr,
+        )
+
+    _emit(_BEST_RESULT)
 
 
 if __name__ == "__main__":

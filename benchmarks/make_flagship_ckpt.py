@@ -1,0 +1,155 @@
+"""Train + commit the flagship benchmark checkpoint.
+
+Produces ``benchmarks/flagship_ckpt.npz``: the bench.py flagship
+(ScoreModel, VESDE, MLP[128,128,128], 2-D GMM) trained to demo grade with
+the staged large-batch schedule + EMA (the examples/demo_diffusion.py
+``--tpu-schedule`` recipe, which reaches ~0.1% relative density error).
+
+Why committed: the driver-run benchmark (bench.py) must not spend its
+kill-window training over the TPU tunnel — it loads these weights and
+goes straight to measurement.  The slow-tier statistical regression test
+(tests/test_checkpoint_quality.py) evaluates the SAME artifact against
+the analytic GMM density, so a quality regression in training or a stale
+checkpoint fails loudly.
+
+The checkpoint archive carries everything needed to reproduce and audit:
+shift/scale (training-split standardization stats), the training
+protocol, git commit, jax version, backend, and the density error
+achieved at save time (measured with exact-trace log_prob at
+atol=rtol=1e-4 against the analytic mixture, the reference notebook's
+evaluation — demo_diffusion.ipynb cells 13-17).
+
+Run:  python benchmarks/make_flagship_ckpt.py [--steps-only]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(_HERE, ".."))
+
+# Honour JAX_PLATFORMS before any device query (the sandbox sitecustomize
+# force-prefers its TPU relay over the env var).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CKPT_PATH = os.path.join(_HERE, "flagship_ckpt.npz")
+
+# One fixed protocol, recorded in the artifact.  Mirrors
+# examples/demo_diffusion.py --tpu-schedule (large-batch stages + EMA).
+N_DATA = 100_000
+STAGES = ((128, 1e-3), (256, 3e-4), (512, 1e-4), (512, 3e-5), (512, 1e-5))
+EPOCHS_PER_STAGE = 400
+EMA_DECAY = 0.999
+
+
+def flagship_template():
+    """The bench flagship model with freshly initialized weights."""
+    from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
+    from flowfusion_tpu.models.score import ScoreModel
+    from flowfusion_tpu.ops.sde import VESDE
+
+    cfg = ScoreMLPConfig(n_dimensions=2, units=(128, 128, 128))
+    return ScoreModel(
+        params=init_score_mlp(jax.random.PRNGKey(0), cfg), net=cfg, sde=VESDE()
+    )
+
+
+def eval_density_error(model, shift, scale, n_eval: int = 50_000,
+                       seed: int = 99) -> float:
+    """Relative error of sum(log p) vs the analytic mixture (data units).
+
+    Exact-trace solve at atol=rtol=1e-4 — the reference notebook's
+    evaluation protocol (demo_diffusion.ipynb cells 13-17).  The bare
+    ScoreModel solves in standardized units; convert with the change-of-
+    variables term sum(log scale).
+    """
+    from flowfusion_tpu.utils.data import DEMO_GMM
+
+    x_raw = DEMO_GMM.sample(jax.random.PRNGKey(seed), n_eval)
+    x_std = (x_raw - shift) / scale
+    lp_std, _ = model.log_prob(x_std, atol=1e-4, rtol=1e-4)
+    lp_data = lp_std - jnp.sum(jnp.log(scale))
+    total = float(jnp.sum(lp_data))
+    truth = float(jnp.sum(DEMO_GMM.log_prob(x_raw)))
+    return abs(total - truth) / abs(truth)
+
+
+def main():
+    from flowfusion_tpu.train import fit
+    from flowfusion_tpu.utils.checkpoint import save_npz
+    from flowfusion_tpu.utils.data import (
+        DEMO_GMM,
+        standardization_stats,
+        train_val_test_split,
+    )
+
+    key = jax.random.PRNGKey(0)
+    k_data, k_split, k_fit = jax.random.split(key, 3)
+
+    x = DEMO_GMM.sample(k_data, N_DATA)
+    x_train, x_val, x_test = train_val_test_split(k_split, x)
+    shift, scale = standardization_stats(x_train)
+    xt = (x_train - shift) / scale
+    xv = (x_val - shift) / scale
+
+    model = flagship_template()
+    t0 = time.time()
+    model, results = fit(
+        model, k_fit, xt, x_val=xv,
+        stages=STAGES, epochs_per_stage=EPOCHS_PER_STAGE,
+        log_every=EPOCHS_PER_STAGE // 4, ema_decay=EMA_DECAY,
+    )
+    train_s = time.time() - t0
+    print(f"training done in {train_s:.0f}s on {jax.default_backend()}")
+
+    err = eval_density_error(model, shift, scale)
+    print(f"relative density error (exact trace, 1e-4): {err:.4%}")
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=os.path.join(_HERE, ".."),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+
+    save_npz(
+        CKPT_PATH,
+        model,
+        extra={
+            "shift": np.asarray(shift).tolist(),
+            "scale": np.asarray(scale).tolist(),
+            "protocol": {
+                "n_data": N_DATA,
+                "stages": [list(s) for s in STAGES],
+                "epochs_per_stage": EPOCHS_PER_STAGE,
+                "ema_decay": EMA_DECAY,
+            },
+            "density_rel_error_exact_1e-4": err,
+            "val_loss_final": float(results[-1].val_losses[-1])
+            if getattr(results[-1], "val_losses", None) else None,
+            "trained_on_backend": jax.default_backend(),
+            "jax_version": jax.__version__,
+            "git_commit": commit,
+            "date": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "train_seconds": round(train_s, 1),
+        },
+    )
+    print(f"written: {CKPT_PATH}")
+    print(json.dumps({"density_rel_error": err, "train_seconds": train_s}))
+
+
+if __name__ == "__main__":
+    main()
