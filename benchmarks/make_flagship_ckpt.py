@@ -49,7 +49,10 @@ CKPT_PATH = os.path.join(_HERE, "flagship_ckpt.npz")
 # One fixed protocol, recorded in the artifact.  Mirrors
 # examples/demo_diffusion.py --tpu-schedule (large-batch stages + EMA).
 N_DATA = 100_000
-STAGES = ((128, 1e-3), (256, 3e-4), (512, 1e-4), (512, 3e-5), (512, 1e-5))
+STAGES = (
+    (128, 1e-3), (256, 3e-4), (512, 1e-4), (512, 3e-5), (512, 1e-5),
+    (512, 3e-6),
+)
 EPOCHS_PER_STAGE = 400
 EMA_DECAY = 0.999
 
@@ -115,7 +118,11 @@ def main():
     print(f"training done in {train_s:.0f}s on {jax.default_backend()}")
 
     err = eval_density_error(model, shift, scale)
-    print(f"relative density error (exact trace, 1e-4): {err:.4%}")
+    err2 = eval_density_error(model, shift, scale, seed=7)
+    print(
+        f"relative density error (exact trace, 1e-4): {err:.4%} "
+        f"(second eval draw: {err2:.4%})"
+    )
 
     try:
         commit = subprocess.run(
@@ -138,8 +145,12 @@ def main():
                 "ema_decay": EMA_DECAY,
             },
             "density_rel_error_exact_1e-4": err,
-            "val_loss_final": float(results[-1].val_losses[-1])
-            if getattr(results[-1], "val_losses", None) else None,
+            "density_rel_error_exact_1e-4_seed7": err2,
+            "val_loss_final": (
+                float(np.asarray(results[-1].val_losses)[-1])
+                if results and np.size(getattr(results[-1], "val_losses", []))
+                else None
+            ),
             "trained_on_backend": jax.default_backend(),
             "jax_version": jax.__version__,
             "git_commit": commit,

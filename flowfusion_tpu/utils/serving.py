@@ -62,13 +62,19 @@ def _check_model(model):
         )
 
 
-def _plain_xla_variant(model):
+def _plain_xla_variant(model, likelihood: bool = False):
     """The model with the fused Pallas kernels switched off.
 
     Symbolic-batch exports must lower through plain XLA: a ``pallas_call``
     needs a concrete grid, so a default-configured model on a single
     TPU device (where ``_common.auto_fused`` resolves to the kernel)
     would fail to export with a symbolic ``b`` dimension.
+
+    ``likelihood=True`` additionally rejects the plain-XLA graph families
+    recorded as TPU compiler-crashers on the log-prob path (exact-trace
+    at large batches; any conditional RHS loop — BENCHMARKS.md, the
+    TpuPriorityFusionQueue SIGILL): without the guard a symbolic-batch
+    export lowers fine and the SERVER then dies at call time.
     """
     from ..models.population import PopulationModelDiffusion
 
@@ -83,14 +89,21 @@ def _plain_xla_variant(model):
             "export (a pallas_call needs a concrete grid) — pass batch=N "
             "to keep the kernel, or drop the explicit flag"
         )
-    if getattr(inner, "trace_mode", None) == "exact" and (
-        jax.default_backend() == "tpu"
-    ):
+    on_tpu = jax.default_backend() == "tpu"
+    if likelihood and getattr(inner, "trace_mode", None) == "exact" and on_tpu:
         raise ValueError(
             "symbolic-batch exports run plain XLA, and the pure-XLA "
             "exact-trace graph crashes this TPU platform's compiler at "
             "large batches — export with batch=N (fused kernel) or use "
             "trace_mode='hutchinson'/'hutchpp'"
+        )
+    if likelihood and on_tpu and _cond_dim(model) > 0:
+        raise ValueError(
+            "symbolic-batch log-prob exports run plain XLA, and the "
+            "plain-XLA conditional RHS loop reliably crashes this TPU "
+            "platform's compiler (recorded TpuPriorityFusionQueue SIGILL; "
+            "BENCHMARKS.md) — export conditional models with batch=N so "
+            "the fused kernel serves the solve"
         )
     if isinstance(model, PopulationModelDiffusion):
         return dataclasses.replace(
@@ -192,7 +205,7 @@ def export_log_prob(
 
     _check_model(model)
     if batch is None:
-        model = _plain_xla_variant(model)
+        model = _plain_xla_variant(model, likelihood=True)
     d = _data_dim(model)
     c = _cond_dim(model)
     fn = _logprob_closure(

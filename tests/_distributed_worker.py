@@ -41,6 +41,7 @@ def main() -> None:
 
     from flowfusion_tpu.parallel import (
         data_parallel,
+        data_parallel_per_shard,
         global_batch_from_local,
         initialize_distributed,
         local_rows,
@@ -86,6 +87,14 @@ def main() -> None:
         lambda b: model.log_prob(b, key=jax.random.PRNGKey(7))[0], mesh
     )(xg)
 
+    # per-shard likelihood solve (the pod-slice deployment path for the
+    # fused kernels): each of the 8 shards steps on its own adaptive
+    # clock with NO collectives — shard boundaries are identical to the
+    # parent's single-process 8-device run, so results must match it
+    lp_ps = data_parallel_per_shard(
+        lambda b: model.log_prob(b, key=jax.random.PRNGKey(7))[0], mesh
+    )(xg)
+
     # DSM gradient: loss divides by the GLOBAL batch, so grads must match
     # a single-process run on the same global rows
     def grads_fn(b):
@@ -101,17 +110,20 @@ def main() -> None:
     rep = jax.jit(
         lambda t: t,
         out_shardings=jax.tree_util.tree_map(
-            lambda _: NamedSharding(mesh, P()), (lp, grads)
+            lambda _: NamedSharding(mesh, P()), (lp, lp_ps, grads)
         ),
     )
-    lp_r, grads_r = rep((lp, grads))
+    lp_r, lp_ps_r, grads_r = rep((lp, lp_ps, grads))
     if pid == 0:
         flat = {
             f"g{i}": np.asarray(g)
             for i, g in enumerate(jax.tree_util.tree_leaves(grads_r))
         }
         np.savez(
-            os.path.join(outdir, "worker0.npz"), lp=np.asarray(lp_r), **flat
+            os.path.join(outdir, "worker0.npz"),
+            lp=np.asarray(lp_r),
+            lp_ps=np.asarray(lp_ps_r),
+            **flat,
         )
     print(f"worker {pid}: OK", flush=True)
 

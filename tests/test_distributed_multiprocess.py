@@ -92,11 +92,25 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     mesh = make_mesh()
     xg = shard_batch(jax.numpy.asarray(x), mesh)
 
+    # LOG-PROB equivalence across the process boundary (both solve
+    # semantics): the 2-process cluster's likelihoods must match this
+    # single-process 8-device oracle.
     lp = data_parallel(
         lambda b: model.log_prob(b, key=jax.random.PRNGKey(7))[0], mesh
     )(xg)
     np.testing.assert_allclose(
         np.asarray(lp), data["lp"], rtol=1e-5, atol=1e-5
+    )
+
+    # per-shard mode: shard boundaries (8 shards of 8 rows) are identical
+    # in both runs, so independent per-shard stepping must agree too
+    from flowfusion_tpu.parallel import data_parallel_per_shard
+
+    lp_ps = data_parallel_per_shard(
+        lambda b: model.log_prob(b, key=jax.random.PRNGKey(7))[0], mesh
+    )(xg)
+    np.testing.assert_allclose(
+        np.asarray(lp_ps), data["lp_ps"], rtol=1e-5, atol=1e-5
     )
 
     def grads_fn(b):

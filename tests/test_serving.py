@@ -252,3 +252,38 @@ def test_symplectic_leapfrog_export():
     np.testing.assert_allclose(
         np.asarray(h(joint)), np.asarray(ref), rtol=1e-5, atol=1e-4
     )
+
+
+def test_tpu_symbolic_guard_rejects_crash_families(monkeypatch):
+    """The TPU symbolic-batch guard covers BOTH recorded compiler-crash
+    families on the log-prob path — exact trace AND conditional models
+    (the plain-XLA conditional RHS loop SIGILLs the TPU compiler;
+    BENCHMARKS.md) — while leaving the sampler path (no divergence loop)
+    and fixed-batch exports alone.  Backend faked to 'tpu': the guard
+    must fire BEFORE any lowering, so no TPU client is needed."""
+    cfg = ScoreMLPConfig(n_dimensions=2, n_conditionals=3, units=(32,))
+    m_cond = ScoreModel(
+        params=init_score_mlp(jax.random.PRNGKey(0), cfg),
+        net=cfg,
+        sde=VESDE(),
+        trace_mode="hutchinson",
+    )
+    m_exact = _score_model(trace_mode="exact")
+
+    # fixed-batch conditional export works (CPU backend, real lowering)
+    f = serving.deserialize_log_prob(
+        serving.export_log_prob(m_cond, batch=8, atol=1e-3, rtol=1e-3)
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+    c = jax.random.normal(jax.random.PRNGKey(2), (8, 3))
+    assert np.all(np.isfinite(np.asarray(f(x, c, seed=3))))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="conditional RHS loop"):
+        serving.export_log_prob(m_cond, atol=1e-3, rtol=1e-3)
+    with pytest.raises(ValueError, match="exact-trace graph crashes"):
+        serving.export_log_prob(m_exact, atol=1e-3, rtol=1e-3)
+    # the sampler path integrates no divergence loop: neither family is
+    # blocked there (guard scope is likelihood-only)
+    serving._plain_xla_variant(m_cond, likelihood=False)
+    serving._plain_xla_variant(m_exact, likelihood=False)
