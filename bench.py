@@ -141,13 +141,14 @@ def _enable_compile_cache() -> None:
 
 
 def build_trained_model(key, steps: int = 400, batch: int = 4096,
-                        from_checkpoint: bool = True):
+                        from_checkpoint: bool = False):
     """Flagship model + standardized 50k eval rows.
 
-    Loads the committed demo-grade checkpoint when present (the driver
-    path — no training over the tunnel inside the kill window); falls
-    back to the historical quick protocol (``steps`` jitted DSM steps)
-    when the checkpoint is absent or ``from_checkpoint=False``.
+    ``from_checkpoint=True`` loads the committed demo-grade checkpoint
+    when present (the driver bench path — no training over the tunnel
+    inside the kill window); the default trains the historical quick
+    protocol (``steps`` jitted DSM steps), which existing test fixtures
+    rely on for a deterministic cheaply-built field.
     """
     import dataclasses
 
@@ -251,8 +252,16 @@ def tpu_numerics_check(model, x):
     # 3-pass (highf32, the bench mode) deviation vs the plain RHS: the
     # dropped lo*lo split-dot term sits at ~2^-18 relative, and the
     # throughput modes' tanh-form sigmoid (see kernels/fused_mlp.py
-    # _act_pair_fn) adds ~1e-5 — together still ~50x under the
+    # _act_pair_fn) adds ~1e-5 — together still ~10x under the
     # bf16-trap signature (~1e-3) these bounds exist to catch.
+    # Measured on the committed demo-grade flagship field (2026-08-20):
+    # rhs_dev3 5.1e-5, div_dev3 1.3e-4, mean|dlogp| 1.9e-4 — larger than
+    # the old quick-trained field's ~2e-5/...~7e-5 (sharper trained
+    # score => bigger activations), but identical step counts and ~5x
+    # under the field's own 9.8e-4 rtol=1e-5 truncation floor
+    # (BENCHMARKS.md "Measured strict-parity frontier").  Bounds sit at
+    # ~2x the measured values: loose enough for field-to-field drift,
+    # still an order under the trap signature.
     drift_3, div_3 = fused_drift(
         model.params, model.net, jnp.asarray(0.5), xs, e=e, c0=c0, c1=c1,
         compute_dtype="highf32",
@@ -293,10 +302,10 @@ def tpu_numerics_check(model, x):
     _check(div_dev <= 1e-4, f"fused divergence deviates {div_dev:.2e}")
     _check(nfe_f == nfe_p, f"step counts diverge: fused {nfe_f} plain {nfe_p}")
     _check(dlp <= 1e-4, f"fused log_prob deviates {dlp:.2e}")
-    _check(rhs_dev3 <= 5e-5, f"3pass RHS deviates {rhs_dev3:.2e} (bf16 trap?)")
-    _check(div_dev3 <= 2e-4, f"3pass divergence deviates {div_dev3:.2e}")
+    _check(rhs_dev3 <= 1.2e-4, f"3pass RHS deviates {rhs_dev3:.2e} (bf16 trap?)")
+    _check(div_dev3 <= 3e-4, f"3pass divergence deviates {div_dev3:.2e}")
     _check(nfe_3 == nfe_p, f"step counts diverge: 3pass {nfe_3} plain {nfe_p}")
-    _check(dlp3 <= 1e-4, f"3pass log_prob deviates {dlp3:.2e}")
+    _check(dlp3 <= 5e-4, f"3pass log_prob deviates {dlp3:.2e}")
 
 
 def _device_preflight(timeout_s: int | None = None,
@@ -433,7 +442,7 @@ def main():
     _device_preflight(total_budget_s=int(max(remaining() - MIN_MEASURE_S, 0)))
 
     key = jax.random.PRNGKey(0)
-    model, x, _ = build_trained_model(key)
+    model, x, _ = build_trained_model(key, from_checkpoint=True)
 
     if remaining() >= 240:
         tpu_numerics_check(model, x)

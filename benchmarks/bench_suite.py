@@ -165,7 +165,9 @@ def main():
     from bench import build_trained_model
 
     on_tpu = jax.default_backend() == "tpu"
-    model, x, _ = build_trained_model(jax.random.PRNGKey(0), steps=args.train_steps)
+    model, x, _ = build_trained_model(
+        jax.random.PRNGKey(0), steps=args.train_steps, from_checkpoint=True
+    )
     x = x[: args.batch]
     n = x.shape[0]
     results = {}
@@ -231,40 +233,53 @@ def main():
             name, repeat_slope(per_solve, stack_of(x, 42 + 100 * seed))
         )
 
-    # --- strict-parity mode: dop853 @ 1e-5 ----------------------------
+    # --- strict-parity modes (measured, not inferred) ------------------
     # The density-parity contract (tests/test_density_parity.py,
-    # BENCHMARKS.md "north star") designates dop853 @ rtol=1e-5 as the
-    # documented mode whose densities meet the <=1e-4 bar vs f64 ground
-    # truth — these rows put a MEASURED throughput next to that claim
-    # instead of the step-count inference (round-2 VERDICT Missing #2).
+    # BENCHMARKS.md "north star") requires mean |dlogp| <= 1e-4 (max
+    # <= 5e-4) vs the f64@1e-8 ground truth.  On the committed flagship
+    # field (benchmarks/flagship_ckpt.npz) the modes that MEET that bar
+    # — measured 2026-08-20, 64-row oracle battery, exact trace, pinned
+    # by tests/test_checkpoint_quality.py — are, cheapest first:
+    #   dopri5 @ 1e-6 PI: 266 RHS evals, mean 2.9e-5, max 1.2e-4
+    #   tsit5  @ 1e-6 PI: 344 evals,     mean 7.5e-6, max 3.3e-5
+    #   dop853 @ 1e-5 PI: 410 evals,     mean 2.6e-5, max 1.0e-4
+    # dopri5 @ 3e-6 PI (212 evals) is BORDERLINE — mean 8.7e-5 or
+    # 1.5e-4 depending on the eval draw — its row is recorded but it
+    # carries no strict claim.  (Headline dopri5 @ 1e-5 PI costs 164
+    # evals at its ~1e-3 truncation floor.)  These rows put a MEASURED
+    # throughput next to the parity claim (round-2 VERDICT Missing #2).
+    parity_kernel = (
+        dict(trace_mode="hutchinson", use_fused_kernel=True,
+             kernel_compute_dtype="highf32")
+        if on_tpu
+        else dict(trace_mode="hutchinson", use_fused_kernel=False)
+    )
+    suffix = "fused-highf32" if on_tpu else "plain-f32"
     parity_configs = [
-        (
-            "logprob/hutchinson/dop853-fused-f32",
-            dict(trace_mode="hutchinson", use_fused_kernel=True),
-        ),
-        (
-            "logprob/hutchinson/dop853-fused-highf32",
-            dict(trace_mode="hutchinson", use_fused_kernel=True,
-                 kernel_compute_dtype="highf32"),
-        ),
+        (f"logprob-parity/dopri5-3e-6/{suffix}", "dopri5", 3e-6,
+         {"controller": "pi"}),
+        (f"logprob-parity/dopri5-1e-6/{suffix}", "dopri5", 1e-6,
+         {"controller": "pi"}),
+        (f"logprob-parity/tsit5-1e-6/{suffix}", "tsit5", 1e-6,
+         {"controller": "pi"}),
+        (f"logprob-parity/dop853-1e-5/{suffix}", "dop853", 1e-5,
+         {"controller": "pi", "beta": 0.04}),
     ]
     if on_tpu:
         parity_configs.append(
-            ("logprob/exact/dop853-fused", dict(use_fused_kernel=True))
+            ("logprob-parity/dop853-1e-5/exact-fused", "dop853", 1e-5,
+             {"controller": "pi", "beta": 0.04})
         )
-    else:
-        parity_configs = [
-            (
-                "logprob/hutchinson/dop853-plain-f32",
-                dict(trace_mode="hutchinson", use_fused_kernel=False),
-            ),
-            ("logprob/exact/dop853-plain-f32", dict(use_fused_kernel=False)),
-        ]
-    for seed, (name, kw) in enumerate(parity_configs):
+    for seed, (name, method, tol, opts) in enumerate(parity_configs):
+        kw = dict(parity_kernel)
+        if name.endswith("exact-fused"):
+            kw = dict(use_fused_kernel=True)
         m = dataclasses.replace(model, **kw)
-        per_solve = lambda xx, kk, m=m: m.log_prob(
-            xx, key=kk, atol=1e-5, rtol=1e-5, method="dop853", options=None
-        )[0]
+        per_solve = lambda xx, kk, m=m, method=method, tol=tol, opts=opts: (
+            m.log_prob(
+                xx, key=kk, atol=tol, rtol=tol, method=method, options=opts
+            )[0]
+        )
         record_slope(
             name, repeat_slope(per_solve, stack_of(x, 77 + 100 * seed))
         )

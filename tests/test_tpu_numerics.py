@@ -33,11 +33,15 @@ if jax.default_backend() != "tpu":  # pragma: no cover - tier guard
 
 @pytest.fixture(scope="module")
 def trained():
-    """Briefly DSM-trained flagship model + standardized data (bench.py's
-    workload, so these bounds guard exactly what the headline measures)."""
+    """Flagship model + standardized data, from the committed demo-grade
+    checkpoint when present (bench.py's exact workload, so these bounds
+    guard exactly what the headline measures); falls back to the quick
+    DSM-trained field when the artifact is absent."""
     import bench
 
-    model, x, _ = bench.build_trained_model(jax.random.PRNGKey(0))
+    model, x, _ = bench.build_trained_model(
+        jax.random.PRNGKey(0), from_checkpoint=True
+    )
     return model, x
 
 
@@ -79,8 +83,13 @@ def test_fused_rhs_matches_plain_on_device(trained):
         model.params, model.net, jnp.asarray(0.5), xs, e=e, c0=c0, c1=c1,
         compute_dtype="highf32",
     )
-    assert float(jnp.max(jnp.abs(drift_3 - drift_p))) / scale <= 5e-5
-    assert float(jnp.max(jnp.abs(div_3 - div_p))) / div_scale <= 2e-4
+    # highf32 bounds sit at ~2x the values measured on the committed
+    # demo-grade field (5.1e-5 / 1.3e-4 — the sharper trained score has
+    # bigger activations than the old quick field's ~2e-5), still an
+    # order under the ~1e-3 bf16-trap signature (bench.py has the same
+    # calibration note).
+    assert float(jnp.max(jnp.abs(drift_3 - drift_p))) / scale <= 1.2e-4
+    assert float(jnp.max(jnp.abs(div_3 - div_p))) / div_scale <= 3e-4
 
 
 def test_solver_step_counts_and_logprob_agree(trained):
@@ -103,7 +112,9 @@ def test_solver_step_counts_and_logprob_agree(trained):
     assert int(st_f.n_func_evals) == int(st_p.n_func_evals)
     assert int(st_3.n_func_evals) == int(st_p.n_func_evals)
     assert float(jnp.mean(jnp.abs(lp_f - lp_p))) <= 1e-4
-    assert float(jnp.mean(jnp.abs(lp_3 - lp_p))) <= 1e-4
+    # 3pass measured 1.9e-4 on the committed field (bench.py calibration
+    # note) — ~5x under the field's 9.8e-4 rtol=1e-5 truncation floor
+    assert float(jnp.mean(jnp.abs(lp_3 - lp_p))) <= 5e-4
 
 
 def test_em_fused_sampler_matches_scan_on_device(trained):
