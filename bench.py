@@ -512,13 +512,41 @@ def main():
         return lp
 
     # Cheap safety slope FIRST (50k rows, short scan): from here on a
-    # valid measured number exists for the SIGTERM backstop.
-    t50 = repeat_slope(per_solve, stack_of(x, 100), k2=2, reps=2)
-    if t50 > 0:
+    # valid measured number exists for the SIGTERM backstop.  A failure
+    # here must not kill the run — the 1M path below is independent.
+    # Plausibility floor: a 50k-row rtol=1e-5 Hutchinson solve costs
+    # >=150 fused RHS dispatches, so a marginal under ~10 ms (>5e6
+    # evals/s) is relay jitter swamping the short k2=2 slope, not a
+    # speedup (observed: a 7.5 ms "6.6M evals/s" slope in an otherwise
+    # healthy 1.85M run) — retry once with a longer scan, else skip the
+    # capture rather than arm the SIGTERM backstop with a wrong number.
+    def _safety_slope(k2, reps):
+        try:
+            return repeat_slope(per_solve, stack_of(x, 100), k2=k2, reps=reps)
+        except Exception as e:
+            print(f"bench: 50k safety slope failed ({e}); continuing",
+                  file=sys.stderr)
+            return -1.0
+
+    t50 = _safety_slope(2, 2)
+    if 0 < t50 <= 0.01:
+        print(
+            f"bench: 50k safety slope implausible ({t50*1e3:.1f} ms); "
+            "retrying with a longer scan",
+            file=sys.stderr,
+        )
+        t50 = _safety_slope(4, 2)
+    if t50 > 0.01:
         _BEST_RESULT = _result(
             x.shape[0] / t50,
             f"50k-row safety slope captured ({x.shape[0]/t50:,.0f} evals/s, "
             f"{remaining():.0f}s of budget left)",
+        )
+    elif t50 > 0:
+        print(
+            f"bench: 50k safety slope still implausible ({t50*1e3:.1f} ms) "
+            "— not captured",
+            file=sys.stderr,
         )
 
     # Full-size measurement if the budget allows: 1M rows saturate the
@@ -528,7 +556,17 @@ def main():
         x_big = jnp.tile(x, (20, 1))
         n = x_big.shape[0]
         reps = 3 if remaining() >= 300 else 2
-        best = repeat_slope(per_solve, stack_of(x_big, 100), k2=3, reps=reps)
+        try:
+            best = repeat_slope(per_solve, stack_of(x_big, 100), k2=3, reps=reps)
+        except Exception as e:
+            if _BEST_RESULT is None:
+                raise
+            best = -1.0
+            print(
+                f"bench: 1M-row slope failed ({e}); keeping the 50k "
+                "safety number",
+                file=sys.stderr,
+            )
         if not (best > 0.05):
             # implausible marginal time (relay jitter swamped the slope
             # even after the doubled-repeat retry): fall back to the
