@@ -19,7 +19,7 @@ achieved at save time (measured with exact-trace log_prob at
 atol=rtol=1e-4 against the analytic mixture, the reference notebook's
 evaluation — demo_diffusion.ipynb cells 13-17).
 
-Run:  python benchmarks/make_flagship_ckpt.py [--steps-only]
+Run:  python benchmarks/make_flagship_ckpt.py [--epochs N] [--out PATH]
 """
 
 from __future__ import annotations
@@ -87,6 +87,8 @@ def eval_density_error(model, shift, scale, n_eval: int = 50_000,
 
 
 def main():
+    import argparse
+
     from flowfusion_tpu.models.population import PopulationModelDiffusion
     from flowfusion_tpu.ops.sde import VESDE
     from flowfusion_tpu.train import fit
@@ -96,6 +98,23 @@ def main():
         standardization_stats,
         train_val_test_split,
     )
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--epochs", type=int, default=EPOCHS_PER_STAGE,
+        help="epochs per stage (default: the committed protocol's "
+        f"{EPOCHS_PER_STAGE}; doubling trades wall clock for accuracy)",
+    )
+    ap.add_argument(
+        "--out", default=CKPT_PATH,
+        help="output path (default: the committed artifact — pass a "
+        "scratch path for experiments)",
+    )
+    ap.add_argument(
+        "--ema", type=float, default=EMA_DECAY,
+        help=f"EMA decay (default {EMA_DECAY})",
+    )
+    args = ap.parse_args()
 
     # EXACT mirror of examples/demo_diffusion.py --tpu-schedule (same key
     # split layout, same wrapper, same staged fit) — that protocol's
@@ -116,8 +135,8 @@ def main():
     t0 = time.time()
     pop, results = fit(
         pop, k_fit, x_train, x_val=x_val,
-        stages=STAGES, epochs_per_stage=EPOCHS_PER_STAGE,
-        log_every=EPOCHS_PER_STAGE // 4, ema_decay=EMA_DECAY,
+        stages=STAGES, epochs_per_stage=args.epochs,
+        log_every=args.epochs // 4, ema_decay=args.ema,
     )
     train_s = time.time() - t0
     print(f"training done in {train_s:.0f}s on {jax.default_backend()}")
@@ -149,7 +168,7 @@ def main():
         commit = "unknown"
 
     save_npz(
-        CKPT_PATH,
+        args.out,
         model,
         extra={
             "shift": np.asarray(shift).tolist(),
@@ -157,8 +176,8 @@ def main():
             "protocol": {
                 "n_data": N_DATA,
                 "stages": [list(s) for s in STAGES],
-                "epochs_per_stage": EPOCHS_PER_STAGE,
-                "ema_decay": EMA_DECAY,
+                "epochs_per_stage": args.epochs,
+                "ema_decay": args.ema,
             },
             "density_rel_error_exact_1e-4": err,
             "density_rel_error_exact_1e-4_seed7": err2,
@@ -175,7 +194,7 @@ def main():
             "train_seconds": round(train_s, 1),
         },
     )
-    print(f"written: {CKPT_PATH}")
+    print(f"written: {args.out}")
     print(json.dumps({"density_rel_error": err, "train_seconds": train_s}))
 
 
