@@ -1,0 +1,161 @@
+"""Capacity scaling of the fused likelihood path: width x depth sweep.
+
+The committed suite measures one architecture (MLP[128,128,128], the
+reference demo).  This sweep shows the fused Pallas RHS kernel is not
+shape-overfit: hidden widths are any multiple of 128 and depth is free,
+so the same kernel serves bigger score networks.  Each configuration is
+quick-trained (200 DSM steps — enough for a realistic field) and timed
+with the slope methodology on a 50k batch at the headline settings
+(Hutchinson, highf32, rtol=1e-5, PI controller).
+
+Because step counts differ per trained field, the comparable number is
+``row_evals_per_s`` (solve rate x RHS evals per solve): the kernel's
+per-dispatch throughput.  Writes ``benchmarks/capacity.json``.
+
+Run (real TPU):  python benchmarks/bench_capacity.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(_HERE, ".."))
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax
+import jax.numpy as jnp
+
+ARCHS = [
+    ("mlp128x3", (128, 128, 128)),
+    ("mlp256x3", (256, 256, 256)),
+    ("mlp128x4", (128, 128, 128, 128)),
+    ("mlp384x3", (384, 384, 384)),
+]
+
+
+def main():
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.expanduser("~"), ".cache", "jax_bench_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import optax
+
+    from benchmarks.bench_suite import repeat_slope, stack_of
+    from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
+    from flowfusion_tpu.models.score import ScoreModel
+    from flowfusion_tpu.ops.sde import VESDE
+    from flowfusion_tpu.utils.data import DEMO_GMM, standardization_stats
+
+    k_data = jax.random.PRNGKey(1)
+    x_raw = DEMO_GMM.sample(k_data, 50_000)
+    shift, scale = standardization_stats(x_raw)
+    x = (x_raw - shift) / scale
+
+    def quick_train(model, steps=200, batch=4096):
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(model.params)
+
+        def step(carry, k):
+            params, opt_state = carry
+            kb, kl = jax.random.split(k)
+            idx = jax.random.randint(kb, (batch,), 0, x.shape[0])
+
+            def loss_fn(p):
+                return dataclasses.replace(model, params=p).loss_fn(kl, x[idx])
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, upd), opt_state), loss
+
+        keys = jax.random.split(jax.random.PRNGKey(2), steps)
+        (params, _), _ = jax.lax.scan(step, (model.params, opt_state), keys)
+        return dataclasses.replace(model, params=params)
+
+    results = {}
+    for seed, (name, units) in enumerate(ARCHS):
+        cfg = ScoreMLPConfig(n_dimensions=2, units=units)
+        model = ScoreModel(
+            params=init_score_mlp(jax.random.PRNGKey(3 + seed), cfg),
+            net=cfg, sde=VESDE(),
+            trace_mode="hutchinson", use_fused_kernel=True,
+            kernel_compute_dtype="highf32",
+        )
+        try:
+            model = quick_train(model)
+        except Exception as e:
+            print(f"{name}: training failed ({e}) — skipped", file=sys.stderr)
+            continue
+
+        nfe_holder = {}
+
+        def per_solve(xx, kk, model=model, nfe_holder=nfe_holder):
+            lp, st = model.log_prob(
+                xx, key=kk, atol=1e-5, rtol=1e-5, options={"controller": "pi"}
+            )
+            nfe_holder["nfe"] = st.n_func_evals
+            return lp
+
+        # one eager solve for the step count of this trained field
+        _ = per_solve(x[:4096], jax.random.PRNGKey(9))
+        nfe = int(nfe_holder["nfe"])
+
+        t = repeat_slope(per_solve, stack_of(x, 900 + 100 * seed), k2=2, reps=3)
+        if t <= 0:
+            print(f"{name}: noise-bound slope — skipped", file=sys.stderr)
+            continue
+        rate = x.shape[0] / t
+        n_params = sum(
+            p.size for p in jax.tree_util.tree_leaves(model.params)
+        )
+        results[name] = {
+            "units": list(units),
+            "n_params": int(n_params),
+            "nfe_at_1e-5": nfe,
+            "solve_rate_per_s": round(rate, 1),
+            "row_evals_per_s": round(rate * nfe, 1),
+        }
+        print(
+            f"{name:10s} params={n_params:>8,d} nfe={nfe:4d} "
+            f"rate={rate:>12,.0f}/s  row-evals={rate*nfe:>14,.0f}/s",
+            flush=True,
+        )
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=os.path.join(_HERE, ".."),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        commit = "unknown"
+    out = {
+        "meta": {
+            "date": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "git_commit": commit,
+            "backend": jax.default_backend(),
+            "device_kind": jax.devices()[0].device_kind,
+            "batch": int(x.shape[0]),
+            "mode": "hutchinson fused highf32, rtol=1e-5, PI controller, "
+            "200-step quick-trained field per arch",
+        },
+        "results": results,
+    }
+    path = os.path.join(_HERE, "capacity.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"written: {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1172,6 +1172,26 @@ def _dispatch(
     else:
         io_rows = 0
     tile = _io_clamped_tile(tile, max_sub, d_in_total + io_rows + d_out)
+    # Width/depth activation clamp: the wrapper-tuned tiles are calibrated
+    # for the 128-wide reference net, but the live in-kernel activation
+    # set scales with hidden width H (and, for the stored-derivative
+    # modes, with depth) — at H=384 the hutchinson default 3072 keeps
+    # ~18.3 MiB on the VMEM stack and Mosaic refuses to compile (16 MiB
+    # scoped budget; observed 2026-08-20 in the capacity sweep).  Budget
+    # ~12 MiB for `chains` live (H, tile) f32 arrays per sub-tile and
+    # shrink the tile to fit; the H=128 configs all sit under the budget,
+    # so this only bites wider/deeper nets.  Shrink-only, like the IO
+    # clamp above.
+    H = int(b_eff.shape[0])
+    n_hidden = max(1, len(layers) - 1)
+    if mode in ("tangents", "hutchpp", "xtrace"):
+        chains = n_hidden + 3  # stored dh per hidden layer + transients
+    elif mode == "exact":
+        chains = d_out + 3  # d_out basis-tangent chains + transients
+    else:
+        chains = 4  # forward/hutchinson: a, h, dh, tangent transients
+    cap = max(256, (12 * 2**20 // (chains * H * 4)) // 256 * 256)
+    tile = min(tile, cap)
     x_in = x if conditional is None else jnp.concatenate([x, conditional], -1)
     B = x_in.shape[0]
     # Tangent modes keep 2+ activation chains plus double-buffered in/out

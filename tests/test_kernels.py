@@ -1246,3 +1246,44 @@ def test_wide_hutchinson_default_tile_dispatch():
     dr_p, div_p = fused_drift_reference(params, cfg, t, x, e=e, c0=0.3, c1=-1.7)
     np.testing.assert_allclose(np.asarray(dr_k), np.asarray(dr_p), atol=1e-4)
     np.testing.assert_allclose(np.asarray(div_k), np.asarray(div_p), rtol=1e-4, atol=5e-4)
+
+
+def test_wide_net_fused_drift_matches_plain_interpret():
+    """Width-384 nets ride the same kernel (the VMEM width-clamp shrinks
+    the batch tile instead of letting Mosaic OOM at compile — capacity
+    sweep, 2026-08-20); numerics must still match plain XLA."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flowfusion_tpu.kernels.fused_mlp import fused_drift
+    from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
+    from flowfusion_tpu.models.score import ScoreModel
+    from flowfusion_tpu.ops import trace as trace_lib
+    from flowfusion_tpu.ops.sde import VESDE
+
+    cfg = ScoreMLPConfig(n_dimensions=2, units=(384, 384, 384))
+    model = ScoreModel(
+        params=init_score_mlp(jax.random.PRNGKey(0), cfg), net=cfg,
+        sde=VESDE(), trace_mode="hutchinson",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (512, 2))
+    e = trace_lib.make_probes("hutchinson", jax.random.PRNGKey(2), x)[0]
+    c0, c1 = model._fused_coeffs(0.5)
+
+    drift_f, div_f = fused_drift(
+        model.params, cfg, jnp.asarray(0.5), x, e=e, c0=c0, c1=c1,
+        interpret=True,
+    )
+    m_plain = dataclasses.replace(model, use_fused_kernel=False)
+    drift_p, div_p = trace_lib.hutchinson_divergence(
+        lambda xx: m_plain.ode_drift(0.5, xx), x, e
+    )
+    np.testing.assert_allclose(
+        np.asarray(drift_f), np.asarray(drift_p), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(div_f), np.asarray(div_p), rtol=2e-4, atol=2e-4
+    )
