@@ -379,6 +379,12 @@ def fused_em_sample(
         interpret = jax.default_backend() != "tpu"
 
     B, D = x0.shape
+    # Width clamp (same rationale as fused_mlp._dispatch): the default
+    # tile is calibrated for H=128, and the live per-tile activation set
+    # scales with the hidden width — shrink-only so wider nets fit
+    # Mosaic's scoped-VMEM budget instead of failing to compile.
+    H = cfg.units[0]
+    tile = min(tile, max(256, (12 * 2**20 // (4 * H * 4)) // 256 * 256))
     tile = min(tile, B)
     pad = (-B) % tile
     if pad:
