@@ -33,10 +33,12 @@ Preflight + measurement therefore share ONE wall-clock budget
     full (numerics check + 50k slope + 1M slope), reduced (shorter 1M
     slope), or minimal (50k slope only, numerics check skipped with a
     loud stderr note);
-  * a cheap 50k-batch slope runs FIRST so a valid number exists early,
-    and a SIGTERM handler prints the best result captured so far — the
-    driver's `timeout` sends SIGTERM before SIGKILL, so even a
-    mid-upgrade kill ships a measured number instead of rc=124.
+  * a cheap safety measurement runs FIRST so a valid number exists
+    early (single-chip: a 50k-row slope; multi-device: each timed
+    dispatch arms the backstop as it lands), and a SIGTERM handler
+    prints the best result captured so far — the driver's `timeout`
+    sends SIGTERM before SIGKILL, so even a mid-upgrade kill ships a
+    measured number instead of rc=124.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N}
@@ -93,27 +95,44 @@ def _result(rate: float, note: str = "") -> dict:
     }
 
 
+_EMITTED = False
+
+
 def _emit(result: dict) -> None:
+    global _EMITTED
     print(json.dumps(result))
     sys.stdout.flush()
+    _EMITTED = True
 
 
 def _install_sigterm_backstop() -> None:
     """On SIGTERM (the driver's `timeout` sends it before SIGKILL), print
     the best measurement captured so far and exit 0 — a measured number
     from the cheap early slope beats rc=124 with no output.  Without a
-    captured number, exit 3 with a diagnosis."""
+    captured number, exit 3 with a diagnosis.
+
+    Handler discipline: if the result was already printed (a SIGTERM
+    during teardown), exit WITHOUT printing again — stdout must carry
+    exactly one JSON line.  Diagnostics use os.write, not print: the
+    signal can land mid-way through one of the bench's own buffered
+    stderr writes, where print() would raise a reentrant-call error and
+    lose the diagnosis."""
     import signal
 
     def handler(signum, frame):
-        if _BEST_RESULT is not None:
-            _emit(_BEST_RESULT)
+        if _EMITTED:
             os._exit(0)
-        print(
-            "bench: SIGTERM before any measurement completed "
-            f"({time.monotonic() - _T_START:.0f}s elapsed) — raise the "
-            "driver window or BENCH_TOTAL_BUDGET_S",
-            file=sys.stderr,
+        if _BEST_RESULT is not None:
+            # json.dumps + os.write: safe against buffered-IO reentrancy
+            os.write(1, (json.dumps(_BEST_RESULT) + "\n").encode())
+            os._exit(0)
+        os.write(
+            2,
+            (
+                "bench: SIGTERM before any measurement completed "
+                f"({time.monotonic() - _T_START:.0f}s elapsed) — raise "
+                "the driver window or BENCH_TOTAL_BUDGET_S\n"
+            ).encode(),
         )
         os._exit(3)
 
@@ -491,7 +510,8 @@ def main():
             jax.block_until_ready(lp)
             np.asarray(lp[:1])
             times.append(time.perf_counter() - t0)
-        _BEST_RESULT = _result(n / min(times))
+            # arm the SIGTERM backstop as soon as one timed solve exists
+            _BEST_RESULT = _result(n / min(times))
         _emit(_BEST_RESULT)
         return
 
@@ -515,11 +535,14 @@ def main():
     # valid measured number exists for the SIGTERM backstop.  A failure
     # here must not kill the run — the 1M path below is independent.
     # Plausibility floor: a 50k-row rtol=1e-5 Hutchinson solve costs
-    # >=150 fused RHS dispatches, so a marginal under ~10 ms (>5e6
-    # evals/s) is relay jitter swamping the short k2=2 slope, not a
-    # speedup (observed: a 7.5 ms "6.6M evals/s" slope in an otherwise
-    # healthy 1.85M run) — retry once with a longer scan, else skip the
-    # capture rather than arm the SIGTERM backstop with a wrong number.
+    # >=150 fused RHS dispatches and the fastest credible highf32 rate
+    # is ~2M rows/s, so a marginal under ~20 ms (>2.5e6 evals/s) is
+    # relay jitter swamping the short k2=2 slope, not a speedup
+    # (observed: 7.5 ms "6.6M evals/s" and 15.9 ms "3.2M evals/s"
+    # slopes in otherwise healthy ~1.86M runs) — retry once with a
+    # longer scan, else skip the capture rather than arm the SIGTERM
+    # backstop with a wrong number.  Shrink-only guard on the BACKSTOP:
+    # the printed headline always comes from the 1M slope when it runs.
     def _safety_slope(k2, reps):
         try:
             return repeat_slope(per_solve, stack_of(x, 100), k2=k2, reps=reps)
@@ -529,14 +552,14 @@ def main():
             return -1.0
 
     t50 = _safety_slope(2, 2)
-    if 0 < t50 <= 0.01:
+    if 0 < t50 <= 0.02:
         print(
             f"bench: 50k safety slope implausible ({t50*1e3:.1f} ms); "
             "retrying with a longer scan",
             file=sys.stderr,
         )
         t50 = _safety_slope(4, 2)
-    if t50 > 0.01:
+    if t50 > 0.02:
         _BEST_RESULT = _result(
             x.shape[0] / t50,
             f"50k-row safety slope captured ({x.shape[0]/t50:,.0f} evals/s, "
@@ -561,13 +584,15 @@ def main():
         except Exception as e:
             if _BEST_RESULT is None:
                 raise
-            best = -1.0
+            best = None
             print(
                 f"bench: 1M-row slope failed ({e}); keeping the 50k "
                 "safety number",
                 file=sys.stderr,
             )
-        if not (best > 0.05):
+        if best is None:
+            pass  # exception path above: the safety number stands
+        elif not (best > 0.05):
             # implausible marginal time (relay jitter swamped the slope
             # even after the doubled-repeat retry): fall back to the
             # safety number rather than shipping garbage or dying

@@ -20,9 +20,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-import subprocess
 import sys
-import time
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.join(_HERE, ".."))
@@ -44,15 +42,12 @@ ARCHS = [
 
 
 def main():
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.expanduser("~"), ".cache", "jax_bench_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
     import optax
 
-    from benchmarks.bench_suite import repeat_slope, stack_of
+    from bench import _enable_compile_cache
+    from benchmarks.bench_suite import provenance_meta, repeat_slope, stack_of
+
+    _enable_compile_cache()
     from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
     from flowfusion_tpu.models.score import ScoreModel
     from flowfusion_tpu.ops.sde import VESDE
@@ -107,8 +102,12 @@ def main():
             nfe_holder["nfe"] = st.n_func_evals
             return lp
 
-        # one eager solve for the step count of this trained field
-        _ = per_solve(x[:4096], jax.random.PRNGKey(9))
+        # one eager solve at the FULL timed batch for this field's step
+        # count — the adaptive controller's NFE depends on the batch
+        # error norm, and row_evals_per_s (rate * nfe) must use the same
+        # batch as the timed slope or the sweep ranks architectures on
+        # inconsistent arithmetic
+        _ = per_solve(x, jax.random.PRNGKey(9))
         nfe = int(nfe_holder["nfe"])
 
         t = repeat_slope(per_solve, stack_of(x, 900 + 100 * seed), k2=2, reps=3)
@@ -132,23 +131,12 @@ def main():
             flush=True,
         )
 
-    try:
-        commit = subprocess.run(
-            ["git", "rev-parse", "HEAD"], cwd=os.path.join(_HERE, ".."),
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip() or "unknown"
-    except Exception:
-        commit = "unknown"
     out = {
-        "meta": {
-            "date": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            "git_commit": commit,
-            "backend": jax.default_backend(),
-            "device_kind": jax.devices()[0].device_kind,
-            "batch": int(x.shape[0]),
-            "mode": "hutchinson fused highf32, rtol=1e-5, PI controller, "
+        "meta": provenance_meta(
+            batch=int(x.shape[0]),
+            mode="hutchinson fused highf32, rtol=1e-5, PI controller, "
             "200-step quick-trained field per arch",
-        },
+        ),
         "results": results,
     }
     path = os.path.join(_HERE, "capacity.json")

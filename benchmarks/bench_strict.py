@@ -21,9 +21,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-import subprocess
 import sys
-import time
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.join(_HERE, ".."))
@@ -47,17 +45,10 @@ MODES = [
 
 
 def main():
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache", "jax_bench_cache"),
-        ),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from bench import _enable_compile_cache, build_trained_model
+    from benchmarks.bench_suite import provenance_meta, repeat_slope, stack_of
 
-    from bench import build_trained_model
-    from benchmarks.bench_suite import repeat_slope, stack_of
+    _enable_compile_cache()
 
     model, x, _ = build_trained_model(
         jax.random.PRNGKey(0), from_checkpoint=True
@@ -85,26 +76,13 @@ def main():
         results[name] = {"seconds": round(t, 4), "rate": round(n / t, 1)}
         print(f"{name:26s} {t:7.3f}s   {n/t:>12,.0f}/s", flush=True)
 
-    try:
-        commit = subprocess.run(
-            ["git", "rev-parse", "HEAD"], cwd=os.path.join(_HERE, ".."),
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip() or "unknown"
-    except Exception:
-        commit = "unknown"
-    devs = jax.devices()
     out = {
-        "meta": {
-            "date": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            "git_commit": commit,
-            "jax": jax.__version__,
-            "backend": jax.default_backend(),
-            "device_kind": devs[0].device_kind if devs else "unknown",
-            "batch": n,
-            "kernel": "fused V4 highf32 Hutchinson RHS",
-            "accuracy_contract": "tests/test_checkpoint_quality.py "
+        "meta": provenance_meta(
+            batch=n,
+            kernel="fused V4 highf32 Hutchinson RHS",
+            accuracy_contract="tests/test_checkpoint_quality.py "
             "(mean<=1e-4, max<=5e-4 vs f64@1e-8 oracle for strict/* rows)",
-        },
+        ),
         "results": results,
     }
     path = os.path.join(_HERE, "strict_1m.json")

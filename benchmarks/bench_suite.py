@@ -135,6 +135,37 @@ def repeat_slope(per_solve, make_stack, k2=4, reps=3, retry=True):
     return slope
 
 
+def provenance_meta(**extra):
+    """date/commit/jax/backend provenance block — ONE copy, shared by
+    every results writer (bench_suite, bench_strict, bench_capacity):
+    these files carry the headline claims and staleness must be
+    mechanically detectable."""
+    import subprocess
+
+    import jaxlib
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.join(_HERE, ".."),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        commit = "unknown"
+    devs = jax.devices()
+    meta = {
+        "date": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "git_commit": commit,
+        "jax": jax.__version__,
+        "jaxlib": jaxlib.__version__,
+        "backend": jax.default_backend(),
+        "device_kind": devs[0].device_kind if devs else "unknown",
+        "n_devices": len(devs),
+    }
+    meta.update(extra)
+    return meta
+
+
 def stack_of(base, seed):
     """(K, rep) -> (xs, ks) input stacks for repeat_slope: every solve
     in every rep gets distinct data (sub-tolerance 1e-6 offsets) and a
@@ -698,32 +729,14 @@ def main():
     # Provenance rides with the numbers: these rows are the headline
     # claims, and staleness must be mechanically detectable (round-2
     # VERDICT "What's weak" #6).
-    import subprocess
-    import jaxlib
-
-    try:
-        commit = subprocess.run(
-            ["git", "rev-parse", "HEAD"], cwd=os.path.join(_HERE, ".."),
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip() or "unknown"
-    except Exception:
-        commit = "unknown"
-    devs = jax.devices()
-    meta = {
-        "date": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "git_commit": commit,
-        "jax": jax.__version__,
-        "jaxlib": jaxlib.__version__,
-        "backend": jax.default_backend(),
-        "device_kind": devs[0].device_kind if devs else "unknown",
-        "n_devices": len(devs),
-        "timing": "slope (fixed relay overhead differenced out; see module docstring)",
-        "solver": "dopri5, torchdiffeq-default controller, atol=rtol=1e-5 "
+    meta = provenance_meta(
+        timing="slope (fixed relay overhead differenced out; see module docstring)",
+        solver="dopri5, torchdiffeq-default controller, atol=rtol=1e-5 "
         "for diffusion log-prob rows (1e-4 for flow rows, reference "
         "parity) unless the row name says otherwise",
-        "model": "committed flagship checkpoint when present "
+        model="committed flagship checkpoint when present "
         "(benchmarks/flagship_ckpt.npz), else freshly quick-trained",
-    }
+    )
     with open(out_path, "w") as f:
         json.dump(
             {"meta": meta, "backend": jax.default_backend(), "batch": n,

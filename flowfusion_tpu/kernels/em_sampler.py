@@ -53,6 +53,7 @@ from .fused_mlp import (
     _check_conditional,
     in_proj_rows,
     supports_config,
+    vmem_width_clamp,
 )
 
 __all__ = ["fused_em_sample", "em_prep"]
@@ -379,12 +380,12 @@ def fused_em_sample(
         interpret = jax.default_backend() != "tpu"
 
     B, D = x0.shape
-    # Width clamp (same rationale as fused_mlp._dispatch): the default
-    # tile is calibrated for H=128, and the live per-tile activation set
-    # scales with the hidden width — shrink-only so wider nets fit
-    # Mosaic's scoped-VMEM budget instead of failing to compile.
-    H = cfg.units[0]
-    tile = min(tile, max(256, (12 * 2**20 // (4 * H * 4)) // 256 * 256))
+    # Width clamp (same rationale and ONE shared formula as
+    # fused_mlp._dispatch): the default tile is calibrated for H=128,
+    # and the live per-tile activation set scales with the hidden width
+    # — shrink-only so wider nets fit Mosaic's scoped-VMEM budget
+    # instead of failing to compile.
+    tile = vmem_width_clamp(tile, cfg.units[0], chains=4)
     tile = min(tile, B)
     pad = (-B) % tile
     if pad:

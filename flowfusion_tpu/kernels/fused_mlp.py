@@ -348,6 +348,16 @@ def _stack_sketch_probes(probes, sketch_mode, D):
     raise ValueError(f"unknown sketch mode {sketch_mode!r}")
 
 
+def vmem_width_clamp(tile: int, H: int, chains: int) -> int:
+    """Shrink-only batch-tile clamp so ``chains`` live (H, tile) f32
+    arrays fit a ~12 MiB scoped-VMEM activation budget (Mosaic's stack
+    limit is 16 MiB; calibrated 2026-08-20 when H=384 at the H=128-tuned
+    tile kept ~18.3 MiB and refused to compile).  ONE copy of the
+    formula — the EM sampler imports it too, so a budget recalibration
+    lands everywhere."""
+    return min(tile, max(256, (12 * 2**20 // (chains * H * 4)) // 256 * 256))
+
+
 def _io_clamped_tile(tile: int, max_sub: int, io_rows_total: int) -> int:
     """Halve ``tile`` (floor 256) until the per-grid-step IO blocks —
     ``io_rows_total`` f32 rows of ``tile * max_sub`` columns — fit an
@@ -1175,13 +1185,9 @@ def _dispatch(
     # Width/depth activation clamp: the wrapper-tuned tiles are calibrated
     # for the 128-wide reference net, but the live in-kernel activation
     # set scales with hidden width H (and, for the stored-derivative
-    # modes, with depth) — at H=384 the hutchinson default 3072 keeps
-    # ~18.3 MiB on the VMEM stack and Mosaic refuses to compile (16 MiB
-    # scoped budget; observed 2026-08-20 in the capacity sweep).  Budget
-    # ~12 MiB for `chains` live (H, tile) f32 arrays per sub-tile and
-    # shrink the tile to fit; the H=128 configs all sit under the budget,
+    # modes, with depth) — the H=128 configs all sit under the budget,
     # so this only bites wider/deeper nets.  Shrink-only, like the IO
-    # clamp above.
+    # clamp above.  See vmem_width_clamp for the calibration story.
     H = int(b_eff.shape[0])
     n_hidden = max(1, len(layers) - 1)
     if mode in ("tangents", "hutchpp", "xtrace"):
@@ -1190,8 +1196,7 @@ def _dispatch(
         chains = d_out + 3  # d_out basis-tangent chains + transients
     else:
         chains = 4  # forward/hutchinson: a, h, dh, tangent transients
-    cap = max(256, (12 * 2**20 // (chains * H * 4)) // 256 * 256)
-    tile = min(tile, cap)
+    tile = vmem_width_clamp(tile, H, chains)
     x_in = x if conditional is None else jnp.concatenate([x, conditional], -1)
     B = x_in.shape[0]
     # Tangent modes keep 2+ activation chains plus double-buffered in/out
