@@ -1287,3 +1287,29 @@ def test_wide_net_fused_drift_matches_plain_interpret():
     np.testing.assert_allclose(
         np.asarray(div_f), np.asarray(div_p), rtol=2e-4, atol=2e-4
     )
+
+
+def test_wide_flow_fused_velocity_matches_dynamics_interpret():
+    """The width clamp covers the flow family's fused_velocity too (same
+    _dispatch); width-384 velocity + exact divergence must match the
+    plain dynamics in interpret mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flowfusion_tpu.kernels.fused_mlp import fused_velocity
+    from flowfusion_tpu.models.flow import ODEFlow
+
+    flow = ODEFlow.create(
+        jax.random.PRNGKey(0), target_dimension=2, hidden_units=(384, 384),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (512, 2))
+    v_f, div_f = fused_velocity(
+        flow.params, flow.net, jnp.asarray(0.3), x, exact_divergence=True,
+        interpret=True,
+    )
+    v_p = flow.dynamics(0.3, x)
+    np.testing.assert_allclose(
+        np.asarray(v_f), np.asarray(v_p), rtol=2e-5, atol=2e-5
+    )
+    assert np.all(np.isfinite(np.asarray(div_f)))
