@@ -372,9 +372,20 @@ def cmd_export(args):
             if family == "diffusion"
             else {}
         )
-        blob = serving.export_log_prob(
-            model, batch=args.batch, atol=args.tol, rtol=args.tol, **kw
-        )
+        try:
+            blob = serving.export_log_prob(
+                model, batch=args.batch, atol=args.tol, rtol=args.tol, **kw
+            )
+        except ValueError as e:
+            # the serving guard speaks library API; translate to CLI flags
+            # (hit e.g. by a default exact-trace checkpoint exported
+            # symbolic-batch on TPU)
+            raise SystemExit(
+                f"export refused: {e}\n"
+                "CLI equivalents: pass --batch N to pin the batch (keeps "
+                "the fused kernel), or --trace hutchinson/--trace hutchpp "
+                "to export a stochastic-trace likelihood"
+            )
     else:
         if args.volume_corrected:
             raise SystemExit(
