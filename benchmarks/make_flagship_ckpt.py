@@ -54,18 +54,6 @@ EPOCHS_PER_STAGE = 400
 EMA_DECAY = 0.999
 
 
-def flagship_template():
-    """The bench flagship model with freshly initialized weights."""
-    from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
-    from flowfusion_tpu.models.score import ScoreModel
-    from flowfusion_tpu.ops.sde import VESDE
-
-    cfg = ScoreMLPConfig(n_dimensions=2, units=(128, 128, 128))
-    return ScoreModel(
-        params=init_score_mlp(jax.random.PRNGKey(0), cfg), net=cfg, sde=VESDE()
-    )
-
-
 def eval_density_error(model, shift, scale, n_eval: int = 50_000,
                        seed: int = 99) -> float:
     """Relative error of sum(log p) vs the analytic mixture (data units).
