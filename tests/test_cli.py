@@ -186,3 +186,36 @@ def test_cli_family_flag_validation(tmp_path):
             "logprob", "--ckpt", ckpt, "--data", data, "--volume-corrected",
             "--out", str(tmp_path / "lp.npy"),
         ])
+
+
+@pytest.mark.slow
+def test_cli_export_guard_speaks_cli_flags(tmp_path, monkeypatch):
+    """On TPU, a default exact-trace checkpoint exported symbolic-batch is
+    refused by the serving guard — the CLI must translate that into
+    actionable flag advice (--batch / --trace), and the --trace override
+    must actually unblock the export."""
+    x = np.asarray(DEMO_GMM.sample(jax.random.PRNGKey(1), 500), np.float32)
+    data = str(tmp_path / "x.f32")
+    write_f32(data, x)
+    ckpt = str(tmp_path / "model.npz")
+    main([
+        "train", "--data", data, "--dim", "2", "--units", "32",
+        "--stages", "64:1e-3", "--epochs", "2", "--out", ckpt,
+    ])  # default --trace exact
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(SystemExit) as ei:
+        main(["export", "--ckpt", ckpt, "--tol", "1e-3",
+              "--out", str(tmp_path / "lp.stablehlo")])
+    assert "--batch" in str(ei.value) and "--trace" in str(ei.value)
+
+    # the advertised escape hatch works (back on the real CPU backend so
+    # the lowering actually runs)
+    monkeypatch.undo()
+    art = str(tmp_path / "lp.stablehlo")
+    main(["export", "--ckpt", ckpt, "--trace", "hutchinson",
+          "--tol", "1e-3", "--out", art])
+    from flowfusion_tpu.utils import serving
+
+    f = serving.deserialize_log_prob(serving.load_artifact(art))
+    assert np.all(np.isfinite(np.asarray(f(x[:8], seed=1))))
