@@ -371,10 +371,9 @@ def fused_em_sample(
     flag, e.g. for ``EMResult.nan_encountered``).
     """
     if not supports_config(cfg.units, cfg.activation):
-        raise ValueError(
-            f"fused EM kernel does not support units={cfg.units} "
-            f"activation={cfg.activation}"
-        )
+        from .fused_mlp import pad_to_lanes
+
+        params, cfg = pad_to_lanes(params, cfg)
     _check_conditional(cfg.n_conditionals, conditional)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

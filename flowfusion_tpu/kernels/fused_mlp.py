@@ -47,6 +47,9 @@ __all__ = [
     "fused_velocity",
     "fused_velocity_sketch",
     "fused_velocity_tangents",
+    "pad_to_lanes",
+    "paddable_config",
+    "fusable_config",
     "supports_config",
     "supports_features",
 ]
@@ -84,6 +87,80 @@ def supports_config(units: Sequence[int], activation: str = "silu") -> bool:
         and units[0] % 128 == 0
         and activation in _KERNEL_ACTIVATIONS
     )
+
+
+def paddable_config(units: Sequence[int], activation: str = "silu") -> bool:
+    """True when :func:`pad_to_lanes` can lift the config into the support
+    envelope: arbitrary hidden widths, but an activation the kernel
+    implements.  Every kernel activation satisfies act(0) == 0, which is
+    what makes zero-padding exact (see ``pad_to_lanes``)."""
+    return len(units) >= 1 and activation in _KERNEL_ACTIVATIONS
+
+
+def fusable_config(units: Sequence[int], activation: str = "silu") -> bool:
+    """Config half of the fused envelope, padding included — what the
+    model-level dispatch predicates consult (``supports_config`` remains
+    the as-is envelope the kernels compile directly)."""
+    return supports_config(units, activation) or paddable_config(
+        units, activation
+    )
+
+
+def pad_to_lanes(params: dict, cfg):
+    """Zero-pad hidden widths to one uniform lane multiple: (params', cfg').
+
+    Lifts any :func:`paddable_config` net (e.g. ``units=(100, 100)`` — the
+    family whose plain-XLA exact-trace graph SIGILLs this platform's
+    compiler, BENCHMARKS.md "crash families") into the kernel envelope
+    with EXACT semantics: every kernel activation has act(0) == 0, so a
+    padded hidden unit has zero pre-activation (its weight column and
+    bias entry are zero), zero activation, zero activation-derivative
+    tangent (its incoming tangent contribution is zero), and contributes
+    nothing downstream (the next layer multiplies it by anything times
+    zero).  Forward, divergence, and tangent chains are therefore
+    unchanged up to float-add-of-zero, which is exact.
+
+    Handles the three stock families by their stack keys: ``layers``
+    (score/velocity) and ``q_layers``/``p_layers`` (symplectic).  The
+    returned config mirrors the input dataclass with its width field
+    (``units`` or ``hidden_units``) replaced.  No-op (same objects) when
+    the config is already supported.
+    """
+    import dataclasses as _dc
+
+    units = getattr(cfg, "units", None)
+    field = "units"
+    if units is None:
+        units = cfg.hidden_units
+        field = "hidden_units"
+    if supports_config(units, cfg.activation):
+        return params, cfg
+    if not paddable_config(units, cfg.activation):
+        raise ValueError(
+            f"fused kernel cannot pad units={units} "
+            f"activation={cfg.activation!r} into its envelope (activation "
+            f"must be one of {_KERNEL_ACTIVATIONS})"
+        )
+    H = max(_round_up(u, 128) for u in units)
+
+    def pad_stack(layers):
+        k = len(layers)
+        out = []
+        for i, lyr in enumerate(layers):
+            w, b = lyr["w"], lyr["b"]
+            pad_in = (H - w.shape[0]) if i > 0 else 0
+            pad_out = (H - w.shape[1]) if i < k - 1 else 0
+            out.append({
+                "w": jnp.pad(w, ((0, pad_in), (0, pad_out))),
+                "b": jnp.pad(b, ((0, pad_out),)),
+            })
+        return out
+
+    padded = {
+        k: (pad_stack(v) if k in ("layers", "q_layers", "p_layers") else v)
+        for k, v in params.items()
+    }
+    return padded, _dc.replace(cfg, **{field: (H,) * len(units)})
 
 
 def supports_features(n_features: int, exact: bool = False) -> bool:
@@ -880,12 +957,9 @@ def fused_drift(
         interpret = jax.default_backend() != "tpu"
 
     D = cfg.n_dimensions
-    layers = params["layers"]
     if not supports_config(cfg.units, cfg.activation):
-        raise ValueError(
-            f"fused kernel does not support units={cfg.units} "
-            f"activation={cfg.activation}"
-        )
+        params, cfg = pad_to_lanes(params, cfg)
+    layers = params["layers"]
     _check_conditional(cfg.n_conditionals, conditional)
     w_in, b_eff = _score_first_layer(params, cfg, t, conditional)
 
@@ -941,12 +1015,9 @@ def fused_drift_tangents(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     D = cfg.n_dimensions
-    layers = params["layers"]
     if not supports_config(cfg.units, cfg.activation):
-        raise ValueError(
-            f"fused kernel does not support units={cfg.units} "
-            f"activation={cfg.activation}"
-        )
+        params, cfg = pad_to_lanes(params, cfg)
+    layers = params["layers"]
     _check_conditional(cfg.n_conditionals, conditional)
     w_in, b_eff = _score_first_layer(params, cfg, t, conditional)
 
@@ -992,12 +1063,9 @@ def fused_drift_sketch(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     D = cfg.n_dimensions
-    layers = params["layers"]
     if not supports_config(cfg.units, cfg.activation):
-        raise ValueError(
-            f"fused kernel does not support units={cfg.units} "
-            f"activation={cfg.activation}"
-        )
+        params, cfg = pad_to_lanes(params, cfg)
+    layers = params["layers"]
     _check_conditional(cfg.n_conditionals, conditional)
     w_in, b_eff = _score_first_layer(params, cfg, t, conditional)
 
@@ -1034,12 +1102,9 @@ def fused_velocity_sketch(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     D = cfg.target_dimension
-    layers = params["layers"]
     if not supports_config(cfg.hidden_units, cfg.activation):
-        raise ValueError(
-            f"fused kernel does not support units={cfg.hidden_units} "
-            f"activation={cfg.activation}"
-        )
+        params, cfg = pad_to_lanes(params, cfg)
+    layers = params["layers"]
     _check_conditional(cfg.conditional_dimension, conditional)
     w_in, b_eff = _velocity_first_layer(params, cfg, t, conditional)
 
@@ -1072,12 +1137,9 @@ def fused_velocity_tangents(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     D = cfg.target_dimension
-    layers = params["layers"]
     if not supports_config(cfg.hidden_units, cfg.activation):
-        raise ValueError(
-            f"fused kernel does not support units={cfg.hidden_units} "
-            f"activation={cfg.activation}"
-        )
+        params, cfg = pad_to_lanes(params, cfg)
+    layers = params["layers"]
     _check_conditional(cfg.conditional_dimension, conditional)
     w_in, b_eff = _velocity_first_layer(params, cfg, t, conditional)
 
@@ -1119,10 +1181,7 @@ def fused_symplectic_velocity(
     D = cfg.n_data_dims
     C = cfg.n_conditionals
     if not supports_config(cfg.units, cfg.activation):
-        raise ValueError(
-            f"fused kernel does not support units={cfg.units} "
-            f"activation={cfg.activation}"
-        )
+        params, cfg = pad_to_lanes(params, cfg)
     _check_conditional(cfg.n_conditionals, conditional)
 
     t = jnp.asarray(t, jnp.float32).reshape(())
@@ -1293,10 +1352,7 @@ def fused_velocity(
         interpret = jax.default_backend() != "tpu"
     D = cfg.target_dimension
     if not supports_config(cfg.hidden_units, cfg.activation):
-        raise ValueError(
-            f"fused kernel does not support units={cfg.hidden_units} "
-            f"activation={cfg.activation}"
-        )
+        params, cfg = pad_to_lanes(params, cfg)
     _check_conditional(cfg.conditional_dimension, conditional)
     layers = params["layers"]
     w_in, b_eff = _velocity_first_layer(params, cfg, t, conditional)

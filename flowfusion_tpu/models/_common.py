@@ -62,26 +62,39 @@ def fused_dispatch(
     On TPU the pure-XLA exact-trace graphs (diffusion and flow alike)
     crash this platform's compiler (TpuPriorityFusionQueue SIGILL) at
     large batches, so exact solves must ride the fused basis-tangent
-    kernel there.  Under multi-device jit auto-sharding neither path
-    works (GSPMD cannot partition a ``pallas_call``), so ``for_exact``
-    raises loudly — regardless of batch size, since the crash threshold
-    is batch- and fusion-dependent — instead of building a
-    compiler-killing graph.  Residual risk, by design: an *unsupported*
-    net config under AUTO falls through to the plain graph (there is no
-    kernel to run); explicit ``use_fused_kernel=True`` with an
-    unsupported config raises (never a silent fallback), and explicit
-    ``False`` forces the plain graph.
+    kernel there.  Under AUTO, ``for_exact`` therefore never silently
+    builds the plain exact graph on TPU — regardless of batch size,
+    since the crash threshold is batch- and fusion-dependent:
+
+    * multi-device jit auto-sharding (GSPMD cannot partition a
+      ``pallas_call``): raises, pointing at
+      ``parallel.data_parallel_per_shard``;
+    * a net config outside the fused envelope (a custom net object, or
+      feature count D + C > 16 for exact trace — arbitrary hidden
+      widths and all stock activations are *inside* it via the
+      pad-to-lanes transform, kernels/fused_mlp.py): raises, pointing
+      at the stochastic estimators.
+
+    Explicit ``use_fused_kernel=True`` with an unsupported config raises
+    (never a silent fallback); explicit ``False`` forces the plain graph
+    for users whose XLA build compiles it.
     """
     if use_fused_kernel is not None:
         # shares auto_fused's loud explicit-True-but-unsupported raise
         return auto_fused(use_fused_kernel, supported)
     auto = auto_fused(None, supported)
-    if (
-        for_exact
-        and not auto
-        and supported
-        and jax.default_backend() == "tpu"
-    ):
+    if for_exact and not auto and jax.default_backend() == "tpu":
+        if not supported:
+            raise ValueError(
+                f"{what} on TPU: this net is outside the fused kernel's "
+                "envelope (a custom net object, or feature count D + C > "
+                "16 for exact trace), and the plain-XLA exact-trace graph "
+                "crashes this platform's compiler at large batches "
+                "(BENCHMARKS.md, crash families). Switch to "
+                "trace_mode='hutchinson' (or another estimator), or set "
+                "use_fused_kernel=False explicitly to force the plain "
+                "graph if your XLA build compiles it"
+            )
         raise ValueError(
             f"{what} on multi-device TPU must run the fused kernel per "
             "shard: wrap the solve in parallel.data_parallel_per_shard "

@@ -89,13 +89,15 @@ class ODEFlow:
         It is per-SOLVE: a wide model with ``trace_mode='exact'`` still
         runs forward-only sampling on the kernel.  None = derive from
         ``trace_mode``."""
-        from ..kernels.fused_mlp import supports_config, supports_features
+        from ..kernels.fused_mlp import fusable_config, supports_features
 
         if exact is None:
             exact = self.trace_mode == "exact"
         return (
             isinstance(self.net, VelocityMLPConfig)
-            and supports_config(self.net.hidden_units, self.net.activation)
+            # fusable = supported or liftable by pad_to_lanes (the kernel
+            # entry points pad transparently)
+            and fusable_config(self.net.hidden_units, self.net.activation)
             # exact trace keeps the tight feature bound (d_out tangent
             # chains); the other modes admit wide inputs via the kernel's
             # MXU input projection

@@ -104,13 +104,16 @@ class ScoreModel:
         (D + C in 17..64) model with ``trace_mode='exact'`` still runs its
         forward-only paths (sampling, EM drift) on the kernel.  None =
         conservative model-wide answer (``trace_mode``)."""
-        from ..kernels.fused_mlp import supports_config, supports_features
+        from ..kernels.fused_mlp import fusable_config, supports_features
 
         if exact is None:
             exact = self.trace_mode == "exact"
         return (
             isinstance(self.net, ScoreMLPConfig)
-            and supports_config(self.net.units, self.net.activation)
+            # fusable = directly supported OR liftable by the exact
+            # pad-to-lanes transform (kernels.fused_mlp.pad_to_lanes);
+            # the kernel entry points pad transparently
+            and fusable_config(self.net.units, self.net.activation)
             # wide inputs ride one MXU pass (kernel in_proj); exact trace
             # keeps the tighter bound — its d_out tangent chains scale
             # with the feature count (use a stochastic estimator there)

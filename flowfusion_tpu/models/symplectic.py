@@ -55,11 +55,13 @@ class SymplecticFlowModel:
     )
 
     def _fused_supported(self) -> bool:
-        from ..kernels.fused_mlp import supports_config, supports_features
+        from ..kernels.fused_mlp import fusable_config, supports_features
 
         return (
             isinstance(self.net, SymplecticMLPConfig)
-            and supports_config(self.net.units, self.net.activation)
+            # fusable = supported or liftable by pad_to_lanes (the kernel
+            # entry points pad transparently)
+            and fusable_config(self.net.units, self.net.activation)
             # forward-only velocity kernel: the wide-feature (MXU
             # input-projection) envelope applies — no exact-trace bound
             # (symplectic log-prob is trace-free)

@@ -87,10 +87,14 @@ def test_fused_drift_ragged_batch_padding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
 
 
-def test_unsupported_config_raises():
+def test_unsupported_width_now_pads():
+    """units=(100,) used to raise; pad_to_lanes lifts it into the envelope
+    (exactness covered in tests/test_padding.py)."""
     cfg, params = _setup(units=(100,))
-    with pytest.raises(ValueError):
-        fused_drift(params, cfg, jnp.asarray(0.5), jnp.ones((8, 2)), interpret=INTERPRET)
+    out = fused_drift(
+        params, cfg, jnp.asarray(0.5), jnp.ones((8, 2)), interpret=INTERPRET
+    )
+    assert out.shape == (8, 2)
 
 
 def test_fused_logprob_path_matches_unfused():

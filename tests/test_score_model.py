@@ -307,8 +307,9 @@ def test_fused_dispatch_policy(monkeypatch):
     """The shared dispatch policy (_common.fused_dispatch): explicit
     override wins; auto is single-device-TPU-only; exact-trace on a
     multi-device TPU realm raises loudly instead of building the
-    compiler-crashing plain graph; unsupported configs fall through to
-    the plain graph (documented residual risk)."""
+    compiler-crashing plain graph; unsupported configs under exact trace
+    on TPU raise with estimator advice (round-4: the silent fall-through
+    corner is closed — see tests/test_padding.py)."""
     from flowfusion_tpu.models import _common
 
     # explicit override wins regardless of platform
@@ -336,13 +337,18 @@ def test_fused_dispatch_policy(monkeypatch):
         _common.fused_dispatch(
             None, True, for_exact=True, what="exact-trace flow solves"
         )
-    # unsupported config: no kernel exists, so no raise — plain graph
-    assert _common.fused_dispatch(None, False, for_exact=True) is False
+    # unsupported config under exact trace: raise with estimator advice
+    # (the plain graph is the crash family) — non-exact still falls through
+    with pytest.raises(ValueError, match="hutchinson"):
+        _common.fused_dispatch(None, False, for_exact=True)
+    assert _common.fused_dispatch(None, False) is False
 
-    # mock a single-device TPU realm: auto on
+    # mock a single-device TPU realm: auto on; unsupported exact raises
     monkeypatch.setattr(_common.jax, "devices", lambda: [object()])
     assert _common.fused_dispatch(None, True) is True
     assert _common.fused_dispatch(None, True, for_exact=True) is True
+    with pytest.raises(ValueError, match="hutchinson"):
+        _common.fused_dispatch(None, False, for_exact=True)
 
 
 def test_fused_envelope_is_per_solve_not_per_model(monkeypatch):
@@ -405,12 +411,14 @@ def test_log_prob_fixed_step_method_works():
 
 
 def test_explicit_fused_flag_with_unsupported_config_raises():
-    cfg = ScoreMLPConfig(n_dimensions=2, units=(100,))  # not 128-multiple
+    # units=(100,) is inside the envelope since round-4 (pad_to_lanes);
+    # a wide-feature exact-trace model is the remaining unsupported case
+    cfg = ScoreMLPConfig(n_dimensions=20, units=(128,))
     m = ScoreModel(
         params=init_score_mlp(jax.random.PRNGKey(0), cfg), net=cfg,
-        sde=VESDE(), use_fused_kernel=True,
+        sde=VESDE(), use_fused_kernel=True, trace_mode="exact",
     )
-    x = jnp.ones((4, 2))
+    x = jnp.ones((4, 20))
     with pytest.raises(ValueError, match="support envelope"):
         m.log_prob(x, key=jax.random.PRNGKey(1))
 
