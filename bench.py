@@ -10,7 +10,7 @@ reference's Hutchinson timing: 50,000 points in 15.79 s = 3,166 evals/s
 conservative in our disfavour).
 
 Protocol: load the committed demo-grade flagship checkpoint
-(benchmarks/flagship_ckpt.npz — staged-schedule + EMA training, ~0.1%
+(benchmarks/flagship_ckpt.npz — staged-schedule + EMA training, ~0.15-0.2%
 density error; see benchmarks/make_flagship_ckpt.py) so the solve
 integrates a realistic trained vector field without spending the
 measurement window training over the TPU tunnel, then time the compiled,

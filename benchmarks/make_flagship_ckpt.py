@@ -3,7 +3,7 @@
 Produces ``benchmarks/flagship_ckpt.npz``: the bench.py flagship
 (ScoreModel, VESDE, MLP[128,128,128], 2-D GMM) trained to demo grade with
 the staged large-batch schedule + EMA (the examples/demo_diffusion.py
-``--tpu-schedule`` recipe, which reaches ~0.1% relative density error).
+``--tpu-schedule`` recipe, which reaches ~0.15-0.2% relative density error).
 
 Why committed: the driver-run benchmark (bench.py) must not spend its
 kill-window training over the TPU tunnel — it loads these weights and

@@ -376,10 +376,11 @@ def cmd_export(args):
             blob = serving.export_log_prob(
                 model, batch=args.batch, atol=args.tol, rtol=args.tol, **kw
             )
-        except ValueError as e:
+        except serving.ExportRefused as e:
             # the serving guard speaks library API; translate to CLI flags
             # (hit e.g. by a default exact-trace checkpoint exported
-            # symbolic-batch on TPU)
+            # symbolic-batch on TPU) — only guard refusals, so unrelated
+            # ValueErrors from closure construction/lowering propagate
             raise SystemExit(
                 f"export refused: {e}\n"
                 "CLI equivalents: pass --batch N to pin the batch (keeps "

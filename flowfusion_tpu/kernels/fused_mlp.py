@@ -431,8 +431,23 @@ def vmem_width_clamp(tile: int, H: int, chains: int) -> int:
     limit is 16 MiB; calibrated 2026-08-20 when H=384 at the H=128-tuned
     tile kept ~18.3 MiB and refused to compile).  ONE copy of the
     formula — the EM sampler imports it too, so a budget recalibration
-    lands everywhere."""
-    return min(tile, max(256, (12 * 2**20 // (chains * H * 4)) // 256 * 256))
+    lands everywhere.
+
+    When even the minimum tile (256) exceeds the budget (chains * H >
+    12288, e.g. exact trace with d_out=16 at H >= 896), raises a clear
+    error instead of emitting a plan Mosaic will refuse to compile.
+    """
+    fit = (12 * 2**20 // (chains * H * 4)) // 256 * 256
+    if fit < 256:
+        raise ValueError(
+            f"fused kernel VMEM plan does not fit: {chains} live chains of "
+            f"width H={H} exceed the ~12 MiB scoped-VMEM budget even at "
+            "the minimum batch tile (256). Reduce the chain count (e.g. "
+            "trace_mode='hutchinson' instead of exact trace) or the "
+            "hidden width; off-TPU backends can run the plain-XLA path "
+            "with use_fused_kernel=False"
+        )
+    return min(tile, fit)
 
 
 def _io_clamped_tile(tile: int, max_sub: int, io_rows_total: int) -> int:

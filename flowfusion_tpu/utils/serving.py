@@ -35,13 +35,38 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "ExportRefused",
     "export_log_prob",
+    "export_log_prob_bucketed",
     "deserialize_log_prob",
+    "deserialize_log_prob_bucketed",
     "export_sampler",
     "deserialize_sampler",
     "save_artifact",
     "load_artifact",
 ]
+
+
+class ExportRefused(ValueError):
+    """An export configuration was refused by the serving guards (TPU
+    crash-family protection or an unhonourable explicit flag).
+
+    A dedicated type so callers (e.g. the CLI) can translate guard
+    refusals into flag advice without swallowing unrelated
+    ``ValueError``s raised during closure construction or lowering.
+    """
+
+
+def _target_platforms(platforms) -> set:
+    """The platforms an export will actually serve: the ``platforms``
+    argument when given, else the current backend.  The crash-family
+    guards key off THIS (not the host backend): a TPU-hosted export with
+    platforms=('cpu',) is safe, while a CPU-hosted multi-platform export
+    including 'tpu' produces an artifact that dies on the server.
+    """
+    if platforms:
+        return {str(p).lower() for p in platforms}
+    return {jax.default_backend()}
 
 
 def _supported_families():
@@ -62,7 +87,7 @@ def _check_model(model):
         )
 
 
-def _plain_xla_variant(model, likelihood: bool = False):
+def _plain_xla_variant(model, likelihood: bool = False, platforms=None):
     """The model with the fused Pallas kernels switched off.
 
     Symbolic-batch exports must lower through plain XLA: a ``pallas_call``
@@ -84,26 +109,31 @@ def _plain_xla_variant(model, likelihood: bool = False):
         else model
     )
     if getattr(inner, "use_fused_kernel", None) is True:
-        raise ValueError(
+        raise ExportRefused(
             "use_fused_kernel=True cannot be honoured by a symbolic-batch "
             "export (a pallas_call needs a concrete grid) — pass batch=N "
             "to keep the kernel, or drop the explicit flag"
         )
-    on_tpu = jax.default_backend() == "tpu"
-    if likelihood and getattr(inner, "trace_mode", None) == "exact" and on_tpu:
-        raise ValueError(
+    # Guards key off the artifact's TARGET platforms, not the host backend
+    # (a TPU-hosted cpu-only export is safe; a CPU-hosted export that
+    # includes 'tpu' is not).
+    for_tpu = "tpu" in _target_platforms(platforms)
+    if likelihood and getattr(inner, "trace_mode", None) == "exact" and for_tpu:
+        raise ExportRefused(
             "symbolic-batch exports run plain XLA, and the pure-XLA "
-            "exact-trace graph crashes this TPU platform's compiler at "
-            "large batches — export with batch=N (fused kernel) or use "
-            "trace_mode='hutchinson'/'hutchpp'"
+            "exact-trace graph crashes the TPU compiler at "
+            "large batches — export with batch=N (fused kernel), use "
+            "trace_mode='hutchinson'/'hutchpp', or use "
+            "export_log_prob_bucketed for variable batches on TPU"
         )
-    if likelihood and on_tpu and _cond_dim(model) > 0:
-        raise ValueError(
+    if likelihood and for_tpu and _cond_dim(model) > 0:
+        raise ExportRefused(
             "symbolic-batch log-prob exports run plain XLA, and the "
-            "plain-XLA conditional RHS loop reliably crashes this TPU "
-            "platform's compiler (recorded TpuPriorityFusionQueue SIGILL; "
+            "plain-XLA conditional RHS loop reliably crashes the TPU "
+            "compiler (recorded TpuPriorityFusionQueue SIGILL; "
             "BENCHMARKS.md) — export conditional models with batch=N so "
-            "the fused kernel serves the solve"
+            "the fused kernel serves the solve, or use "
+            "export_log_prob_bucketed for variable batches"
         )
     if isinstance(model, PopulationModelDiffusion):
         return dataclasses.replace(
@@ -205,7 +235,7 @@ def export_log_prob(
 
     _check_model(model)
     if batch is None:
-        model = _plain_xla_variant(model, likelihood=True)
+        model = _plain_xla_variant(model, likelihood=True, platforms=platforms)
     d = _data_dim(model)
     c = _cond_dim(model)
     fn = _logprob_closure(
@@ -249,6 +279,111 @@ def deserialize_log_prob(blob: bytes) -> Callable[..., jax.Array]:
         return exported.call(*args)
 
     call.exported = exported
+    return call
+
+
+# ---------------------------------------------------------------------------
+# batch-bucketed likelihood serving (variable batches on TPU)
+# ---------------------------------------------------------------------------
+
+_BUCKET_MAGIC = b"FFTPUB1\n"
+
+
+def export_log_prob_bucketed(
+    model,
+    *,
+    batches: Sequence[int] = (1024, 8192, 65536),
+    **export_kwargs,
+) -> bytes:
+    """A ladder of fixed-batch ``export_log_prob`` artifacts in one bundle.
+
+    The standard way to serve *variable* batch sizes on TPU, where the
+    symbolic-batch likelihood guards (correctly) refuse the crash-family
+    graphs: each bucket is a concrete-batch export (so the fused kernels
+    and the model's trace mode are kept as-is), and the bundle's
+    dispatcher pads each request up to the next bucket — chunking by the
+    largest bucket first, so ANY batch size is servable.
+
+    ``export_kwargs`` are forwarded to :func:`export_log_prob`
+    (tolerances, method, platforms, ...).
+    """
+    import json
+
+    bs = sorted(set(int(b) for b in batches))
+    if not bs or bs[0] < 1:
+        raise ValueError(f"batches must be positive ints, got {batches!r}")
+    blobs = [export_log_prob(model, batch=b, **export_kwargs) for b in bs]
+    header = json.dumps({"batches": bs, "cond": _cond_dim(model) > 0}).encode()
+    parts = [_BUCKET_MAGIC, len(header).to_bytes(4, "big"), header]
+    for blob in blobs:
+        parts.append(len(blob).to_bytes(8, "big"))
+        parts.append(blob)
+    return b"".join(parts)
+
+
+def deserialize_log_prob_bucketed(blob: bytes) -> Callable[..., jax.Array]:
+    """Rehydrate a bucket bundle into one variable-batch callable.
+
+    ``f(x[, conditional], seed=0)`` accepts any row count: each request is
+    padded (with copies of its first row — always-finite solver inputs)
+    up to the smallest bucket that fits, oversize requests are chunked by
+    the largest bucket, and the padding rows are sliced off the result.
+    """
+    import json
+
+    if not blob.startswith(_BUCKET_MAGIC):
+        raise ValueError(
+            "not a bucketed log-prob bundle (bad magic) — use "
+            "deserialize_log_prob for single-batch artifacts"
+        )
+    off = len(_BUCKET_MAGIC)
+    hlen = int.from_bytes(blob[off:off + 4], "big")
+    off += 4
+    meta = json.loads(blob[off:off + hlen].decode())
+    off += hlen
+    fns = {}
+    for b in meta["batches"]:
+        blen = int.from_bytes(blob[off:off + 8], "big")
+        off += 8
+        fns[b] = deserialize_log_prob(blob[off:off + blen])
+        off += blen
+    buckets = sorted(fns)
+    biggest = buckets[-1]
+    has_cond = meta["cond"]
+
+    def _pad(a, rows):
+        return jnp.concatenate([a, jnp.repeat(a[:1], rows, axis=0)], axis=0)
+
+    def call(x, conditional=None, *, seed: int = 0):
+        x = jnp.asarray(x, jnp.float32)
+        if has_cond and conditional is None:
+            raise ValueError("this bundle serves a conditional model — "
+                             "pass `conditional`")
+        if conditional is not None:
+            conditional = jnp.asarray(conditional, jnp.float32)
+        n = x.shape[0]
+        if n == 0:
+            return jnp.zeros((0,), jnp.float32)
+        out, pos = [], 0
+        while pos < n:
+            take = min(n - pos, biggest)
+            bucket = next(b for b in buckets if b >= take)
+            xc = x[pos:pos + take]
+            cc = conditional[pos:pos + take] if has_cond else None
+            if take < bucket:
+                xc = _pad(xc, bucket - take)
+                if has_cond:
+                    cc = _pad(cc, bucket - take)
+            lp = (
+                fns[bucket](xc, cc, seed=seed)
+                if has_cond
+                else fns[bucket](xc, seed=seed)
+            )
+            out.append(lp[:take])
+            pos += take
+        return jnp.concatenate(out)
+
+    call.buckets = tuple(buckets)
     return call
 
 
@@ -355,7 +490,7 @@ def export_sampler(
 
     _check_model(model)
     if batch is None:
-        model = _plain_xla_variant(model)
+        model = _plain_xla_variant(model, platforms=platforms)
     d = _data_dim(model)
     if isinstance(model, SymplecticFlowModel):
         d = 2 * d

@@ -1317,3 +1317,16 @@ def test_wide_flow_fused_velocity_matches_dynamics_interpret():
         np.asarray(v_f), np.asarray(v_p), rtol=2e-5, atol=2e-5
     )
     assert np.all(np.isfinite(np.asarray(div_f)))
+
+
+def test_vmem_width_clamp_raises_when_nothing_fits():
+    """ADVICE r3: chains*H > 12288 used to floor the tile at 256 and emit
+    a plan Mosaic refuses to compile; now it raises with advice."""
+    from flowfusion_tpu.kernels.fused_mlp import vmem_width_clamp
+
+    # inside the budget: shrink-only clamping still works
+    assert vmem_width_clamp(4096, 128, 4) <= 4096
+    assert vmem_width_clamp(256, 384, 4) == 256
+    # exact trace d_out=16 (17 chains) at H=896: over budget at any tile
+    with pytest.raises(ValueError, match="hutchinson"):
+        vmem_width_clamp(256, 896, 17)

@@ -287,3 +287,85 @@ def test_tpu_symbolic_guard_rejects_crash_families(monkeypatch):
     # blocked there (guard scope is likelihood-only)
     serving._plain_xla_variant(m_cond, likelihood=False)
     serving._plain_xla_variant(m_exact, likelihood=False)
+
+
+def test_export_refused_is_valueerror():
+    # back-compat: pre-round-4 callers caught ValueError
+    assert issubclass(serving.ExportRefused, ValueError)
+
+
+def test_guard_keys_off_target_platforms_not_host(monkeypatch):
+    """ADVICE r3: a TPU-hosted export targeting cpu-only must not be
+    refused, and a CPU-hosted export whose platforms include 'tpu' must
+    be — the artifact, not the host, is what crashes."""
+    m_exact = _score_model(trace_mode="exact")
+
+    # CPU host (real), platforms includes tpu -> refuse before lowering
+    with pytest.raises(serving.ExportRefused, match="exact-trace"):
+        serving.export_log_prob(m_exact, platforms=("tpu", "cpu"))
+
+    # faked TPU host, platforms cpu-only -> allowed (and lowers for cpu,
+    # which works on this host)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    blob = serving.export_log_prob(
+        m_exact, platforms=("cpu",), atol=1e-3, rtol=1e-3
+    )
+    monkeypatch.undo()
+    f = serving.deserialize_log_prob(blob)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+    assert np.all(np.isfinite(np.asarray(f(x))))
+
+
+def test_bucketed_logprob_serves_any_batch(tmp_path):
+    """export_log_prob_bucketed: one bundle, a ladder of fixed-batch
+    artifacts, any request size served by pad-to-next-bucket (chunked by
+    the largest bucket when oversize)."""
+    # exact trace: deterministic, so padded/chunked solves deviate from
+    # the one-shot solve only through batch-global adaptive step control
+    # (O(tolerance)); Hutchinson would add probe-draw differences since
+    # probe shapes track the padded batch
+    m = _score_model(trace_mode="exact")
+    blob = serving.export_log_prob_bucketed(
+        m, batches=(4, 16), atol=1e-4, rtol=1e-4
+    )
+    path = tmp_path / "bundle.bin"
+    serving.save_artifact(str(path), blob)
+    f = serving.deserialize_log_prob_bucketed(
+        serving.load_artifact(str(path))
+    )
+    assert f.buckets == (4, 16)
+
+    ref = jax.jit(lambda mm, xx: mm.log_prob(xx, atol=1e-4, rtol=1e-4)[0])
+    # in-bucket, padded, and chunked (37 = 16 + 16 + pad-to-16(5)) sizes
+    for n in (3, 4, 16, 37):
+        x = jax.random.normal(jax.random.PRNGKey(n), (n, 2))
+        lp = f(x, seed=5)
+        assert lp.shape == (n,)
+        # O(tolerance) deviation: different batch compositions change the
+        # batch-global accept/reject sequence (same contract as
+        # data_parallel_per_shard; shrinks with rtol)
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(ref(m, x)), atol=5e-3
+        )
+    assert f(jnp.zeros((0, 2))).shape == (0,)
+
+
+def test_bucketed_logprob_conditional_roundtrip():
+    cfg = ScoreMLPConfig(n_dimensions=2, n_conditionals=3, units=(32,))
+    m = ScoreModel(
+        params=init_score_mlp(jax.random.PRNGKey(0), cfg),
+        net=cfg,
+        sde=VESDE(),
+        trace_mode="hutchinson",
+    )
+    f = serving.deserialize_log_prob_bucketed(
+        serving.export_log_prob_bucketed(
+            m, batches=(8,), atol=1e-3, rtol=1e-3
+        )
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 2))
+    c = jax.random.normal(jax.random.PRNGKey(2), (5, 3))
+    lp = f(x, c, seed=1)
+    assert lp.shape == (5,) and np.all(np.isfinite(np.asarray(lp)))
+    with pytest.raises(ValueError, match="conditional"):
+        f(x)
