@@ -1,0 +1,137 @@
+"""Adjoint (training-through-the-solve) throughput on the committed field.
+
+VERDICT r3 item 5: the O(1)-memory continuous-adjoint path — the
+reference's ``odeint_adjoint`` mode (diffusion.py:620,733; flow.py:357-382)
+— had correctness tests but no perf rows, so a regression there was
+invisible.  This measures, on the committed flagship checkpoint at batch
+2048 (a realistic fine-tuning batch):
+
+  * ``logprob-grad/adjoint``   — value+grad of mean log_prob(adjoint=True)
+    w.r.t. the parameters (Hutchinson trace, the supported adjoint mode;
+    tolerances 1e-3 as in examples/demo_likelihood_training.py — gradient
+    noise from the solver is dominated by minibatch noise)
+  * ``logprob-grad/backprop``  — the same gradient by differentiating
+    straight through the fixed-step rk4 solve (the O(steps)-memory
+    alternative; step count chosen to match the adjoint solve's NFE)
+  * ``mle-train-step``         — one full Adam step of exact-likelihood
+    fine-tuning (the demo's stage-2 step)
+
+Writes ``benchmarks/adjoint.json``.  The accuracy side (adjoint grad ==
+fixed-step differentiated grad on the flagship field) is gated by
+tests/test_adjoint.py::test_adjoint_matches_backprop_on_flagship.
+
+Run (real TPU):  python benchmarks/bench_adjoint.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(_HERE, ".."))
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 2048
+TOL = 1e-3
+
+
+def main():
+    import optax
+
+    from bench import _enable_compile_cache, build_trained_model
+    from benchmarks.bench_suite import provenance_meta, repeat_slope, stack_of
+
+    _enable_compile_cache()
+
+    model, x, _ = build_trained_model(
+        jax.random.PRNGKey(0), from_checkpoint=True
+    )
+    model = dataclasses.replace(model, trace_mode="hutchinson")
+    xb = x[:BATCH]
+
+    results = {}
+
+    def grad_adjoint(xx, kk):
+        def loss(p):
+            m = dataclasses.replace(model, params=p)
+            lp, _ = m.log_prob(xx, key=kk, atol=TOL, rtol=TOL, adjoint=True)
+            return -jnp.mean(lp)
+
+        return jax.value_and_grad(loss)(model.params)
+
+    # NFE-matched fixed-step backprop comparator: the adjoint's forward
+    # pass at 1e-3 costs ~"nfe" evals; rk4 with nfe/4 steps matches the
+    # forward work, and backprop stores every activation instead of
+    # re-integrating (the memory-for-flops trade the adjoint avoids).
+    _, st = model.log_prob(
+        xb, key=jax.random.PRNGKey(1), atol=TOL, rtol=TOL
+    )
+    nfe = int(st.n_func_evals)
+    n_steps = max(8, nfe // 4)
+
+    def grad_backprop(xx, kk):
+        def loss(p):
+            m = dataclasses.replace(model, params=p)
+            lp, _ = m.log_prob(
+                xx, key=kk, method="rk4", options={"num_steps": n_steps}
+            )
+            return -jnp.mean(lp)
+
+        return jax.value_and_grad(loss)(model.params)
+
+    tx = optax.adam(1e-5)
+    opt_state = tx.init(model.params)
+
+    def mle_step(xx, kk):
+        val, grads = grad_adjoint(xx, kk)
+        upd, _ = tx.update(grads, opt_state, model.params)
+        return val, optax.apply_updates(model.params, upd)
+
+    for name, fn in [
+        ("logprob-grad/adjoint", grad_adjoint),
+        ("logprob-grad/backprop-rk4", grad_backprop),
+        ("mle-train-step", mle_step),
+    ]:
+        def per_call(xx, kk, fn=fn):
+            out = fn(xx, kk)
+            # sum over EVERY leaf: the timed value must depend on the
+            # gradients or XLA dead-code-eliminates the backward pass
+            return sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(out))
+
+        t = repeat_slope(per_call, stack_of(xb, 300), k2=2, reps=3)
+        if t <= 0:
+            print(f"{name}: noise-bound slope, skipped", file=sys.stderr)
+            continue
+        results[name] = {
+            "seconds": round(t, 4),
+            "rows_per_s": round(BATCH / t, 1),
+        }
+        print(f"{name:28s} {t:7.4f}s   {BATCH/t:>12,.0f} rows/s", flush=True)
+
+    out = {
+        "meta": provenance_meta(
+            batch=BATCH,
+            mode=f"hutchinson, atol=rtol={TOL}, adjoint vs rk4({n_steps}) "
+            "backprop, grads w.r.t. all params",
+            forward_nfe_at_tol=nfe,
+        ),
+        "results": results,
+    }
+    path = os.path.join(_HERE, "adjoint.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"written: {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,34 @@ ARCHS = [
     ("mlp256x3", (256, 256, 256)),
     ("mlp128x4", (128, 128, 128, 128)),
     ("mlp384x3", (384, 384, 384)),
+    # the tile-clamp boundary: vmem_width_clamp floors the batch tile at
+    # 256 for H=512's chain budget — shows where MFU peaks (VERDICT r3)
+    ("mlp512x3", (512, 512, 512)),
 ]
+
+# Public per-chip peak dense bf16 matmul throughput, used for absolute
+# MFU accounting (issued MXU FLOP/s vs peak).  The fused kernel's
+# 'highf32' mode issues 3 bf16 passes per f32 matmul (split-dot), so
+# issued = useful x 3; 'float32' (HIGHEST) issues 6.
+PEAK_BF16_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v4": 275e12,
+}
+
+
+def useful_flops_per_row_eval(units, D=2, E=8, n_cond=0, mode="hutchinson"):
+    """Useful f32 FLOPs one RHS evaluation spends per batch row.
+
+    Forward chain MACs: (E + D + C) x H1 + sum H_i x H_{i+1} + H_k x D.
+    Each tangent chain (Hutchinson probe: 1; exact trace: D) costs one
+    more matmul sweep of the same shapes (the JVP reuses the stored
+    activation derivatives, so its extra cost is the matmuls).
+    2 FLOPs per MAC.
+    """
+    arch = (E + D + n_cond, *units, D)
+    macs = sum(a * b for a, b in zip(arch, arch[1:]))
+    chains = 1 + (D if mode == "exact" else 1)
+    return 2 * macs * chains
 
 
 def main():
@@ -118,16 +145,27 @@ def main():
         n_params = sum(
             p.size for p in jax.tree_util.tree_leaves(model.params)
         )
+        flops_row = useful_flops_per_row_eval(units)
+        useful = rate * nfe * flops_row
+        issued = useful * 3  # highf32 = 3 bf16 MXU passes per f32 matmul
+        peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+        mfu = (100.0 * issued / peak) if peak else None
         results[name] = {
             "units": list(units),
             "n_params": int(n_params),
             "nfe_at_1e-5": nfe,
             "solve_rate_per_s": round(rate, 1),
             "row_evals_per_s": round(rate * nfe, 1),
+            "useful_flops_per_row_eval": flops_row,
+            "useful_tflops_per_s": round(useful / 1e12, 2),
+            "issued_mxu_tflops_per_s": round(issued / 1e12, 2),
+            "mxu_utilization_pct": round(mfu, 1) if mfu is not None else None,
         }
         print(
             f"{name:10s} params={n_params:>8,d} nfe={nfe:4d} "
-            f"rate={rate:>12,.0f}/s  row-evals={rate*nfe:>14,.0f}/s",
+            f"rate={rate:>12,.0f}/s  row-evals={rate*nfe:>14,.0f}/s  "
+            f"useful={useful/1e12:5.1f}T issued={issued/1e12:6.1f}T "
+            f"mxu={mfu:5.1f}%" if mfu is not None else f"{name}: no peak table",
             flush=True,
         )
 

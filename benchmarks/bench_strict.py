@@ -35,12 +35,38 @@ import jax
 import jax.numpy as jnp
 
 MODES = [
-    # (row name, method, rtol=atol, options)
-    ("strict/dopri5-1.5e-6", "dopri5", 1.5e-6, {"controller": "pi"}),
-    ("strict/dopri5-1e-6", "dopri5", 1e-6, {"controller": "pi"}),
-    ("strict/tsit5-1e-6", "tsit5", 1e-6, {"controller": "pi"}),
-    ("strict/dop853-1e-5", "dop853", 1e-5, {"controller": "pi", "beta": 0.04}),
-    ("headline/dopri5-1e-5", "dopri5", 1e-5, {"controller": "pi"}),
+    # (row name, trace_mode, method, rtol=atol, options, per_sample)
+    # exact trace: the mode whose per-row densities the strict accuracy
+    # gate (test_checkpoint_quality) actually pins — the coherent
+    # "strict >=1e6" claim rides on these rows (round-4)
+    ("strict-exact/dopri5-1.5e-6", "exact", "dopri5", 1.5e-6,
+     {"controller": "pi"}, False),
+    ("strict-exact/dopri5-1e-6", "exact", "dopri5", 1e-6,
+     {"controller": "pi"}, False),
+    # Hutchinson: same step counts, rows are unbiased with O(1) per-row
+    # probe noise (summed/binned densities strict, individual rows not)
+    ("strict/dopri5-1.5e-6", "hutchinson", "dopri5", 1.5e-6,
+     {"controller": "pi"}, False),
+    ("strict/dopri5-1e-6", "hutchinson", "dopri5", 1e-6,
+     {"controller": "pi"}, False),
+    ("strict/tsit5-1e-6", "hutchinson", "tsit5", 1e-6,
+     {"controller": "pi"}, False),
+    ("strict/dop853-1e-5", "hutchinson", "dop853", 1e-5,
+     {"controller": "pi", "beta": 0.04}, False),
+    ("headline/dopri5-1e-5", "hutchinson", "dopri5", 1e-5,
+     {"controller": "pi"}, False),
+    # sketch estimators at the strict tolerance (VERDICT r3 item 6)
+    ("sketch/hutchpp-1.5e-6", "hutchpp", "dopri5", 1.5e-6,
+     {"controller": "pi"}, False),
+    ("sketch/xtrace-1.5e-6", "xtrace", "dopri5", 1.5e-6,
+     {"controller": "pi"}, False),
+    # per-sample stepping (VERDICT r3 item 3): measured NEGATIVE on this
+    # field — batch-RMS dilution makes the batch-global solve take FEWER
+    # steps (254 @1.5e-6) than even the median per-row clock (p50 302,
+    # max 416), and the vmapped per-row loop costs max-row steps with no
+    # fused kernel.  Row kept so the negative result stays measured.
+    ("per-sample/dopri5-1.5e-6", "hutchinson", "dopri5", 1.5e-6,
+     None, True),
 ]
 
 
@@ -50,23 +76,36 @@ def main():
 
     _enable_compile_cache()
 
-    model, x, _ = build_trained_model(
+    base_model, x, _ = build_trained_model(
         jax.random.PRNGKey(0), from_checkpoint=True
-    )
-    model = dataclasses.replace(
-        model, trace_mode="hutchinson", use_fused_kernel=True,
-        kernel_compute_dtype="highf32",
     )
     x_big = jnp.tile(x, (20, 1))
     n = x_big.shape[0]
 
     results = {}
-    for seed, (name, method, tol, opts) in enumerate(MODES):
-        per_solve = (
-            lambda xx, kk, method=method, tol=tol, opts=opts: model.log_prob(
-                xx, key=kk, atol=tol, rtol=tol, method=method, options=opts
-            )[0]
+    for seed, (name, trace, method, tol, opts, per_sample) in enumerate(MODES):
+        model = dataclasses.replace(
+            base_model, trace_mode=trace, use_fused_kernel=True,
+            kernel_compute_dtype="highf32",
+            hpp_rank=1, hpp_vecs=1, xt_vecs=2,
         )
+        if per_sample:
+            # plain per-row closures (no fused kernel, vmapped while)
+            model = dataclasses.replace(model, use_fused_kernel=None)
+            per_solve = (
+                lambda xx, kk, m=model, method=method, tol=tol:
+                m.log_prob_per_sample(
+                    xx, key=kk, atol=tol, rtol=tol, method=method
+                )[0]
+            )
+        else:
+            per_solve = (
+                lambda xx, kk, m=model, method=method, tol=tol, opts=opts:
+                m.log_prob(
+                    xx, key=kk, atol=tol, rtol=tol, method=method,
+                    options=opts,
+                )[0]
+            )
         t = repeat_slope(
             per_solve, stack_of(x_big, 700 + 100 * seed), k2=2, reps=3
         )
@@ -79,9 +118,13 @@ def main():
     out = {
         "meta": provenance_meta(
             batch=n,
-            kernel="fused V4 highf32 Hutchinson RHS",
-            accuracy_contract="tests/test_checkpoint_quality.py "
-            "(mean<=1e-4, max<=5e-4 vs f64@1e-8 oracle for strict/* rows)",
+            kernel="fused V4 highf32 RHS (trace mode per row name; "
+            "per-sample row runs the plain vmapped per-row solver)",
+            accuracy_contract="tests/test_checkpoint_quality.py pins "
+            "strict-exact/* per-row densities (mean<=1e-4, max<=5e-4 vs "
+            "f64@1e-8); strict/* (Hutchinson) share those step counts "
+            "with unbiased O(1)-noise rows; sketch/* rows are "
+            "variance-reduced estimators",
         ),
         "results": results,
     }

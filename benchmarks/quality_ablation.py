@@ -260,7 +260,6 @@ def cmd_eval(args):
     from flowfusion_tpu.models.score import ScoreModel
     from flowfusion_tpu.ops.sde import VESDE
     from flowfusion_tpu.utils.convert import score_mlp_from_torch
-    from flowfusion_tpu.utils.data import DEMO_GMM
 
     d = np.load(_data_path(args.seed))
     x_test = jnp.asarray(d["x"][d["test_idx"]])[: args.rows]
@@ -279,13 +278,14 @@ def cmd_eval(args):
     cfg = ScoreMLPConfig(n_dimensions=2, units=(128, 128, 128))
     model = ScoreModel(params=params, net=cfg, sde=VESDE(), trace_mode="exact")
 
-    truth = float(jnp.sum(DEMO_GMM.log_prob(x_test)))
+    truth_rows = jnp.asarray(_notebook_gmm_logprob(np.asarray(x_test)))
+    truth = float(jnp.sum(truth_rows))
     t0 = time.time()
     lp, stats = model.log_prob(x_test, rtol=args.rtol, atol=args.rtol)
     lp_sum = float(jnp.sum(lp))
     rel = abs(lp_sum - truth) / abs(truth)
-    per_point = float(jnp.mean(lp - DEMO_GMM.log_prob(x_test)))
-    mean_abs = float(jnp.mean(jnp.abs(lp - DEMO_GMM.log_prob(x_test))))
+    per_point = float(jnp.mean(lp - truth_rows))
+    mean_abs = float(jnp.mean(jnp.abs(lp - truth_rows)))
     out = {
         "weights": os.path.basename(args.weights),
         "rows": int(x_test.shape[0]),
@@ -302,6 +302,25 @@ def cmd_eval(args):
         mode = "a" if os.path.exists(args.out) else "w"
         with open(args.out, mode) as f:
             f.write(json.dumps(out) + "\n")
+
+
+def _notebook_gmm_logprob(x):
+    """The notebook's OWN analytic density (demo_diffusion.ipynb cell 3),
+    f64 numpy.  NOT utils.data.DEMO_GMM — that is this package's demo
+    mixture with different components; evaluating reference-protocol
+    models against it would measure error vs the wrong target.
+    """
+    x = np.asarray(x, np.float64)
+    w = np.array([0.4, 0.6])
+    mu = np.array([[-3.0, 3.0], [2.0, -2.0]])
+    cov = np.array([[[1.0, 0.0], [0.0, 1.0]], [[2.0, 0.9], [0.9, 2.0]]])
+    inv = np.linalg.inv(cov)
+    logdet = np.linalg.slogdet(cov)[1]
+    diff = x[:, None, :] - mu[None]
+    maha = np.einsum("nki,kij,nkj->nk", diff, inv, diff)
+    logps = np.log(w)[None] - 0.5 * (maha + logdet[None] + 2 * np.log(2 * np.pi))
+    m = logps.max(axis=1, keepdims=True)
+    return (m + np.log(np.exp(logps - m).sum(axis=1, keepdims=True)))[:, 0]
 
 
 def _unflatten(flat):

@@ -785,22 +785,62 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
         else:
             tangents = []
 
+        # Chain-merged hidden layers: when the tangent chains run at the
+        # same precision as the forward chain (mm_tan is mm — every mode
+        # except the relaxed strict-f32 sketch split), the K tangent
+        # matmuls and the forward matmul share one MXU pass per layer:
+        # (H, H) @ (H, (1+K)*subtile) instead of 1+K separate
+        # (H, H) @ (H, subtile) calls.  Same FLOPs, but the weight tile
+        # streams through the systolic array once per layer instead of
+        # 1+K times.  Measured on v5e (50k-row likelihood solve @1e-5,
+        # highf32, same relay window): merged exact trace (K = d_out = 2,
+        # 3 chains of matmul work) runs at ~1.05x the time of Hutchinson
+        # (2 chains) vs 1.31x unmerged — the third chain rides almost
+        # free.  K = 1 (Hutchinson) REGRESSED ~25% when merged (the
+        # per-layer concat costs more than one saved pass), hence the
+        # K >= 2 gate.
+        merge_chains = len(tangents) >= 2 and (mm_tan is mm)
         for li in range(n_hidden - 1):
             h, dh = act_pair(a)
-            # mm_tan == mm except in the relaxed strict-f32 stochastic
-            # modes (see the tangent-chain precision split above)
-            tangents = [mm_tan(w_hidden[li][:], dh * ta) for ta in tangents]
-            a = mm(w_hidden[li][:], h) + b_hidden[li][:]
+            if merge_chains:
+                wide = jnp.concatenate([h] + [dh * ta for ta in tangents], axis=1)
+                out = mm(w_hidden[li][:], wide)
+                a = out[:, : subtile] + b_hidden[li][:]
+                tangents = [
+                    out[:, (k + 1) * subtile : (k + 2) * subtile]
+                    for k in range(len(tangents))
+                ]
+            else:
+                tangents = [
+                    mm_tan(w_hidden[li][:], dh * ta) for ta in tangents
+                ]
+                a = mm(w_hidden[li][:], h) + b_hidden[li][:]
 
         h, dh = act_pair(a)
 
-        # drift rows: c0 * x + c1 * (w_outT h + b_out), one (d_out, H) @
-        # (H, subtile) MXU pass, written directly in output orientation.
-        net = mm(w_out[:], h) + b_out[:]
+        # drift rows: c0 * x + c1 * (w_outT h + b_out), written directly in
+        # output orientation.  In the merged modes the forward output and
+        # every tangent output share ONE (d_out, H) @ (H, (1+K)*subtile)
+        # MXU pass (the exact mode previously ran d_out skinny (1, H)
+        # matmuls — the worst possible MXU shape).
+        if merge_chains:
+            wide = jnp.concatenate([h] + [dh * ta for ta in tangents], axis=1)
+            out_all = mm(w_out[:], wide)
+            net = out_all[:, :subtile] + b_out[:]
+
+            def tan_out(k):
+                return out_all[:, (k + 1) * subtile : (k + 2) * subtile]
+
+        else:
+            net = mm(w_out[:], h) + b_out[:]
+
+            def tan_out(k):
+                return mm_tan(w_out[:], dh * tangents[k])
+
         drift_ref[:, sl] = c0 * xc[:d_out, :] + c1 * net
 
         if with_tangent:
-            je = mm_tan(w_out[:], dh * tangents[0])  # (d_out, subtile) = J e
+            je = tan_out(0)  # (d_out, subtile) = J e
             ec = e_ref[:d_out, sl]
             acc = jnp.sum(je * ec, axis=0)  # d_out-row reduce
             # e^T (c0 I + c1 J_net) e: the c0 term is c0 |e|^2 (equal to
@@ -810,13 +850,13 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
         elif mode == "tangents":
             for k in range(n_tan):
                 vc = e_ref[k * d_out : (k + 1) * d_out, sl]
-                jv = c0 * vc + c1 * mm(w_out[:], dh * tangents[k])
+                jv = c0 * vc + c1 * tan_out(k)
                 div_ref[k * d_out : (k + 1) * d_out, sl] = jv
         elif mode == "exact":
             acc = jnp.zeros((subtile,), jnp.float32)
             for d in range(d_out):
-                # row d of w_outT against tangent chain d: (1, subtile)
-                acc = acc + mm(w_out[d : d + 1, :], dh * tangents[d])[0]
+                # diagonal entry d: row d of chain d's output column
+                acc = acc + tan_out(d)[d, :]
             div_ref[0, sl] = c0 * jnp.float32(d_out) + c1 * acc
         return 0
 
