@@ -81,9 +81,13 @@ def main():
 
     def grad_backprop(xx, kk):
         def loss(p):
-            m = dataclasses.replace(model, params=p)
+            # plain-XLA RHS: backprop differentiates THROUGH the solve,
+            # and the fused Pallas kernel has no autodiff rule (the
+            # adjoint path switches itself off the kernel for the same
+            # reason, models/score.py)
+            m = dataclasses.replace(model, params=p, use_fused_kernel=False)
             lp, _ = m.log_prob(
-                xx, key=kk, method="rk4", options={"num_steps": n_steps}
+                xx, key=kk, method="rk4", options={"steps": n_steps}
             )
             return -jnp.mean(lp)
 

@@ -16,9 +16,13 @@ everything else by holding the data, the split, and the evaluator fixed:
              framework's exact-trace log_prob at tight tolerance, compare
              with the analytic GMM on the SAME test rows
 
-If train-ref reproduces ~0.04% here, the gap is in our dynamics and the
-arms bisect it; if it doesn't, the notebook figure is a seed/environment
-artifact and the measured distribution across seeds is the real anchor.
+FINDING (2026-08-20, seed 0, 50k test rows, exact trace @1e-6): the gap
+was an evaluation artifact, not training dynamics.  The round-3 mirror
+scored models against utils.data.DEMO_GMM, which is NOT the notebook's
+mixture; against the notebook's own density, the reference's code
+retrained here lands at 0.0876% and this framework's fit on identical
+data/split at 0.1040% -- statistically equivalent (the notebook's
+published 0.037% is one unseeded draw).  See BENCHMARKS.md.
 
 Run (CPU):
   python benchmarks/quality_ablation.py gen --seed 0
@@ -61,8 +65,9 @@ def cmd_gen(args):
     import torch
 
     torch.manual_seed(args.seed)
-    # gmm_rand from the notebook (cell 3): component constants are the
-    # shared DEMO_GMM oracle (utils/data.py -- intentionally identical).
+    # gmm_rand from the notebook (cell 3): the REFERENCE_GMM constants
+    # (utils/data.py) -- NOT DEMO_GMM, whose different components were
+    # the round-3 quality-gap artifact.
     mu_1 = torch.tensor([-3.0, 3.0])
     mu_2 = torch.tensor([2.0, -2.0])
     L_1 = torch.linalg.cholesky(torch.tensor([[1.0, 0.0], [0.0, 1.0]]))
@@ -176,10 +181,12 @@ def cmd_train_ref(args):
 # ---------------------------------------------------------------------------
 
 def cmd_train_jax(args):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Honour JAX_PLATFORMS when set (pass cpu for deterministic offline
+    # runs); default is the ambient backend (TPU when tunnelled).
     import jax
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
@@ -196,6 +203,14 @@ def cmd_train_jax(args):
     key = jax.random.PRNGKey(args.seed)
     k_net, k_fit = jax.random.split(key)
     params = init_score_mlp(k_net, cfg)
+    stages, epochs, ema = STAGES, args.epochs, None
+    if args.arm == "tpu-schedule":
+        # this framework's own protocol (large-batch staged + EMA — the
+        # examples/demo_diffusion.py --tpu-schedule recipe) on the
+        # reference's data: the "beat the reference's 0.037%" arm
+        stages = ((128, 1e-3), (256, 3e-4), (512, 1e-4), (512, 3e-5),
+                  (512, 1e-5))
+        epochs, ema = (args.epochs if args.epochs != EPOCHS else 400), 0.999
     if args.arm == "bare-raw-torchinit":
         # torch-initialized weights (replayed exactly as train-ref's),
         # trained by our fit: isolates init-draw luck from dynamics.
@@ -220,11 +235,11 @@ def cmd_train_jax(args):
         k_fit,
         x_train,
         x_val=x_val,
-        stages=STAGES,
-        epochs_per_stage=args.epochs,
+        stages=stages,
+        epochs_per_stage=epochs,
         log_every=25,
-        ema_decay=None,
-        engine="xla",
+        ema_decay=ema,
+        engine="auto" if args.arm == "tpu-schedule" else "xla",
     )
     flat = jax.tree_util.tree_flatten_with_path(model.params)[0]
     def _key(path):
@@ -250,10 +265,12 @@ def cmd_train_jax(args):
 # ---------------------------------------------------------------------------
 
 def cmd_eval(args):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Honour JAX_PLATFORMS when set (pass cpu for deterministic offline
+    # runs); default is the ambient backend (TPU when tunnelled).
     import jax
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from flowfusion_tpu.models.nets import ScoreMLPConfig
@@ -361,7 +378,7 @@ def main():
     j.add_argument("--seed", type=int, default=0)
     j.add_argument("--epochs", type=int, default=EPOCHS)
     j.add_argument("--arm", default="bare-raw",
-                   choices=["bare-raw", "bare-raw-torchinit"])
+                   choices=["bare-raw", "bare-raw-torchinit", "tpu-schedule"])
     j.set_defaults(fn=cmd_train_jax)
 
     e = sub.add_parser("eval")

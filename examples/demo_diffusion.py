@@ -39,7 +39,7 @@ from flowfusion_tpu.models.score import ScoreModel
 from flowfusion_tpu.ops.sde import VESDE
 from flowfusion_tpu.train import fit
 from flowfusion_tpu.utils.data import (
-    DEMO_GMM,
+    REFERENCE_GMM,
     standardization_stats,
     train_val_test_split,
 )
@@ -62,7 +62,7 @@ def main():
     k_data, k_split, k_net, k_fit, k_smp, k_lp = jax.random.split(key, 6)
 
     # --- data (notebook cell 2-5) -------------------------------------
-    x = DEMO_GMM.sample(k_data, args.n if not args.quick else 4000)
+    x = REFERENCE_GMM.sample(k_data, args.n if not args.quick else 4000)
     x_train, x_val, x_test = train_val_test_split(k_split, x)
     shift, scale = standardization_stats(x_train)
 
@@ -107,7 +107,7 @@ def main():
 
     # --- log-prob strategy comparison (cells 13-17) --------------------
     x_eval = x_test[: (2000 if args.quick else 50_000)]
-    truth = float(jnp.sum(DEMO_GMM.log_prob(x_eval)))
+    truth = float(jnp.sum(REFERENCE_GMM.log_prob(x_eval)))
     report = {"truth": truth}
     for mode in ("exact", "hutchinson", "hutchpp", "xtrace"):
         m = dataclasses.replace(

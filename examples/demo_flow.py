@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from flowfusion_tpu.models.flow import ODEFlow
 from flowfusion_tpu.train import fit
 from flowfusion_tpu.utils.data import (
-    DEMO_GMM,
+    REFERENCE_GMM,
     standardization_stats,
     train_val_test_split,
 )
@@ -49,7 +49,7 @@ def main():
     key = jax.random.PRNGKey(0)
     k_data, k_split, k_net, k_fit, k_smp = jax.random.split(key, 5)
 
-    x = DEMO_GMM.sample(k_data, args.n if not args.quick else 4000)
+    x = REFERENCE_GMM.sample(k_data, args.n if not args.quick else 4000)
     x_train, x_val, x_test = train_val_test_split(k_split, x)
     shift, scale = standardization_stats(x_train)
 
@@ -87,7 +87,7 @@ def main():
     print(f"CNF sampling ({n_s}): {time.time()-t0:.2f}s")
 
     x_eval = x_test[:n_s]
-    truth = float(jnp.sum(DEMO_GMM.log_prob(x_eval)))
+    truth = float(jnp.sum(REFERENCE_GMM.log_prob(x_eval)))
     t0 = time.time()
     lp, stats = flow.log_prob(x_eval, atol=1e-4, rtol=1e-4)
     jax.block_until_ready(lp)

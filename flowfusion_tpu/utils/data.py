@@ -84,7 +84,23 @@ class GMM:
         return jax.scipy.special.logsumexp(logps, axis=1)
 
 
-# The demo notebooks' mixture.
+# The REFERENCE notebooks' mixture (demo_diffusion.ipynb cell 3 ==
+# demo_flow.ipynb cell 3: well-separated modes at (-3, 3) and (2, -2)).
+# This is the distribution the reference's own demo quality numbers
+# (e.g. the 0.037% summed-density error) are measured against — use it
+# for any reference-comparable statistical-quality claim.
+REFERENCE_GMM = GMM(
+    weights=(0.4, 0.6),
+    means=((-3.0, 3.0), (2.0, -2.0)),
+    covs=(((1.0, 0.0), (0.0, 1.0)), ((2.0, 0.9), (0.9, 2.0))),
+)
+
+# This package's own demo mixture: two CLOSE, overlapping components —
+# a deliberately harder density (sharper curvature between modes) used
+# by the bench/flagship field and most tests.  NB round 3 mistakenly
+# labeled this "the demo notebooks' mixture" and measured mirror density
+# errors against it; quality numbers on DEMO_GMM are NOT comparable to
+# the reference notebooks' (see benchmarks/quality_ablation.py).
 DEMO_GMM = GMM(
     weights=(0.4, 0.6),
     means=((-1.0, -1.0), (1.0, 1.0)),

@@ -221,3 +221,64 @@ def test_model_adjoint_supports_hutchpp():
         np.testing.assert_allclose(
             np.asarray(b) / scale, np.asarray(a) / scale, atol=2e-2
         )
+
+
+@pytest.mark.slow
+def test_adjoint_matches_backprop_on_flagship():
+    """Regression gate (VERDICT r3 item 5): on the committed flagship
+    field, the O(1)-memory continuous-adjoint gradient of mean log_prob
+    matches the gradient obtained by differentiating straight through an
+    NFE-matched fixed-step rk4 solve.  Guards the adjoint's
+    closure_convert plumbing end-to-end on a REAL trained model (the unit
+    tests above use synthetic fields)."""
+    import dataclasses
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = os.path.join(repo, "benchmarks", "flagship_ckpt.npz")
+    if not os.path.exists(ckpt):
+        pytest.skip("committed flagship checkpoint absent")
+    sys.path.insert(0, repo)
+    from bench import build_trained_model
+
+    model, x, _ = build_trained_model(
+        jax.random.PRNGKey(0), from_checkpoint=True
+    )
+    model = dataclasses.replace(
+        model, trace_mode="hutchinson", use_fused_kernel=False
+    )
+    xb = x[:64]
+    kk = jax.random.PRNGKey(3)
+
+    def loss_adjoint(p):
+        m = dataclasses.replace(model, params=p)
+        lp, _ = m.log_prob(xb, key=kk, atol=1e-6, rtol=1e-6, adjoint=True)
+        return -jnp.mean(lp)
+
+    def loss_backprop(p):
+        m = dataclasses.replace(model, params=p)
+        # rk4 with enough steps to sit below the adjoint's tolerance
+        lp, _ = m.log_prob(xb, key=kk, method="rk4", options={"steps": 256})
+        return -jnp.mean(lp)
+
+    va, ga = jax.value_and_grad(loss_adjoint)(model.params)
+    vb, gb = jax.value_and_grad(loss_backprop)(model.params)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-4, atol=1e-4)
+    flat_a = jnp.concatenate(
+        [jnp.ravel(l) for l in jax.tree_util.tree_leaves(ga)]
+    )
+    flat_b = jnp.concatenate(
+        [jnp.ravel(l) for l in jax.tree_util.tree_leaves(gb)]
+    )
+    # cosine similarity + relative norm: the two discretizations agree to
+    # solver truncation, far tighter than any training-relevant signal
+    cos = float(
+        jnp.vdot(flat_a, flat_b)
+        / (jnp.linalg.norm(flat_a) * jnp.linalg.norm(flat_b))
+    )
+    assert cos > 0.999, cos
+    rel = float(
+        jnp.linalg.norm(flat_a - flat_b) / jnp.linalg.norm(flat_b)
+    )
+    assert rel < 0.02, rel
