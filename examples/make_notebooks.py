@@ -60,7 +60,7 @@ from flowfusion_tpu.models.nets import ScoreMLPConfig, init_score_mlp
 from flowfusion_tpu.models.population import PopulationModelDiffusion
 from flowfusion_tpu.ops.sde import VESDE
 from flowfusion_tpu.train import fit
-from flowfusion_tpu.utils.data import DEMO_GMM, standardization_stats, train_val_test_split
+from flowfusion_tpu.utils.data import REFERENCE_GMM, standardization_stats, train_val_test_split
 
 key = jax.random.PRNGKey(0)
 k_data, k_split, k_net, k_fit, k_smp, k_lp = jax.random.split(key, 6)"""),
@@ -69,10 +69,10 @@ k_data, k_split, k_net, k_fit, k_smp, k_lp = jax.random.split(key, 6)"""),
 
 The demo problem of the reference notebooks: a two-component 2-D Gaussian
 mixture with an analytic `log_prob` that serves as ground truth for every
-check below (`flowfusion_tpu.utils.data.DEMO_GMM`)."""),
+check below (`flowfusion_tpu.utils.data.REFERENCE_GMM`)."""),
     ("code", """\
 n = 4000 if QUICK else 100_000
-x = DEMO_GMM.sample(k_data, n)
+x = REFERENCE_GMM.sample(k_data, n)
 x_train, x_val, x_test = train_val_test_split(k_split, x)
 shift, scale = standardization_stats(x_train)
 
@@ -133,7 +133,7 @@ summed test-set log-density of each strategy against the analytic
 mixture — the reference's own validation protocol."""),
     ("code", """\
 x_eval = x_test[: (2000 if QUICK else 50_000)]
-truth = float(jnp.sum(DEMO_GMM.log_prob(x_eval)))
+truth = float(jnp.sum(REFERENCE_GMM.log_prob(x_eval)))
 print(f"analytic truth: {truth:.2f}")
 per_point = {}
 for mode in ("exact", "hutchinson", "hutchpp", "xtrace"):
@@ -148,7 +148,7 @@ for mode in ("exact", "hutchinson", "hutchpp", "xtrace"):
           f"rel.err={rel:.4%}  rhs_evals={int(jnp.sum(stats.n_func_evals))}")"""),
     ("code", """\
 # Per-point scatter of model density vs truth (reference notebook cell 18-21)
-lp_true = np.asarray(DEMO_GMM.log_prob(x_eval))
+lp_true = np.asarray(REFERENCE_GMM.log_prob(x_eval))
 fig, axes = plt.subplots(1, 4, figsize=(14, 3.2), sharey=True)
 for ax, mode in zip(axes, per_point):
     ax.plot(lp_true, per_point[mode], ".", ms=1, alpha=0.3)
@@ -188,13 +188,13 @@ import matplotlib.pyplot as plt
 
 from flowfusion_tpu.models.flow import ODEFlow
 from flowfusion_tpu.train import fit
-from flowfusion_tpu.utils.data import DEMO_GMM, standardization_stats, train_val_test_split
+from flowfusion_tpu.utils.data import REFERENCE_GMM, standardization_stats, train_val_test_split
 
 key = jax.random.PRNGKey(0)
 k_data, k_split, k_net, k_fit, k_smp = jax.random.split(key, 5)
 
 n = 4000 if QUICK else 50_000
-x = DEMO_GMM.sample(k_data, n)
+x = REFERENCE_GMM.sample(k_data, n)
 x_train, x_val, x_test = train_val_test_split(k_split, x)
 shift, scale = standardization_stats(x_train)"""),
     ("md", """\
@@ -228,7 +228,7 @@ t0 = time.time(); samples, _ = flow.sample(xT); jax.block_until_ready(samples)
 print(f"CNF sampling ({n_s}): {time.time()-t0:.2f}s")
 
 x_eval = x_test[:n_s]
-truth = float(jnp.sum(DEMO_GMM.log_prob(x_eval)))
+truth = float(jnp.sum(REFERENCE_GMM.log_prob(x_eval)))
 t0 = time.time(); lp, stats = flow.log_prob(x_eval, atol=1e-4, rtol=1e-4); jax.block_until_ready(lp)
 rel = abs(float(jnp.sum(lp)) - truth) / abs(truth)
 print(f"log_prob: {time.time()-t0:.2f}s  sum={float(jnp.sum(lp)):.2f} "
@@ -237,7 +237,7 @@ print(f"log_prob: {time.time()-t0:.2f}s  sum={float(jnp.sum(lp)):.2f} "
 fig, axes = plt.subplots(1, 2, figsize=(8, 4))
 axes[0].hexbin(np.asarray(samples[:, 0]), np.asarray(samples[:, 1]), gridsize=40)
 axes[0].set_title("CNF samples")
-axes[1].plot(np.asarray(DEMO_GMM.log_prob(x_eval)), np.asarray(lp), ".", ms=1, alpha=0.3)
+axes[1].plot(np.asarray(REFERENCE_GMM.log_prob(x_eval)), np.asarray(lp), ".", ms=1, alpha=0.3)
 axes[1].set_title("model vs analytic log p")
 plt.tight_layout(); plt.show()"""),
 ]

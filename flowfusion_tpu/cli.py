@@ -373,9 +373,24 @@ def cmd_export(args):
             else {}
         )
         try:
-            blob = serving.export_log_prob(
-                model, batch=args.batch, atol=args.tol, rtol=args.tol, **kw
-            )
+            if getattr(args, "buckets", None):
+                if args.batch is not None:
+                    raise SystemExit(
+                        "--buckets and --batch are mutually exclusive "
+                        "(a bucket bundle IS a set of pinned batches)"
+                    )
+                batches = tuple(
+                    int(b) for b in str(args.buckets).split(",") if b
+                )
+                blob = serving.export_log_prob_bucketed(
+                    model, batches=batches, atol=args.tol, rtol=args.tol,
+                    **kw,
+                )
+            else:
+                blob = serving.export_log_prob(
+                    model, batch=args.batch, atol=args.tol, rtol=args.tol,
+                    **kw,
+                )
         except serving.ExportRefused as e:
             # the serving guard speaks library API; translate to CLI flags
             # (hit e.g. by a default exact-trace checkpoint exported
@@ -388,6 +403,11 @@ def cmd_export(args):
                 "to export a stochastic-trace likelihood"
             )
     else:
+        if getattr(args, "buckets", None):
+            raise SystemExit(
+                "--buckets only applies to --what logprob (samplers export "
+                "symbolic-batch artifacts on every platform already)"
+            )
         if args.volume_corrected:
             raise SystemExit(
                 "--volume-corrected only applies to --what logprob "
@@ -401,7 +421,11 @@ def cmd_export(args):
             )
         blob = serving.export_sampler(model, batch=args.batch)
     serving.save_artifact(args.out, blob)
-    batch_desc = args.batch if args.batch is not None else "symbolic"
+    batch_desc = (
+        f"buckets {args.buckets}"
+        if getattr(args, "buckets", None)
+        else (args.batch if args.batch is not None else "symbolic")
+    )
     print(
         f"saved {args.out} ({len(blob)} bytes, {args.what}, "
         f"batch={batch_desc}, dim={meta['dim']}, cond_dim={meta['cond_dim']})"
@@ -485,6 +509,12 @@ def main(argv=None):
     pe.add_argument(
         "--batch", type=int, default=None,
         help="pin the batch size (default: symbolic — serves any size)",
+    )
+    pe.add_argument(
+        "--buckets", default=None,
+        help="comma-separated batch ladder (e.g. 1024,8192,65536): export "
+        "a bucketed log-prob bundle serving ANY batch size on TPU "
+        "(fused kernels kept; requests pad to the next bucket)",
     )
     pe.add_argument("--tol", type=float, default=1e-5)
     pe.add_argument(

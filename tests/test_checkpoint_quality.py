@@ -86,10 +86,12 @@ def test_flagship_density_quality(flagship):
     truth = float(jnp.sum(DEMO_GMM.log_prob(x_raw)))
     rel = abs(total - truth) / abs(truth)
 
-    # The absolute gate: the demo-grade protocol must stay under 1%
-    # (reference-grade is 0.04-0.15%; the committed artifact records its
-    # own achieved value, asserted below to catch silent swaps).
-    assert rel <= 1e-2, f"density error {rel:.4%} regressed past 1%"
+    # The absolute gate (tightened 1% -> 0.3% in round 4, VERDICT item
+    # 8): the committed artifact records 0.157% held-out / ~0.21% on
+    # fresh draws of the (deliberately hard) DEMO_GMM, so 0.3% holds
+    # with ~1.4x margin while still catching any real protocol
+    # regression.
+    assert rel <= 3e-3, f"density error {rel:.4%} regressed past 0.3%"
     # The relative gate: within 2x of what this artifact achieved at
     # save time (different eval draw + half the rows => some noise, but
     # the save-time two-draw spread was <6% relative).

@@ -219,3 +219,40 @@ def test_cli_export_guard_speaks_cli_flags(tmp_path, monkeypatch):
 
     f = serving.deserialize_log_prob(serving.load_artifact(art))
     assert np.all(np.isfinite(np.asarray(f(x[:8], seed=1))))
+
+
+@pytest.mark.slow
+def test_cli_export_buckets_roundtrip(tmp_path):
+    """`export --buckets` writes a bucketed bundle that serves any batch
+    size (the TPU variable-batch likelihood story, round-4)."""
+    from flowfusion_tpu.utils import serving
+
+    x = np.asarray(DEMO_GMM.sample(jax.random.PRNGKey(2), 500), np.float32)
+    data = str(tmp_path / "x.f32")
+    write_f32(data, x)
+    ckpt = str(tmp_path / "model.npz")
+    main([
+        "train", "--data", data, "--dim", "2", "--units", "32",
+        "--trace", "hutchinson", "--stages", "64:1e-3", "--epochs", "1",
+        "--out", ckpt,
+    ])
+    bundle = str(tmp_path / "lp_buckets.bin")
+    main([
+        "export", "--ckpt", ckpt, "--buckets", "8,32", "--tol", "1e-3",
+        "--out", bundle,
+    ])
+    f = serving.deserialize_log_prob_bucketed(serving.load_artifact(bundle))
+    assert f.buckets == (8, 32)
+    lp = f(x[:37], seed=3)
+    assert lp.shape == (37,) and np.all(np.isfinite(np.asarray(lp)))
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main([
+            "export", "--ckpt", ckpt, "--buckets", "8", "--batch", "8",
+            "--out", bundle,
+        ])
+    with pytest.raises(SystemExit, match="logprob"):
+        main([
+            "export", "--ckpt", ckpt, "--what", "sampler", "--buckets", "8",
+            "--tol", "1e-5", "--out", bundle,
+        ])
