@@ -101,6 +101,21 @@ def main():
         f"batch-512 mean log p = {lp_fixed.mean():+.4f}"
     )
 
+    # --- bucketed bundle: variable batches on TPU ----------------------
+    # (where the symbolic-batch likelihood guards pin batches, a ladder
+    # of fixed-batch artifacts + pad-to-next-bucket dispatcher serves
+    # ANY request size; see docs/serving.md)
+    blob_b = serving.export_log_prob_bucketed(
+        model, batches=(64, 512), atol=1e-4, rtol=1e-4
+    )
+    fb = serving.deserialize_log_prob_bucketed(blob_b)
+    for n in (33, 512, 700):
+        lp_b = np.asarray(fb(xs[:n] if n <= len(xs) else np.tile(xs, (2, 1))[:n], seed=7))
+        print(
+            f"bucketed bundle {fb.buckets}: served {n} rows, "
+            f"mean log p = {lp_b.mean():+.4f}"
+        )
+
     # --- sampler artifact: deterministic base -> data map --------------
     blob_s = serving.export_sampler(model, atol=1e-4, rtol=1e-4)
     g = serving.deserialize_sampler(blob_s)
