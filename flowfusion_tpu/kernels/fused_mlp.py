@@ -785,57 +785,29 @@ def _kernel(n_hidden: int, mode: str, d_out: int, compute_dtype, n_sub, subtile,
         else:
             tangents = []
 
-        # Chain-merged hidden layers: when the tangent chains run at the
-        # same precision as the forward chain (mm_tan is mm — every mode
-        # except the relaxed strict-f32 sketch split), the K tangent
-        # matmuls and the forward matmul share one MXU pass per layer:
-        # (H, H) @ (H, (1+K)*subtile) instead of 1+K separate
-        # (H, H) @ (H, subtile) calls.  Same FLOPs, but the weight tile
-        # streams through the systolic array once per layer instead of
-        # 1+K times.  Measured on v5e (50k-row likelihood solve @1e-5,
-        # highf32, same relay window): merged exact trace (K = d_out = 2,
-        # 3 chains of matmul work) runs at ~1.05x the time of Hutchinson
-        # (2 chains) vs 1.31x unmerged — the third chain rides almost
-        # free.  K = 1 (Hutchinson) REGRESSED ~25% when merged (the
-        # per-layer concat costs more than one saved pass), hence the
-        # K >= 2 gate.
-        merge_chains = len(tangents) >= 2 and (mm_tan is mm)
+        # NB chain-MERGING (one (H, H) @ (H, (1+K)*subtile) MXU pass for
+        # the forward + K tangent chains instead of 1+K separate calls)
+        # was tried in round 4 and measured a WASH-to-regression in
+        # interleaved same-window A/Bs on v5e (1M exact strict solve:
+        # 762k/s merged vs 792k/s unmerged, reproducible; 50k: within
+        # noise; K=1 Hutchinson: ~25% regression) — the per-layer lane
+        # concat copies cost as much as the saved passes.  Keep the
+        # simple per-chain matmuls; do not re-try without new evidence.
         for li in range(n_hidden - 1):
             h, dh = act_pair(a)
-            if merge_chains:
-                wide = jnp.concatenate([h] + [dh * ta for ta in tangents], axis=1)
-                out = mm(w_hidden[li][:], wide)
-                a = out[:, : subtile] + b_hidden[li][:]
-                tangents = [
-                    out[:, (k + 1) * subtile : (k + 2) * subtile]
-                    for k in range(len(tangents))
-                ]
-            else:
-                tangents = [
-                    mm_tan(w_hidden[li][:], dh * ta) for ta in tangents
-                ]
-                a = mm(w_hidden[li][:], h) + b_hidden[li][:]
+            # mm_tan == mm except in the relaxed strict-f32 stochastic
+            # modes (see the tangent-chain precision split above)
+            tangents = [mm_tan(w_hidden[li][:], dh * ta) for ta in tangents]
+            a = mm(w_hidden[li][:], h) + b_hidden[li][:]
 
         h, dh = act_pair(a)
 
-        # drift rows: c0 * x + c1 * (w_outT h + b_out), written directly in
-        # output orientation.  In the merged modes the forward output and
-        # every tangent output share ONE (d_out, H) @ (H, (1+K)*subtile)
-        # MXU pass (the exact mode previously ran d_out skinny (1, H)
-        # matmuls — the worst possible MXU shape).
-        if merge_chains:
-            wide = jnp.concatenate([h] + [dh * ta for ta in tangents], axis=1)
-            out_all = mm(w_out[:], wide)
-            net = out_all[:, :subtile] + b_out[:]
+        # drift rows: c0 * x + c1 * (w_outT h + b_out), one (d_out, H) @
+        # (H, subtile) MXU pass, written directly in output orientation.
+        net = mm(w_out[:], h) + b_out[:]
 
-            def tan_out(k):
-                return out_all[:, (k + 1) * subtile : (k + 2) * subtile]
-
-        else:
-            net = mm(w_out[:], h) + b_out[:]
-
-            def tan_out(k):
-                return mm_tan(w_out[:], dh * tangents[k])
+        def tan_out(k):
+            return mm_tan(w_out[:], dh * tangents[k])
 
         drift_ref[:, sl] = c0 * xc[:d_out, :] + c1 * net
 
