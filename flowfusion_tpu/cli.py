@@ -379,9 +379,19 @@ def cmd_export(args):
                         "--buckets and --batch are mutually exclusive "
                         "(a bucket bundle IS a set of pinned batches)"
                     )
-                batches = tuple(
-                    int(b) for b in str(args.buckets).split(",") if b
-                )
+                try:
+                    batches = tuple(
+                        int(b) for b in str(args.buckets).split(",") if b
+                    )
+                except ValueError:
+                    raise SystemExit(
+                        f"--buckets must be comma-separated positive ints "
+                        f"(e.g. 1024,8192,65536), got {args.buckets!r}"
+                    )
+                if not batches or min(batches) < 1:
+                    raise SystemExit(
+                        f"--buckets must be positive, got {args.buckets!r}"
+                    )
                 blob = serving.export_log_prob_bucketed(
                     model, batches=batches, atol=args.tol, rtol=args.tol,
                     **kw,

@@ -36,11 +36,13 @@ def auto_fused(use_fused_kernel: Optional[bool], supported: bool) -> bool:
     if use_fused_kernel is not None:
         if use_fused_kernel and not supported:
             raise ValueError(
-                "use_fused_kernel=True but the net config is outside the "
-                "fused kernel's support envelope (hidden units must be "
-                "multiples of 128 with a supported activation; feature "
-                "count D + C <= 64, or <= 16 for exact-trace solves) — "
-                "fix the config or drop the flag"
+                "use_fused_kernel=True but this solve is outside the "
+                "fused kernel's support envelope: the net must be a stock "
+                "config (arbitrary hidden widths ride the pad-to-lanes "
+                "transform; activation silu/tanh/relu/gelu) with feature "
+                "count D + C <= 64, or <= 16 for exact-trace solves — "
+                "fix the config, switch trace_mode to a stochastic "
+                "estimator, or drop the flag"
             )
         return bool(use_fused_kernel)
     return (

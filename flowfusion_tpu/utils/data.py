@@ -89,6 +89,15 @@ class GMM:
 # This is the distribution the reference's own demo quality numbers
 # (e.g. the 0.037% summed-density error) are measured against — use it
 # for any reference-comparable statistical-quality claim.
+#
+# One documented delta: the notebooks SAMPLE component 2 as ``x @ L``
+# with L = chol(C), which draws from covariance L^T L = [[2.405, .804],
+# [.804, 1.595]] while their analytic oracle scores the stated C —
+# i.e. the reference demos train on one distribution and score against
+# another (KL ~ 0.027 nats/row on that component).  ``GMM.sample`` here
+# draws L z (the density actually scored), so mirror numbers carry no
+# such mismatch; benchmarks/quality_ablation.py replicates the
+# notebook's ``x @ L`` faithfully for its controlled comparison.
 REFERENCE_GMM = GMM(
     weights=(0.4, 0.6),
     means=((-3.0, 3.0), (2.0, -2.0)),

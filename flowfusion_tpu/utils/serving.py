@@ -64,9 +64,95 @@ def _target_platforms(platforms) -> set:
     platforms=('cpu',) is safe, while a CPU-hosted multi-platform export
     including 'tpu' produces an artifact that dies on the server.
     """
+    if isinstance(platforms, (str, bytes)):
+        # a bare "tpu" would otherwise iterate as {'t','p','u'} and
+        # silently skip every platform-keyed guard
+        raise TypeError(
+            f"platforms must be a sequence of platform names, got the "
+            f"bare string {platforms!r} — pass platforms=({platforms!r},)"
+        )
     if platforms:
         return {str(p).lower() for p in platforms}
     return {jax.default_backend()}
+
+
+def _align_kernel_to_targets(model, platforms, likelihood: bool):
+    """Concrete-batch exports: align the fused-kernel configuration with
+    the artifact's TARGET platforms instead of the tracing host.
+
+    The auto dispatch (``models._common.auto_fused``) keys off
+    ``jax.default_backend()`` at trace time, which is wrong for
+    cross-platform exports: a CPU host exporting ``platforms=('tpu',)``
+    would trace the plain-XLA graph — for the likelihood crash families
+    (exact trace / conditional RHS) exactly the artifact that SIGILLs
+    the serving TPU's compiler — while a TPU host exporting
+    ``platforms=('cpu',)`` would bake in a Mosaic ``pallas_call`` no CPU
+    can run.  Cross-host Mosaic lowering works (verified: a CPU host
+    exports a TPU fused artifact with ``use_fused_kernel=True``), so:
+
+    * targets include tpu + crash-family likelihood: force the kernel
+      on (raising when the config cannot ride it, or when non-TPU
+      targets are also requested — one artifact cannot serve both);
+    * targets exclude tpu: force the kernel off (plain XLA serves every
+      platform).
+
+    An explicit ``use_fused_kernel`` set by the caller wins (False keeps
+    the documented escape hatch).
+    """
+    from ..models.population import PopulationModelDiffusion
+
+    targets = _target_platforms(platforms)
+    inner = (
+        model.score_model
+        if isinstance(model, PopulationModelDiffusion)
+        else model
+    )
+    if not hasattr(inner, "use_fused_kernel"):
+        return model
+
+    def set_kernel(val):
+        if isinstance(model, PopulationModelDiffusion):
+            return dataclasses.replace(
+                model,
+                score_model=dataclasses.replace(inner, use_fused_kernel=val),
+            )
+        return dataclasses.replace(model, use_fused_kernel=val)
+
+    wants_tpu = "tpu" in targets
+    others = targets - {"tpu"}
+    crashy = likelihood and (
+        getattr(inner, "trace_mode", None) == "exact" or _cond_dim(model) > 0
+    )
+    if wants_tpu and crashy and inner.use_fused_kernel is not False:
+        if others:
+            raise ExportRefused(
+                "one artifact cannot serve TPU and non-TPU platforms for "
+                "this likelihood: the TPU side must run the fused kernel "
+                "(a pallas_call other platforms cannot execute) because "
+                "the plain-XLA exact-trace/conditional graph is a "
+                "recorded TPU compiler-crasher — export one artifact per "
+                "platform"
+            )
+        try:
+            supported = inner._fused_supported(
+                exact=getattr(inner, "trace_mode", None) == "exact"
+            )
+        except TypeError:  # symplectic: no exact-trace notion
+            supported = inner._fused_supported()
+        if not supported:
+            raise ExportRefused(
+                "this net is outside the fused kernel's envelope and its "
+                "plain-XLA likelihood graph is a recorded TPU "
+                "compiler-crasher — use trace_mode='hutchinson' (or "
+                "another estimator), or use_fused_kernel=False to force "
+                "the plain graph if your XLA build compiles it"
+            )
+        return set_kernel(True)
+    if not wants_tpu and inner.use_fused_kernel is None:
+        # plain XLA serves every non-TPU target; the auto dispatch on a
+        # TPU host would otherwise bake in an unservable pallas_call
+        return set_kernel(False)
+    return model
 
 
 def _supported_families():
@@ -236,6 +322,8 @@ def export_log_prob(
     _check_model(model)
     if batch is None:
         model = _plain_xla_variant(model, likelihood=True, platforms=platforms)
+    else:
+        model = _align_kernel_to_targets(model, platforms, likelihood=True)
     d = _data_dim(model)
     c = _cond_dim(model)
     fn = _logprob_closure(
@@ -360,7 +448,17 @@ def deserialize_log_prob_bucketed(blob: bytes) -> Callable[..., jax.Array]:
             raise ValueError("this bundle serves a conditional model — "
                              "pass `conditional`")
         if conditional is not None:
+            if not has_cond:
+                raise ValueError(
+                    "this bundle serves an unconditional model — "
+                    "`conditional` would be silently ignored"
+                )
             conditional = jnp.asarray(conditional, jnp.float32)
+            if conditional.shape[0] != x.shape[0]:
+                raise ValueError(
+                    f"conditional has {conditional.shape[0]} rows but x "
+                    f"has {x.shape[0]} — they must match"
+                )
         n = x.shape[0]
         if n == 0:
             return jnp.zeros((0,), jnp.float32)
@@ -491,6 +589,8 @@ def export_sampler(
     _check_model(model)
     if batch is None:
         model = _plain_xla_variant(model, platforms=platforms)
+    else:
+        model = _align_kernel_to_targets(model, platforms, likelihood=False)
     d = _data_dim(model)
     if isinstance(model, SymplecticFlowModel):
         d = 2 * d

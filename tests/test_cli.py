@@ -256,3 +256,21 @@ def test_cli_export_buckets_roundtrip(tmp_path):
             "export", "--ckpt", ckpt, "--what", "sampler", "--buckets", "8",
             "--tol", "1e-5", "--out", bundle,
         ])
+
+
+def test_cli_export_buckets_validation(tmp_path):
+    x = np.asarray(DEMO_GMM.sample(jax.random.PRNGKey(3), 256), np.float32)
+    data = str(tmp_path / "x.f32")
+    write_f32(data, x)
+    ckpt = str(tmp_path / "model.npz")
+    main([
+        "train", "--data", data, "--dim", "2", "--units", "32",
+        "--trace", "hutchinson", "--stages", "64:1e-3", "--epochs", "1",
+        "--out", ckpt,
+    ])
+    for bad in ("8,abc", "0,8", ","):
+        with pytest.raises(SystemExit, match="buckets"):
+            main([
+                "export", "--ckpt", ckpt, "--buckets", bad,
+                "--out", str(tmp_path / "b.bin"),
+            ])

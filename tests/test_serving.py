@@ -369,3 +369,61 @@ def test_bucketed_logprob_conditional_roundtrip():
     assert lp.shape == (5,) and np.all(np.isfinite(np.asarray(lp)))
     with pytest.raises(ValueError, match="conditional"):
         f(x)
+
+
+def test_concrete_batch_export_aligns_kernel_to_targets(monkeypatch):
+    """Round-4 review fix: batch=N exports key the fused kernel off the
+    TARGET platforms, not the tracing host — a CPU host exporting an
+    exact-trace likelihood for TPU must ship the fused kernel (the plain
+    graph is the crash family), and mixed tpu+cpu targets are refused."""
+    m_exact = _score_model(trace_mode="exact")
+
+    # CPU host -> TPU target: kernel forced on; export lowers Mosaic
+    blob = serving.export_log_prob(
+        m_exact, batch=8, atol=1e-3, rtol=1e-3, platforms=("tpu",)
+    )
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 0
+
+    # mixed targets with a crash-family likelihood: one artifact cannot
+    # serve both
+    with pytest.raises(serving.ExportRefused, match="per .?platform"):
+        serving.export_log_prob(
+            m_exact, batch=8, atol=1e-3, rtol=1e-3,
+            platforms=("tpu", "cpu"),
+        )
+
+    # (mocked) TPU host -> cpu-only target: kernel switched off so the
+    # artifact is servable; real CPU lowering + call round-trip
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    blob = serving.export_log_prob(
+        m_exact, batch=8, atol=1e-3, rtol=1e-3, platforms=("cpu",)
+    )
+    monkeypatch.undo()
+    f = serving.deserialize_log_prob(blob)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+    assert np.all(np.isfinite(np.asarray(f(x))))
+
+    # bare-string platforms is a loud TypeError, not silently {'t','p','u'}
+    with pytest.raises(TypeError, match="bare string"):
+        serving.export_log_prob(m_exact, platforms="tpu")
+
+
+def test_bucketed_dispatcher_validates_conditional():
+    m = _score_model()  # unconditional
+    f = serving.deserialize_log_prob_bucketed(
+        serving.export_log_prob_bucketed(m, batches=(8,), atol=1e-3, rtol=1e-3)
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 2))
+    with pytest.raises(ValueError, match="unconditional"):
+        f(x, jax.random.normal(jax.random.PRNGKey(2), (5, 3)))
+
+    cfg = ScoreMLPConfig(n_dimensions=2, n_conditionals=3, units=(32,))
+    mc = ScoreModel(
+        params=init_score_mlp(jax.random.PRNGKey(0), cfg), net=cfg,
+        sde=VESDE(), trace_mode="hutchinson",
+    )
+    fc = serving.deserialize_log_prob_bucketed(
+        serving.export_log_prob_bucketed(mc, batches=(8,), atol=1e-3, rtol=1e-3)
+    )
+    with pytest.raises(ValueError, match="rows"):
+        fc(x, jax.random.normal(jax.random.PRNGKey(2), (3, 3)))
