@@ -427,3 +427,20 @@ def test_bucketed_dispatcher_validates_conditional():
     )
     with pytest.raises(ValueError, match="rows"):
         fc(x, jax.random.normal(jax.random.PRNGKey(2), (3, 3)))
+
+
+def test_population_conditional_export_aligns_to_tpu_target():
+    """The population wrapper (conditional = the other crash family) gets
+    the same target-platform kernel alignment: a CPU host exporting
+    batch=N for TPU ships the fused kernel, not the plain conditional
+    RHS graph."""
+    m = PopulationModelDiffusion.create(
+        jax.random.PRNGKey(1), VPSDE(), n_dimensions=2, n_conditionals=3,
+        units=(32,), trace_mode="hutchinson",
+    )
+    blob = serving.export_log_prob(
+        m, batch=8, atol=1e-3, rtol=1e-3, platforms=("tpu",)
+    )
+    assert len(blob) > 0
+    with pytest.raises(serving.ExportRefused, match="per .?platform"):
+        serving.export_log_prob(m, batch=8, platforms=("tpu", "cpu"))
