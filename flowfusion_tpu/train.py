@@ -30,6 +30,7 @@ __all__ = [
     "TrainState",
     "make_train_step",
     "fit",
+    "FitCheckpoint",
     "StageResult",
 ]
 
@@ -132,6 +133,56 @@ class StageResult:
     val_losses: np.ndarray  # (epochs,) — nan if no val set
 
 
+class FitCheckpoint:
+    """Resumable mid-training snapshots for ``fit(checkpoint_dir=...)``.
+
+    One atomic npz (utils/checkpoint.save_npz: tmp + os.replace) holding
+    the FULL training state — model parameters, optimizer moments, the
+    EMA shadow, the running PRNG key — plus JSON metadata (stage/epoch
+    position, the (stages, epochs_per_stage) plan, loss curves so far).
+    A preempted or budget-stopped run resumes EXACTLY: the restored run
+    continues the identical key stream and optimizer state, so the final
+    model is bit-comparable to an uninterrupted run
+    (tests/test_train_checkpoint.py pins it).
+
+    The reference has no training persistence at all (its notebook loops
+    hold everything in process memory); this is the production
+    counterpart for long schedules on preemptible TPU capacity.
+    """
+
+    FILE = "fit_state.npz"
+
+    def __init__(self, directory: str, every: int = 25):
+        import os
+
+        self.every = int(every)
+        self.path = os.path.join(directory, self.FILE)
+        os.makedirs(directory, exist_ok=True)
+
+    def resume_meta(self) -> Optional[dict]:
+        """The snapshot's JSON metadata (stage/epoch/plan/curves), or
+        None when no snapshot exists yet."""
+        import os
+
+        if not os.path.exists(self.path):
+            return None
+        from .utils.checkpoint import read_npz_extra
+
+        return read_npz_extra(self.path)
+
+    def save(self, state, meta: dict) -> None:
+        """Atomically write the training-state pytree + metadata."""
+        from .utils.checkpoint import save_npz
+
+        save_npz(self.path, state, extra=meta)
+
+    def load(self, template):
+        """Restore the state pytree into ``template``'s structure."""
+        from .utils.checkpoint import load_npz
+
+        return load_npz(self.path, template)
+
+
 def _run_stages(
     key,
     stages,
@@ -143,20 +194,88 @@ def _run_stages(
     run_epoch,
     val_model,
     tag: str = "",
+    get_state=None,
+    set_state=None,
+    ckpt: Optional[FitCheckpoint] = None,
+    max_epochs_total: Optional[int] = None,
 ):
     """Shared staged-training scaffolding for both engines — ``fit()``'s
     XLA scan and ``_fit_fused()`` differ only in their epoch body, so the
     batch-size clamp, per-epoch key splits, val-on-EMA evaluation,
-    logging, and StageResult assembly live here once.
+    logging, checkpoint/resume, and StageResult assembly live here once.
 
     ``begin_stage(batch_size, lr)`` resets per-stage engine state (fresh
     optimizer — notebook parity) and ``run_epoch(epoch_key)`` runs one
     epoch returning its mean train loss; both mutate state they close
     over.  ``val_model()`` returns the model validation loss is evaluated
     on (the EMA shadow when enabled).
+
+    ``get_state()``/``set_state(state)`` expose the engine's full
+    training state (params, optimizer moments, EMA) as a pytree; with a
+    ``ckpt`` they enable atomic mid-training snapshots and exact resume
+    (the snapshot carries the running PRNG key, so the resumed run
+    continues the identical stream).  ``max_epochs_total`` stops — with
+    a final snapshot — after that many TOTAL epochs of progress
+    (snapshot-position-inclusive): the time-budget knob for preemptible
+    capacity.
     """
+    plan = {
+        "stages": [list(map(float, s)) for s in stages],
+        "epochs_per_stage": int(epochs_per_stage),
+    }
+    start_stage = start_epoch = 0
+    past = {"train": [], "val": []}  # flat curves from the resumed part
+    if ckpt is not None:
+        meta = ckpt.resume_meta()
+        if meta is not None:
+            if (
+                meta["stages"] != plan["stages"]
+                or meta["epochs_per_stage"] != plan["epochs_per_stage"]
+            ):
+                raise ValueError(
+                    "fit: checkpoint was written for a different schedule "
+                    f"({meta['stages']} x {meta['epochs_per_stage']}) than "
+                    f"this call ({plan['stages']} x "
+                    f"{plan['epochs_per_stage']}) — resume with the same "
+                    "plan or point checkpoint_dir somewhere fresh"
+                )
+            start_stage, start_epoch = meta["stage"], meta["epoch"]
+            past = {"train": meta["train_losses"], "val": meta["val_losses"]}
+            print(
+                f"fit: resuming from {ckpt.path} at stage {start_stage} "
+                f"epoch {start_epoch}"
+            )
+
+    def snapshot(si, e_done, tl_flat, vl_flat):
+        ckpt.save(
+            {"engine": get_state(), "key": key},
+            {
+                **plan,
+                "stage": si,
+                "epoch": e_done,
+                "train_losses": [float(v) for v in tl_flat],
+                "val_losses": [float(v) for v in vl_flat],
+            },
+        )
+
     results = []
-    for batch_size, lr in stages:
+    flat_tl = list(past["train"])
+    flat_vl = list(past["val"])
+    total_done = start_stage * epochs_per_stage + start_epoch
+    stopped = False
+    for si, (batch_size, lr) in enumerate(stages):
+        if si < start_stage:
+            # completed before the resume point: rebuild its StageResult
+            # from the snapshot's curves
+            lo, hi = si * epochs_per_stage, (si + 1) * epochs_per_stage
+            results.append(StageResult(
+                batch_size, lr,
+                np.asarray(past["train"][lo:hi]),
+                np.asarray(past["val"][lo:hi]),
+            ))
+            continue
+        if stopped:
+            break
         if batch_size > n:
             # Mirror the notebooks' DataLoader semantics (a too-large batch
             # yields one partial batch of the whole set) instead of
@@ -167,14 +286,29 @@ def _run_stages(
             )
             batch_size = n
         begin_stage(batch_size, lr)
-        tl, vl = [], []
-        for e in range(epochs_per_stage):
+        first_epoch = start_epoch if si == start_stage else 0
+        if ckpt is not None and si == start_stage and (
+            start_stage > 0 or start_epoch > 0
+        ):
+            # restore the engine state + key AFTER begin_stage so the
+            # loaded optimizer moments land in this stage's fresh
+            # optimizer structure
+            state = ckpt.load({"engine": get_state(), "key": key})
+            set_state(state["engine"])
+            key = state["key"]
+        lo = si * epochs_per_stage
+        tl = list(past["train"][lo:lo + first_epoch])
+        vl = list(past["val"][lo:lo + first_epoch])
+        for e in range(first_epoch, epochs_per_stage):
             key, ke, kv = jax.random.split(key, 3)
             tl.append(float(run_epoch(ke)))
             if val_loss_jit:
                 vl.append(float(val_loss_jit(val_model(), kv)))
             else:
                 vl.append(np.nan)
+            flat_tl.append(tl[-1])
+            flat_vl.append(vl[-1])
+            total_done += 1
             if log_every and (e + 1) % log_every == 0:
                 val_part = f" val={vl[-1]:.4f}" if val_loss_jit else ""
                 print(
@@ -182,6 +316,25 @@ def _run_stages(
                     f"{e+1}/{epochs_per_stage} train={tl[-1]:.4f}"
                     f"{val_part}{tag}"
                 )
+            budget_hit = (
+                max_epochs_total is not None
+                and total_done >= max_epochs_total
+                and not (si == len(stages) - 1 and e == epochs_per_stage - 1)
+            )
+            if ckpt is not None and (
+                (e + 1) % ckpt.every == 0
+                or e == epochs_per_stage - 1
+                or budget_hit
+            ):
+                snapshot(si, e + 1, flat_tl, flat_vl)
+            if budget_hit:
+                print(
+                    f"fit: max_epochs_total={max_epochs_total} reached — "
+                    f"snapshot at stage {si} epoch {e+1}; re-run with the "
+                    "same checkpoint_dir to continue"
+                )
+                stopped = True
+                break
         results.append(
             StageResult(batch_size, lr, np.asarray(tl), np.asarray(vl))
         )
@@ -284,6 +437,9 @@ def fit(
     log_every: Optional[int] = None,
     ema_decay: Optional[float] = None,
     engine: str = "auto",
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 25,
+    max_epochs_total: Optional[int] = None,
 ) -> Tuple[Any, list]:
     """Staged training loop (notebook parity: fresh optimizer per stage).
 
@@ -317,6 +473,16 @@ def fit(
     TPU backend, default loss, Adam, fused family, compatible net, every
     stage batch within the kernel's VMEM guard — and the XLA scan
     otherwise.
+
+    ``checkpoint_dir`` enables atomic mid-training snapshots every
+    ``checkpoint_every`` epochs (and at stage ends) and EXACT resume: a
+    later ``fit`` call with the same schedule and checkpoint_dir picks
+    up the model, optimizer moments, EMA shadow, and PRNG stream where
+    the snapshot left them, reproducing the uninterrupted run
+    bit-comparably (both engines; see :class:`FitCheckpoint`).
+    ``max_epochs_total`` stops after that many TOTAL epochs of progress
+    with a final snapshot — the time-budget knob for preemptible
+    capacity.
     """
     if engine not in ("auto", "xla", "fused"):
         raise ValueError(
@@ -326,11 +492,16 @@ def fit(
         engine = "fused" if _fused_engine_ok(
             model, loss_fn, optimizer, stages, x_train.shape[0]
         ) else "xla"
+    ckpt = (
+        FitCheckpoint(checkpoint_dir, checkpoint_every)
+        if checkpoint_dir
+        else None
+    )
     if engine == "fused":
         return _fit_fused(
             model, key, x_train, conditional_train, x_val, conditional_val,
             stages, epochs_per_stage, loss_fn, optimizer, log_every,
-            ema_decay,
+            ema_decay, ckpt=ckpt, max_epochs_total=max_epochs_total,
         )
     n = x_train.shape[0]
     if n == 0:
@@ -416,9 +587,20 @@ def fit(
     def val_model():
         return st["ema"] if ema_decay else st["state"].model
 
+    def get_state():
+        s = st["state"]
+        return {"model": s.model, "opt": s.opt_state, "step": s.step,
+                "ema": st["ema"]}
+
+    def set_state(state):
+        st["state"] = TrainState(state["model"], state["opt"], state["step"])
+        st["ema"] = state["ema"]
+
     results = _run_stages(
         key, stages, epochs_per_stage, n, log_every, val_loss_jit,
         begin_stage, run_epoch, val_model,
+        get_state=get_state, set_state=set_state, ckpt=ckpt,
+        max_epochs_total=max_epochs_total,
     )
     final = st["state"].model if st["state"] is not None else st["model"]
     return (st["ema"] if ema_decay else final), results
@@ -437,6 +619,8 @@ def _fit_fused(
     optimizer,
     log_every,
     ema_decay,
+    ckpt=None,
+    max_epochs_total=None,
 ):
     """``fit(engine='fused')`` body: staged loop over one-dispatch epochs.
 
@@ -585,9 +769,43 @@ def _fit_fused(
     def val_model():
         return rewrap(st["ema"] if ema_decay else st["params"])
 
+    def _zero_opt_half(layers):
+        # mirror of fused_train_epoch's fresh-state init (moments in the
+        # kernel's transposed V4 orientation, python-int step counter) —
+        # used as the structure TEMPLATE for checkpoint resume when the
+        # stage has not run an epoch yet (st["opt"] is None)
+        layers_t = tuple((l["w"], l["b"]) for l in layers)
+        m = tuple(
+            jnp.zeros(
+                a.shape[::-1] if a.ndim == 2 else (a.shape[0], 1), a.dtype
+            )
+            for pair in layers_t
+            for a in pair
+        )
+        return (m, m, 0)
+
+    def get_state():
+        opt = st["opt"]
+        if opt is None:
+            if family == "symplectic":
+                opt = (
+                    _zero_opt_half(st["params"]["q_layers"]),
+                    _zero_opt_half(st["params"]["p_layers"]),
+                )
+            else:
+                opt = _zero_opt_half(st["params"]["layers"])
+        return {"params": st["params"], "opt": opt, "ema": st["ema"]}
+
+    def set_state(state):
+        st["params"] = state["params"]
+        st["opt"] = state["opt"]
+        st["ema"] = state["ema"]
+
     results = _run_stages(
         key, stages, epochs_per_stage, n, log_every, val_loss_jit,
         begin_stage, run_epoch, val_model, tag=" (fused)",
+        get_state=get_state, set_state=set_state, ckpt=ckpt,
+        max_epochs_total=max_epochs_total,
     )
     final = st["ema"] if ema_decay else st["params"]
     return rewrap(final), results
