@@ -148,6 +148,11 @@ def cmd_train(args):
         raise SystemExit(f"--stages batch sizes must be >= 1; got {args.stages!r}")
     if args.epochs < 1:
         raise SystemExit(f"--epochs must be >= 1; got {args.epochs}")
+    if args.max_epochs is not None and args.checkpoint_dir is None:
+        raise SystemExit(
+            "--max-epochs stops mid-training, which is only useful with "
+            "--checkpoint-dir (the snapshot is what a later run resumes)"
+        )
     model, results = fit(
         model,
         k_fit,
@@ -156,6 +161,9 @@ def cmd_train(args):
         stages=stages,
         epochs_per_stage=args.epochs,
         log_every=max(1, args.epochs // 5),
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        max_epochs_total=args.max_epochs,
     )
     meta = {
         "family": args.family,
@@ -469,6 +477,20 @@ def main(argv=None):
     pt.add_argument("--stages", default="32:1e-3,64:1e-4,128:1e-5,256:1e-6")
     pt.add_argument("--epochs", type=int, default=250)
     pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument(
+        "--checkpoint-dir", default=None,
+        help="write resumable mid-training snapshots here; re-running the "
+        "same train command with the same dir resumes exactly "
+        "(train.FitCheckpoint)",
+    )
+    pt.add_argument("--checkpoint-every", type=int, default=25,
+                    help="epochs between snapshots (default 25)")
+    pt.add_argument(
+        "--max-epochs", type=int, default=None,
+        help="stop (with a snapshot) after this many TOTAL epochs — the "
+        "time-budget knob for preemptible capacity; requires "
+        "--checkpoint-dir",
+    )
     pt.add_argument("--out", required=True)
     pt.set_defaults(fn=cmd_train)
 

@@ -274,3 +274,33 @@ def test_cli_export_buckets_validation(tmp_path):
                 "export", "--ckpt", ckpt, "--buckets", bad,
                 "--out", str(tmp_path / "b.bin"),
             ])
+
+
+def test_cli_train_checkpoint_resume(tmp_path):
+    """train --checkpoint-dir + --max-epochs: a budget-stopped run plus a
+    resumed run produce the same checkpoint as one uninterrupted run."""
+    x = np.asarray(DEMO_GMM.sample(jax.random.PRNGKey(4), 512), np.float32)
+    data = str(tmp_path / "x.f32")
+    write_f32(data, x)
+    base = [
+        "train", "--data", data, "--dim", "2", "--units", "32",
+        "--trace", "hutchinson", "--stages", "64:1e-3", "--epochs", "4",
+    ]
+    full = str(tmp_path / "full.npz")
+    main(base + ["--out", full])
+
+    cdir = str(tmp_path / "ck")
+    part = str(tmp_path / "part.npz")
+    main(base + ["--out", part, "--checkpoint-dir", cdir,
+                 "--checkpoint-every", "1", "--max-epochs", "2"])
+    resumed = str(tmp_path / "resumed.npz")
+    main(base + ["--out", resumed, "--checkpoint-dir", cdir,
+                 "--checkpoint-every", "1"])
+
+    a, b = np.load(full), np.load(resumed)
+    for k in a.files:
+        if k.startswith("leaf_"):
+            np.testing.assert_array_equal(a[k], b[k])
+
+    with pytest.raises(SystemExit, match="checkpoint-dir"):
+        main(base + ["--out", part, "--max-epochs", "2"])
