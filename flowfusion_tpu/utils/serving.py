@@ -357,6 +357,11 @@ def deserialize_log_prob(blob: bytes) -> Callable[..., jax.Array]:
     """
     from jax import export as jexp
 
+    if bytes(blob[:8]) == _BUCKET_MAGIC:
+        raise ValueError(
+            "this blob is a bucketed bundle — use "
+            "deserialize_log_prob_bucketed"
+        )
     exported = jexp.deserialize(blob)
 
     def call(x, conditional=None, *, seed: int = 0):

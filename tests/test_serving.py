@@ -444,3 +444,12 @@ def test_population_conditional_export_aligns_to_tpu_target():
     assert len(blob) > 0
     with pytest.raises(serving.ExportRefused, match="per .?platform"):
         serving.export_log_prob(m, batch=8, platforms=("tpu", "cpu"))
+
+
+def test_deserialize_log_prob_rejects_bundle_blob():
+    m = _score_model()
+    bundle = serving.export_log_prob_bucketed(
+        m, batches=(8,), atol=1e-3, rtol=1e-3
+    )
+    with pytest.raises(ValueError, match="bucketed bundle"):
+        serving.deserialize_log_prob(bundle)
