@@ -171,7 +171,16 @@ class FitCheckpoint:
         return read_npz_extra(self.path)
 
     def save(self, state, meta: dict) -> None:
-        """Atomically write the training-state pytree + metadata."""
+        """Atomically write the training-state pytree + metadata.
+
+        Multi-host: only process 0 writes (training state is replicated;
+        concurrent writers racing on a shared filesystem would corrupt
+        nothing thanks to the tmp+replace dance, but process-local
+        filesystems would diverge) — every process still READS the same
+        snapshot on resume.
+        """
+        if jax.process_index() != 0:
+            return
         from .utils.checkpoint import save_npz
 
         save_npz(self.path, state, extra=meta)
