@@ -254,6 +254,28 @@ def _run_stages(
                 f"fit: resuming from {ckpt.path} at stage {start_stage} "
                 f"epoch {start_epoch}"
             )
+    if ckpt is not None and jax.process_count() > 1:
+        # Multi-host: snapshots are written by process 0 only, so
+        # checkpoint_dir MUST be a filesystem shared by all hosts.  A
+        # process-local directory would leave non-zero processes with no
+        # (or a stale) snapshot: they would restart at stage 0 while
+        # process 0 resumes mid-run, silently desynchronizing the
+        # replicated program until it hangs at the next collective.
+        # Catch that here: agree on the resume position across processes
+        # before any training step runs.
+        from jax.experimental import multihost_utils
+
+        mine = np.asarray([start_stage, start_epoch], dtype=np.int32)
+        proc0 = multihost_utils.broadcast_one_to_all(mine)
+        if not np.array_equal(np.asarray(proc0), mine):
+            raise RuntimeError(
+                "fit: resume position disagrees across hosts — process 0 "
+                f"is at stage/epoch {list(np.asarray(proc0))} but process "
+                f"{jax.process_index()} read {list(mine)} from "
+                f"{ckpt.path}. checkpoint_dir must be on a filesystem "
+                "shared by ALL hosts (snapshots are written by process 0 "
+                "only); point every process at the same directory."
+            )
 
     def snapshot(si, e_done, tl_flat, vl_flat):
         ckpt.save(
@@ -278,7 +300,7 @@ def _run_stages(
             # from the snapshot's curves
             lo, hi = si * epochs_per_stage, (si + 1) * epochs_per_stage
             results.append(StageResult(
-                batch_size, lr,
+                min(batch_size, n), lr,  # same clamp as the live path
                 np.asarray(past["train"][lo:hi]),
                 np.asarray(past["val"][lo:hi]),
             ))
@@ -308,6 +330,25 @@ def _run_stages(
         lo = si * epochs_per_stage
         tl = list(past["train"][lo:lo + first_epoch])
         vl = list(past["val"][lo:lo + first_epoch])
+        if (
+            max_epochs_total is not None
+            and total_done >= max_epochs_total
+            and first_epoch < epochs_per_stage
+        ):
+            # The snapshot already meets the budget: don't train one more
+            # epoch past it — re-snapshot the restored position and stop.
+            if ckpt is not None:
+                snapshot(si, first_epoch, flat_tl, flat_vl)
+            print(
+                f"fit: max_epochs_total={max_epochs_total} already met at "
+                f"resume (stage {si} epoch {first_epoch}) — not training "
+                "further; raise the budget to continue"
+            )
+            results.append(
+                StageResult(batch_size, lr, np.asarray(tl), np.asarray(vl))
+            )
+            stopped = True
+            break
         for e in range(first_epoch, epochs_per_stage):
             key, ke, kv = jax.random.split(key, 3)
             tl.append(float(run_epoch(ke)))

@@ -120,9 +120,27 @@ def _align_kernel_to_targets(model, platforms, likelihood: bool):
 
     wants_tpu = "tpu" in targets
     others = targets - {"tpu"}
+    if inner.use_fused_kernel is True and others:
+        # An explicit True bakes a Mosaic pallas_call into the artifact;
+        # any non-TPU target in the set cannot execute it.  The
+        # symbolic-batch path already rejects explicit True — mirror
+        # that here instead of exporting a broken artifact.
+        raise ExportRefused(
+            "use_fused_kernel=True bakes a TPU pallas_call into the "
+            f"artifact, but the target platforms {sorted(targets)} "
+            "include non-TPU servers that cannot execute it — export "
+            "with platforms=('tpu',), or drop the explicit flag so "
+            "plain XLA serves every target"
+        )
     crashy = likelihood and (
         getattr(inner, "trace_mode", None) == "exact" or _cond_dim(model) > 0
     )
+    if wants_tpu and others and not crashy and inner.use_fused_kernel is None:
+        # Mixed tpu+non-tpu targets, non-crash family: the auto dispatch
+        # keys off the HOST backend at trace time, so a TPU host would
+        # bake a pallas_call the cpu/gpu targets cannot run.  Plain XLA
+        # serves every platform — force the kernel off.
+        return set_kernel(False)
     if wants_tpu and crashy and inner.use_fused_kernel is not False:
         if others:
             raise ExportRefused(
@@ -346,23 +364,30 @@ def export_log_prob(
     exported = jexp.export(
         jax.jit(fn), platforms=list(platforms) if platforms else None
     )(*specs)
-    return exported.serialize()
+    return _wrap_provenance(exported.serialize(), platforms)
 
 
-def deserialize_log_prob(blob: bytes) -> Callable[..., jax.Array]:
+def deserialize_log_prob(
+    blob: bytes, *, strict: bool = False
+) -> Callable[..., jax.Array]:
     """Rehydrate an ``export_log_prob`` artifact into a callable.
 
     Returns ``f(x[, conditional], seed=0)`` — no flowfusion_tpu model
-    objects are needed on the serving side.
+    objects are needed on the serving side.  The artifact's provenance
+    stamp (package/jax/jaxlib versions, commit, target platforms) is
+    checked against the serving toolchain: mismatches warn with re-export
+    advice, or refuse with ``strict=True``; the stamp is exposed as
+    ``.provenance`` on the returned callable.
     """
     from jax import export as jexp
 
-    if bytes(blob[:8]) == _BUCKET_MAGIC:
+    payload, meta = _strip_provenance(blob, strict)
+    if bytes(payload[:8]) == _BUCKET_MAGIC:
         raise ValueError(
             "this blob is a bucketed bundle — use "
             "deserialize_log_prob_bucketed"
         )
-    exported = jexp.deserialize(blob)
+    exported = jexp.deserialize(payload)
 
     def call(x, conditional=None, *, seed: int = 0):
         args = [jnp.asarray(x, jnp.float32)]
@@ -372,7 +397,103 @@ def deserialize_log_prob(blob: bytes) -> Callable[..., jax.Array]:
         return exported.call(*args)
 
     call.exported = exported
+    call.provenance = meta
     return call
+
+
+# ---------------------------------------------------------------------------
+# artifact provenance (who exported this, with what toolchain)
+# ---------------------------------------------------------------------------
+
+_PROV_MAGIC = b"FFTPUP1\n"
+
+
+def _git_commit() -> Optional[str]:
+    """Best-effort commit hash of the exporting checkout (None when the
+    package is served from a wheel / outside a git worktree)."""
+    import os
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(__file__)),
+             "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+        )
+        return out.stdout.strip() if out.returncode == 0 else None
+    except Exception:
+        return None
+
+
+def _provenance(platforms) -> dict:
+    import jaxlib
+
+    from .. import __version__
+
+    return {
+        "format": 1,
+        "package": "flowfusion_tpu",
+        "package_version": __version__,
+        "jax": jax.__version__,
+        "jaxlib": jaxlib.__version__,
+        "commit": _git_commit(),
+        "platforms": sorted(_target_platforms(platforms)),
+    }
+
+
+def _wrap_provenance(payload: bytes, platforms) -> bytes:
+    """Prepend a provenance envelope: magic, 4-byte header length, JSON
+    header, payload.  Every exporter stamps this so a stale artifact's
+    failure on a toolchain bump is diagnosable (the benchmark artifacts
+    already carry the analogous meta; serving blobs did not)."""
+    import json
+
+    header = json.dumps(_provenance(platforms)).encode()
+    return b"".join(
+        [_PROV_MAGIC, len(header).to_bytes(4, "big"), header, payload]
+    )
+
+
+def _strip_provenance(blob: bytes, strict: bool):
+    """Split ``blob`` into (payload, provenance-meta-or-None) and check the
+    stamp against the serving toolchain.
+
+    jax/jaxlib or package-version mismatches *warn* by default — jax's
+    export format carries its own forward-compatibility window, so a
+    mismatch is a diagnosis aid, not necessarily fatal; ``strict=True``
+    refuses instead (the mode for fleets that pin toolchains).
+    Pre-provenance blobs (no magic) pass through untouched.
+    """
+    import json
+    import warnings
+
+    if bytes(blob[:8]) != _PROV_MAGIC:
+        return blob, None
+    hlen = int.from_bytes(blob[8:12], "big")
+    meta = json.loads(blob[12:12 + hlen].decode())
+    current = _provenance(meta.get("platforms"))
+    mismatches = [
+        f"{k}: artifact {meta.get(k)!r} vs serving {current[k]!r}"
+        for k in ("package_version", "jax", "jaxlib")
+        if meta.get(k) != current[k]
+    ]
+    if mismatches:
+        msg = (
+            "serving artifact was exported under a different toolchain — "
+            + "; ".join(mismatches)
+            + (f" (exported at commit {meta['commit'][:12]})"
+               if meta.get("commit") else "")
+            + ". jax.export maintains a compatibility window so this may "
+            "still serve correctly, but if calls fail, re-export with the "
+            "serving toolchain."
+        )
+        if strict:
+            raise ValueError(
+                msg + " (strict=True refuses mismatched artifacts; pass "
+                "strict=False to attempt serving anyway)"
+            )
+        warnings.warn(msg, stacklevel=3)
+    return blob[12 + hlen:], meta
 
 
 # ---------------------------------------------------------------------------
@@ -411,19 +532,28 @@ def export_log_prob_bucketed(
     for blob in blobs:
         parts.append(len(blob).to_bytes(8, "big"))
         parts.append(blob)
-    return b"".join(parts)
+    return _wrap_provenance(
+        b"".join(parts), export_kwargs.get("platforms")
+    )
 
 
-def deserialize_log_prob_bucketed(blob: bytes) -> Callable[..., jax.Array]:
+def deserialize_log_prob_bucketed(
+    blob: bytes, *, strict: bool = False
+) -> Callable[..., jax.Array]:
     """Rehydrate a bucket bundle into one variable-batch callable.
 
     ``f(x[, conditional], seed=0)`` accepts any row count: each request is
     padded (with copies of its first row — always-finite solver inputs)
     up to the smallest bucket that fits, oversize requests are chunked by
     the largest bucket, and the padding rows are sliced off the result.
+    The bundle's provenance stamp is checked once against the serving
+    toolchain (warn, or refuse with ``strict=True``) and exposed as
+    ``.provenance``.
     """
     import json
+    import warnings
 
+    blob, prov = _strip_provenance(blob, strict)
     if not blob.startswith(_BUCKET_MAGIC):
         raise ValueError(
             "not a bucketed log-prob bundle (bad magic) — use "
@@ -438,7 +568,11 @@ def deserialize_log_prob_bucketed(blob: bytes) -> Callable[..., jax.Array]:
     for b in meta["batches"]:
         blen = int.from_bytes(blob[off:off + 8], "big")
         off += 8
-        fns[b] = deserialize_log_prob(blob[off:off + blen])
+        with warnings.catch_warnings():
+            # the per-bucket stamps are identical to the bundle stamp
+            # checked above — don't warn three more times
+            warnings.simplefilter("ignore")
+            fns[b] = deserialize_log_prob(blob[off:off + blen])
         off += blen
     buckets = sorted(fns)
     biggest = buckets[-1]
@@ -487,6 +621,7 @@ def deserialize_log_prob_bucketed(blob: bytes) -> Callable[..., jax.Array]:
         return jnp.concatenate(out)
 
     call.buckets = tuple(buckets)
+    call.provenance = prov
     return call
 
 
@@ -615,14 +750,22 @@ def export_sampler(
     exported = jexp.export(
         jax.jit(fn), platforms=list(platforms) if platforms else None
     )(*specs)
-    return exported.serialize()
+    return _wrap_provenance(exported.serialize(), platforms)
 
 
-def deserialize_sampler(blob: bytes) -> Callable[..., jax.Array]:
-    """Rehydrate an ``export_sampler`` artifact: ``f(base[, conditional])``."""
+def deserialize_sampler(
+    blob: bytes, *, strict: bool = False
+) -> Callable[..., jax.Array]:
+    """Rehydrate an ``export_sampler`` artifact: ``f(base[, conditional])``.
+
+    Provenance handling matches :func:`deserialize_log_prob` (warn on
+    toolchain mismatch, refuse with ``strict=True``, ``.provenance``
+    attribute).
+    """
     from jax import export as jexp
 
-    exported = jexp.deserialize(blob)
+    payload, meta = _strip_provenance(blob, strict)
+    exported = jexp.deserialize(payload)
 
     def call(base, conditional=None):
         args = [jnp.asarray(base, jnp.float32)]
@@ -631,6 +774,7 @@ def deserialize_sampler(blob: bytes) -> Callable[..., jax.Array]:
         return exported.call(*args)
 
     call.exported = exported
+    call.provenance = meta
     return call
 
 

@@ -453,3 +453,148 @@ def test_deserialize_log_prob_rejects_bundle_blob():
     )
     with pytest.raises(ValueError, match="bucketed bundle"):
         serving.deserialize_log_prob(bundle)
+
+
+# ---------------------------------------------------------------------------
+# provenance stamps (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_provenance_roundtrip_and_stamp_contents():
+    """Every exported blob carries a provenance envelope; a matched
+    toolchain deserializes silently and exposes .provenance."""
+    import warnings
+
+    import jaxlib
+
+    import flowfusion_tpu
+
+    m = _score_model()
+    blob = serving.export_log_prob(m, atol=1e-4, rtol=1e-4)
+    assert bytes(blob[:8]) == serving._PROV_MAGIC
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a matched stamp must not warn
+        f = serving.deserialize_log_prob(blob)
+    assert f.provenance["package_version"] == flowfusion_tpu.__version__
+    assert f.provenance["jax"] == jax.__version__
+    assert f.provenance["jaxlib"] == jaxlib.__version__
+    assert f.provenance["platforms"] == [jax.default_backend()]
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+    assert f(x, seed=1).shape == (8,)
+
+
+def test_provenance_mismatch_warns_then_strict_refuses(monkeypatch):
+    m = _score_model()
+    blob = serving.export_log_prob(m, atol=1e-4, rtol=1e-4)
+    # simulate serving under a bumped package version
+    import flowfusion_tpu
+
+    monkeypatch.setattr(flowfusion_tpu, "__version__", "99.0.0")
+    with pytest.warns(UserWarning, match="different toolchain"):
+        f = serving.deserialize_log_prob(blob)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 2))
+    assert f(x).shape == (4,)  # warn-mode still serves
+    with pytest.raises(ValueError, match="strict=True"):
+        serving.deserialize_log_prob(blob, strict=True)
+
+
+def test_provenance_preprovenance_blob_passes_through():
+    """Blobs exported before the provenance envelope (raw jax.export
+    bytes) still deserialize — no magic, no stamp, no warning."""
+    from jax import export as jexp
+
+    m = _score_model()
+    blob = serving.export_log_prob(m, atol=1e-4, rtol=1e-4)
+    raw, meta = serving._strip_provenance(blob, strict=False)
+    assert meta is not None
+    f = serving.deserialize_log_prob(raw)  # unwrapped = legacy artifact
+    assert f.provenance is None
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 2))
+    assert f(x).shape == (4,)
+
+
+def test_provenance_bucketed_single_warning(monkeypatch):
+    """A version-mismatched bucket bundle warns ONCE (bundle level), not
+    once per bucket, and refuses under strict=True."""
+    import warnings
+
+    m = _score_model()
+    blob = serving.export_log_prob_bucketed(
+        m, batches=(4, 8), atol=1e-3, rtol=1e-3
+    )
+    import flowfusion_tpu
+
+    monkeypatch.setattr(flowfusion_tpu, "__version__", "99.0.0")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        f = serving.deserialize_log_prob_bucketed(blob)
+    toolchain = [w for w in rec if "different toolchain" in str(w.message)]
+    assert len(toolchain) == 1
+    assert f.provenance["package_version"] == "0.1.0"
+    x = jax.random.normal(jax.random.PRNGKey(0), (6, 2))
+    assert f(x).shape == (6,)
+    with pytest.raises(ValueError, match="strict=True"):
+        serving.deserialize_log_prob_bucketed(blob, strict=True)
+
+
+def test_provenance_sampler_stamp(monkeypatch):
+    m = _score_model()
+    blob = serving.export_sampler(m, batch=4)
+    f = serving.deserialize_sampler(blob)
+    assert f.provenance["package"] == "flowfusion_tpu"
+    import flowfusion_tpu
+
+    monkeypatch.setattr(flowfusion_tpu, "__version__", "99.0.0")
+    with pytest.raises(ValueError, match="strict=True"):
+        serving.deserialize_sampler(blob, strict=True)
+
+
+# ---------------------------------------------------------------------------
+# target-platform kernel guards (round-5 ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_explicit_fused_true_refused_for_non_tpu_targets():
+    """use_fused_kernel=True bakes a pallas_call; any non-TPU target in
+    the set makes the artifact unservable — refuse, mirroring the
+    symbolic-batch guard."""
+    m = dataclasses.replace(_score_model(), use_fused_kernel=True)
+    with pytest.raises(serving.ExportRefused, match="non-TPU"):
+        serving.export_log_prob(
+            m, batch=8, atol=1e-3, rtol=1e-3, platforms=("cpu",)
+        )
+    with pytest.raises(serving.ExportRefused, match="non-TPU"):
+        serving.export_log_prob(
+            m, batch=8, atol=1e-3, rtol=1e-3, platforms=("cpu", "tpu")
+        )
+    with pytest.raises(serving.ExportRefused, match="non-TPU"):
+        serving.export_sampler(m, batch=8, platforms=("cpu",))
+
+
+def test_mixed_platform_auto_dispatch_forces_plain_xla(monkeypatch):
+    """Mixed tpu+cpu targets with auto kernel dispatch (None) on a
+    'TPU host' must bake the plain-XLA graph (every target can run it),
+    not the host-keyed pallas_call."""
+    seen = {}
+
+    orig = serving._logprob_closure
+
+    def spy(model, *a, **k):
+        inner = (
+            model.score_model
+            if isinstance(model, PopulationModelDiffusion)
+            else model
+        )
+        seen["fused"] = inner.use_fused_kernel
+        return orig(model, *a, **k)
+
+    monkeypatch.setattr(serving, "_logprob_closure", spy)
+    # hutchinson + unconditional = non-crash family; auto dispatch
+    m = _score_model()
+    assert m.use_fused_kernel is None
+    blob = serving.export_log_prob(
+        m, batch=8, atol=1e-3, rtol=1e-3, platforms=("tpu", "cpu")
+    )
+    assert seen["fused"] is False
+    f = serving.deserialize_log_prob(blob)
+    assert sorted(f.provenance["platforms"]) == ["cpu", "tpu"]

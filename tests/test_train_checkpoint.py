@@ -449,3 +449,56 @@ def test_fit_checkpoint_resume_fused_engine(tmp_path):
     np.testing.assert_allclose(
         full_res[0].train_losses, resumed_res[0].train_losses
     )
+
+
+def test_fit_checkpoint_met_budget_does_not_train_further(tmp_path):
+    """Resuming a snapshot whose total progress already meets
+    max_epochs_total must NOT run one more epoch past the budget
+    (round-5 ADVICE): the restored state comes back unchanged."""
+    x = DEMO_GMM.sample(jax.random.PRNGKey(1), 256)
+    stages = ((64, 1e-3), (128, 1e-4))
+    cdir = str(tmp_path / "ck")
+
+    def run(**kw):
+        return fit(
+            _model(), jax.random.PRNGKey(7), x, stages=stages,
+            epochs_per_stage=3, engine="xla",
+            checkpoint_dir=cdir, checkpoint_every=1, **kw,
+        )
+
+    m1, r1 = run(max_epochs_total=2)
+    assert len(r1) == 1 and len(r1[0].train_losses) == 2
+    # budget already met by the snapshot: identical budget must be a no-op
+    m2, r2 = run(max_epochs_total=2)
+    _leaves_equal(m1, m2)
+    assert len(r2) == 1 and len(r2[0].train_losses) == 2
+    np.testing.assert_allclose(r1[0].train_losses, r2[0].train_losses)
+    # ... and a LOWER budget than already done must also be a no-op
+    m3, r3 = run(max_epochs_total=1)
+    _leaves_equal(m1, m3)
+    # raising the budget trains the next epoch only
+    m4, r4 = run(max_epochs_total=3)
+    assert len(r4[0].train_losses) == 3
+    with pytest.raises(AssertionError):
+        _leaves_equal(m1, m4)
+
+
+def test_fit_resumed_stage_results_clamp_batch_size(tmp_path):
+    """StageResult.batch_size for pre-resume stages must carry the same
+    min(batch_size, n) clamp as the live path (round-5 ADVICE)."""
+    x = DEMO_GMM.sample(jax.random.PRNGKey(1), 100)
+    stages = ((4096, 1e-3), (64, 1e-4))  # stage 0 is oversized (n=100)
+    cdir = str(tmp_path / "ck")
+
+    def run(**kw):
+        return fit(
+            _model(), jax.random.PRNGKey(7), x, stages=stages,
+            epochs_per_stage=2, engine="xla",
+            checkpoint_dir=cdir, checkpoint_every=1, **kw,
+        )
+
+    _, r_full = run(max_epochs_total=3)  # stops inside stage 1
+    assert r_full[0].batch_size == 100  # live-path clamp
+    _, r_resumed = run()  # stage 0 now rebuilt from the snapshot
+    assert r_resumed[0].batch_size == 100
+    assert r_resumed[1].batch_size == 64
