@@ -1,7 +1,10 @@
 """Worker process for the 2-process distributed integration test.
 
 Launched by ``test_distributed_multiprocess.py`` as
-``python _distributed_worker.py <pid> <nproc> <port> <outdir>``.
+``python _distributed_worker.py <pid> <nproc> <port> <outdir> [devs_per_proc]``
+(devs_per_proc defaults to 4: 2 processes x 4 devices; the 8x1 variant
+exercises one-device-per-host pod topology where EVERY collective crosses
+the process boundary).
 
 Each process initializes the JAX distributed runtime over localhost,
 holds only ITS OWN rows of a deterministic global batch, and runs the
@@ -23,9 +26,12 @@ def main() -> None:
         sys.argv[3],
         sys.argv[4],
     )
+    devs_per_proc = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devs_per_proc}"
+    )
 
     import jax
 
@@ -55,7 +61,7 @@ def main() -> None:
     )
     assert got_pid == pid, (got_pid, pid)
     assert jax.process_count() == nproc, jax.process_count()
-    assert jax.device_count() == 4 * nproc, jax.device_count()
+    assert jax.device_count() == devs_per_proc * nproc, jax.device_count()
 
     import dataclasses
 
