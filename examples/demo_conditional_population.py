@@ -41,27 +41,18 @@ from flowfusion_tpu.parallel.sharding import make_mesh, pad_to_multiple, shard_b
 from flowfusion_tpu.train import fit
 from flowfusion_tpu.utils.data import standardization_stats
 
-THETA_DIM, COND_DIM = 6, 3
+from flowfusion_tpu.utils.data import CONDITIONAL_POP
+
+THETA_DIM, COND_DIM = CONDITIONAL_POP.theta_dim, CONDITIONAL_POP.cond_dim
 
 
 def synthetic_population(key, n):
-    """theta | c: nonlinearly shifted + scaled Gaussian family."""
-    kc, kz = jax.random.split(key)
-    c = jax.random.uniform(kc, (n, COND_DIM), minval=-1.0, maxval=1.0)
-    mean = jnp.concatenate(
-        [
-            jnp.sin(2 * c),
-            jnp.tanh(c[:, :1] * c[:, 1:2]),
-            c[:, 2:] ** 2,
-            (c[:, :1] + c[:, 2:]) / 2,
-        ],
-        axis=1,
-    )
-    scale = 0.3 + 0.2 * jax.nn.sigmoid(
-        jnp.concatenate([c, -c], axis=1)
-    )
-    z = jax.random.normal(kz, (n, THETA_DIM))
-    return mean + scale * z, c, (mean, scale)
+    """theta | c draws + analytic (mean, scale) — the shared
+    ``utils.data.ConditionalPopulation`` oracle (promoted there in
+    round 5 so the committed conditional checkpoints, the strict bench,
+    and the quality gate all score against ONE frozen family)."""
+    theta, c = CONDITIONAL_POP.sample(key, n)
+    return theta, c, CONDITIONAL_POP.mean_scale(c)
 
 
 def analytic_log_prob(theta, mean, scale):

@@ -14,7 +14,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["GMM", "DEMO_GMM", "train_val_test_split", "standardization_stats"]
+__all__ = ["GMM", "DEMO_GMM", "REFERENCE_GMM", "ConditionalPopulation",
+           "CONDITIONAL_POP", "train_val_test_split",
+           "standardization_stats"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -150,3 +152,65 @@ def standardization_stats(x: jax.Array):
     std = jnp.std(x, axis=0, ddof=1)
     scale = jnp.where(std < 1e-12, 1.0, std)
     return jnp.mean(x, axis=0), scale
+
+
+@dataclasses.dataclass(frozen=True)
+class ConditionalPopulation:
+    """Alsing+2024-style synthetic conditional family with an analytic
+    conditional density — the oracle for the BASELINE configs[4]
+    workload (conditional density estimation at 1e6-row scale).
+
+    theta | c is a curved heteroscedastic Gaussian: observables
+    c ~ U(-1, 1)^3 drive a nonlinear 6-D mean (sin / tanh / quadratic /
+    linear mix) and a sigmoid-modulated scale, standing in for the
+    SPS/SED posterior families of the reference's production use-case
+    (no torch analogue exists in /root/reference — its notebooks stop at
+    2-D unconditional mixtures; SURVEY.md §5.7).
+
+    The functional form is FROZEN: the committed conditional flagship
+    checkpoints (benchmarks/conditional_ckpt*.npz) were trained on it,
+    and tests/test_checkpoint_quality.py scores them against this
+    analytic density — changing it silently invalidates both.
+    """
+
+    theta_dim: int = 6
+    cond_dim: int = 3
+
+    def mean_scale(self, c: jax.Array):
+        """Analytic (mean, scale) of theta | c, each (n, 6)."""
+        mean = jnp.concatenate(
+            [
+                jnp.sin(2 * c),
+                jnp.tanh(c[:, :1] * c[:, 1:2]),
+                c[:, 2:] ** 2,
+                (c[:, :1] + c[:, 2:]) / 2,
+            ],
+            axis=1,
+        )
+        scale = 0.3 + 0.2 * jax.nn.sigmoid(jnp.concatenate([c, -c], axis=1))
+        return mean, scale
+
+    def sample(self, key: jax.Array, n: int):
+        """(theta, c) draws; same key layout as the original demo
+        (kc for c, kz for the noise) so committed artifacts reproduce."""
+        kc, kz = jax.random.split(key)
+        c = jax.random.uniform(
+            kc, (n, self.cond_dim), minval=-1.0, maxval=1.0
+        )
+        mean, scale = self.mean_scale(c)
+        z = jax.random.normal(kz, (n, self.theta_dim))
+        return mean + scale * z, c
+
+    def log_prob(self, theta: jax.Array, c: jax.Array) -> jax.Array:
+        """Exact conditional log density log p(theta | c)."""
+        mean, scale = self.mean_scale(c)
+        return jnp.sum(
+            -0.5 * ((theta - mean) / scale) ** 2
+            - jnp.log(scale)
+            - 0.5 * jnp.log(2 * jnp.pi),
+            axis=1,
+        )
+
+
+#: The committed conditional-flagship field (see ConditionalPopulation).
+CONDITIONAL_POP = ConditionalPopulation()

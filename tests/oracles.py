@@ -378,3 +378,67 @@ def symplectic_rhs_f64(params):
         return f
 
     return rhs
+
+
+def cond_score_mlp_f64(params):
+    """(net(t, X, C), JVP columns) in float64 for a conditional silu
+    ScoreMLP — input layout concat([fourier_emb(t), x, cond])
+    (models/nets.py::apply_score_mlp: cond is appended to x before the
+    time embedding is prepended)."""
+    W = np.asarray(params["W"], np.float64)
+    layers = _f64_layers(params["layers"])
+
+    def _input(t, X, C):
+        B = X.shape[0]
+        proj = np.full((B, 1), t) * W[None, :] * (2.0 * np.pi)
+        return np.concatenate([np.sin(proj), np.cos(proj), X, C], axis=1)
+
+    def forward(t, X, C):
+        return _mlp_forward_f64(layers, _input(t, X, C))
+
+    def jvp(t, X, C, V):
+        """Tangent V on x only (t-embedding and cond unperturbed)."""
+        B = X.shape[0]
+        dh = np.concatenate(
+            [np.zeros((B, W.size * 2)), V, np.zeros((B, C.shape[1]))],
+            axis=1,
+        )
+        return _mlp_jvp_f64(layers, _input(t, X, C), dh)
+
+    return forward, jvp
+
+
+def vpsde_cond_likelihood_rhs_f64(
+    params, cond, beta_min=0.1, beta_max=20.0, T=1.0
+):
+    """Augmented RHS for numpy_dopri5 on flat [x.ravel(), dlp] for a
+    CONDITIONAL no_sigma VP-SDE score model (the conditional-flagship
+    family, BASELINE configs[4]):
+
+    dx/dt = -0.5 beta(t) x - 0.5 beta(t) net(t, x, c)   (no_sigma: the
+    net IS the score; ScoreModel.score / ode_drift with VPSDE drift
+    -beta x/2 and g^2 = beta),
+    dlp/dt = +div_x(dx/dt)  (exact, D JVP columns),
+    matching ScoreModel.solve_odes_forward(trace_mode='exact') on
+    standardized inputs with normalized conditionals.
+    """
+    forward, jvp = cond_score_mlp_f64(params)
+    Cn = np.asarray(cond, np.float64)
+
+    def rhs(D):
+        def f(t, y):
+            B = y.size // (D + 1)
+            X = y[: B * D].reshape(B, D)
+            beta = beta_min + (beta_max - beta_min) * (t / T)
+            drift = -0.5 * beta * X - 0.5 * beta * forward(t, X, Cn)
+            div = np.zeros(B)
+            for d in range(D):
+                V = np.zeros((B, D))
+                V[:, d] = 1.0
+                # d(drift_d)/dx_d = -0.5 beta (1 + d net_d/dx_d)
+                div += -0.5 * beta * (1.0 + jvp(t, X, Cn, V)[:, d])
+            return np.concatenate([drift.ravel(), div])
+
+        return f
+
+    return rhs
