@@ -42,7 +42,14 @@ import jax
 import jax.numpy as jnp
 
 BATCH = 2048
-TOL = 1e-3
+# (label suffix, atol=rtol): 1e-3 is the training-practical point
+# (examples/demo_likelihood_training.py — solver gradient noise dominated
+# by minibatch noise); 1e-4 / 1e-5 are the reference's ACTUAL
+# adjoint-path defaults (log_prob diffusion.py:756; solve_odes_forward
+# diffusion.py:648-650) — round-4 VERDICT: benchmarking only 1e-3
+# flattered the headline ~4-5x.
+TOLS = (1e-3, 1e-4, 1e-5)
+TOL = TOLS[0]
 
 
 def main():
@@ -61,13 +68,20 @@ def main():
 
     results = {}
 
-    def grad_adjoint(xx, kk):
-        def loss(p):
-            m = dataclasses.replace(model, params=p)
-            lp, _ = m.log_prob(xx, key=kk, atol=TOL, rtol=TOL, adjoint=True)
-            return -jnp.mean(lp)
+    def grad_adjoint_at(tol):
+        def grad_adjoint(xx, kk):
+            def loss(p):
+                m = dataclasses.replace(model, params=p)
+                lp, _ = m.log_prob(
+                    xx, key=kk, atol=tol, rtol=tol, adjoint=True
+                )
+                return -jnp.mean(lp)
 
-        return jax.value_and_grad(loss)(model.params)
+            return jax.value_and_grad(loss)(model.params)
+
+        return grad_adjoint
+
+    grad_adjoint = grad_adjoint_at(TOL)
 
     # NFE-matched fixed-step backprop comparator: the adjoint's forward
     # pass at 1e-3 costs ~"nfe" evals; rk4 with nfe/4 steps matches the
@@ -101,11 +115,41 @@ def main():
         upd, _ = tx.update(grads, opt_state, model.params)
         return val, optax.apply_updates(model.params, upd)
 
-    for name, fn in [
-        ("logprob-grad/adjoint", grad_adjoint),
+    rows = [
+        ("logprob-grad/adjoint-1e-3", grad_adjoint),
+        ("logprob-grad/adjoint-1e-4", grad_adjoint_at(1e-4)),
+        ("logprob-grad/adjoint-1e-5", grad_adjoint_at(1e-5)),
         ("logprob-grad/backprop-rk4", grad_backprop),
         ("mle-train-step", mle_step),
-    ]:
+    ]
+
+    # flow-family adjoint (reference flow.py:286-295 odeint_adjoint) on
+    # the committed flow field at ITS adjoint-path default (1e-5)
+    flow_ckpt = os.path.join(_HERE, "flow_ckpt.npz")
+    if os.path.exists(flow_ckpt):
+        from benchmarks.make_flow_symplectic_ckpts import load_flow_model
+
+        flow, _ = load_flow_model()
+        flow = dataclasses.replace(
+            flow, trace_mode="hutchinson", use_fused_kernel=False
+        )
+        # NB the timed stack feeds xb (flagship 2-D rows) to every row;
+        # for a rate measurement only the row count and field smoothness
+        # matter, and both fields are demo-grade 2-D GMMs.
+
+        def grad_flow_adjoint(xx, kk):
+            def loss(p):
+                m = dataclasses.replace(flow, params=p)
+                lp, _ = m.log_prob(
+                    xx, key=kk, atol=1e-5, rtol=1e-5, adjoint=True
+                )
+                return -jnp.mean(lp)
+
+            return jax.value_and_grad(loss)(flow.params)
+
+        rows.append(("flow-grad/adjoint-1e-5", grad_flow_adjoint))
+
+    for name, fn in rows:
         def per_call(xx, kk, fn=fn):
             out = fn(xx, kk)
             # sum over EVERY leaf: the timed value must depend on the
@@ -125,8 +169,9 @@ def main():
     out = {
         "meta": provenance_meta(
             batch=BATCH,
-            mode=f"hutchinson, atol=rtol={TOL}, adjoint vs rk4({n_steps}) "
-            "backprop, grads w.r.t. all params",
+            mode=f"hutchinson; adjoint rows at the tolerance in their "
+            f"name; backprop comparator rk4({n_steps}) NFE-matched to "
+            "the 1e-3 forward; grads w.r.t. all params",
             forward_nfe_at_tol=nfe,
         ),
         "results": results,
