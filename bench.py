@@ -615,6 +615,58 @@ def main():
             file=sys.stderr,
         )
 
+    # Strict re-verify (round-5 VERDICT #1): during a tunnel-outage round
+    # the only perf evidence is the committed strict_1m.json — when a
+    # recovered window has budget left after the headline, re-measure the
+    # two strict-mode rows at HEAD in the SAME driver-captured run so one
+    # rc=0 re-certifies both the headline and the strict claims.  Extra
+    # JSON keys ride along; the driver's schema only needs metric/value.
+    if _BEST_RESULT is not None and remaining() >= 180:
+        try:
+            strict = {}
+            committed = {}
+            s1m = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "benchmarks", "strict_1m.json",
+            )
+            if os.path.exists(s1m):
+                with open(s1m) as f:
+                    committed = {
+                        k: v.get("rate")
+                        for k, v in json.load(f).get("results", {}).items()
+                    }
+            x_big = jnp.tile(x, (20, 1))
+            n = x_big.shape[0]
+            for row, trace in (
+                ("strict-exact/dopri5-1.5e-6", "exact"),
+                ("strict/dopri5-1.5e-6", "hutchinson"),
+            ):
+                if remaining() < 90:
+                    break
+                ms = dataclasses.replace(model, trace_mode=trace)
+                t = repeat_slope(
+                    lambda xx, kk, m=ms: m.log_prob(
+                        xx, key=kk, atol=1.5e-6, rtol=1.5e-6,
+                        options={"controller": "pi"},
+                    )[0],
+                    stack_of(x_big, 500), k2=2, reps=2,
+                )
+                if t > 0.05:
+                    strict[row] = {
+                        "rate": round(n / t, 1),
+                        "committed": committed.get(row),
+                    }
+                    print(
+                        f"bench strict re-verify {row}: {n/t:,.0f}/s "
+                        f"(committed {committed.get(row)})",
+                        file=sys.stderr,
+                    )
+            if strict:
+                _BEST_RESULT = {**_BEST_RESULT, "strict_reverify": strict}
+        except Exception as e:  # never let the re-verify cost the headline
+            print(f"bench: strict re-verify failed ({e}); headline stands",
+                  file=sys.stderr)
+
     _emit(_BEST_RESULT)
 
 
