@@ -167,6 +167,71 @@ def _conditional_rows(n_rows: int = 1_000_000):
     return rows
 
 
+def _flow_sym_rows(n_rows: int = 1_000_000):
+    """1M-row flow + symplectic likelihood rates on the committed fields.
+
+    Strict-candidate tolerances; which cells meet the strict bar is
+    measured in flow_sym_frontier.json (CPU-runnable f64-oracle ladder),
+    these are the matching on-chip rates.  Returns {} when the fields
+    are not committed yet.
+    """
+    from benchmarks.bench_suite import repeat_slope, stack_of
+    from flowfusion_tpu.utils.data import DEMO_GMM, REFERENCE_GMM
+
+    rows = {}
+    flow_path = os.path.join(_HERE, "flow_ckpt.npz")
+    sym_path = os.path.join(_HERE, "symplectic_ckpt.npz")
+    if os.path.exists(flow_path):
+        from benchmarks.make_flow_symplectic_ckpts import load_flow_model
+
+        flow, _ = load_flow_model()
+        x = REFERENCE_GMM.sample(jax.random.PRNGKey(6), 50_000)
+        x_big = jnp.tile(x, (n_rows // x.shape[0], 1))
+        n = x_big.shape[0]
+        for seed, (name, trace, tol) in enumerate([
+            ("flow/exact-1e-5", "exact", 1e-5),
+            ("flow/exact-1.5e-6", "exact", 1.5e-6),
+            ("flow/hutch-1.5e-6", "hutchinson", 1.5e-6),
+        ]):
+            m = dataclasses.replace(flow, trace_mode=trace)
+            t = repeat_slope(
+                lambda xx, kk, m=m, tol=tol: m.log_prob(
+                    xx, key=kk, atol=tol, rtol=tol,
+                    options={"controller": "pi"},
+                )[0],
+                stack_of(x_big, 1500 + 100 * seed), k2=2, reps=3,
+            )
+            if t <= 0:
+                print(f"{name}: noise-bound slope, skipped", file=sys.stderr)
+                continue
+            rows[name] = {"seconds": round(t, 4), "rate": round(n / t, 1)}
+            print(f"{name:28s} {t:7.3f}s   {n/t:>12,.0f}/s", flush=True)
+    if os.path.exists(sym_path):
+        from benchmarks.make_flow_symplectic_ckpts import load_symplectic_model
+
+        sym, _ = load_symplectic_model()
+        x = DEMO_GMM.sample(jax.random.PRNGKey(7), 50_000)
+        x_big = jnp.tile(x, (n_rows // x.shape[0], 1))
+        n = x_big.shape[0]
+        for seed, (name, tol) in enumerate([
+            ("symplectic/1e-5", 1e-5),
+            ("symplectic/1e-7", 1e-7),
+        ]):
+            t = repeat_slope(
+                lambda xx, kk, m=sym, tol=tol: m.log_prob(
+                    kk, xx, atol=tol, rtol=tol,
+                    options={"controller": "pi"},
+                )[0],
+                stack_of(x_big, 2000 + 100 * seed), k2=2, reps=3,
+            )
+            if t <= 0:
+                print(f"{name}: noise-bound slope, skipped", file=sys.stderr)
+                continue
+            rows[name] = {"seconds": round(t, 4), "rate": round(n / t, 1)}
+            print(f"{name:28s} {t:7.3f}s   {n/t:>12,.0f}/s", flush=True)
+    return rows
+
+
 def main():
     from bench import _enable_compile_cache, build_trained_model
     from benchmarks.bench_suite import provenance_meta, repeat_slope, stack_of
@@ -217,8 +282,11 @@ def main():
     # on the committed conditional field.  Accuracy side:
     # benchmarks/conditional_frontier.json (f64@1e-8 oracle ladder) and
     # the test_checkpoint_quality conditional gate.
-    cond_rows = _conditional_rows()
-    results.update(cond_rows)
+    results.update(_conditional_rows())
+
+    # ---- flow + symplectic strict rows (round-5 VERDICT #5) -----------
+    # Accuracy side: benchmarks/flow_sym_frontier.json.
+    results.update(_flow_sym_rows())
 
     out = {
         "meta": provenance_meta(

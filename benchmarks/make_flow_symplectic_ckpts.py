@@ -150,13 +150,18 @@ def make_symplectic(epochs: int):
     lp, _ = model.log_prob(k_lp, x_eval, atol=1e-5, rtol=1e-5)
     truth = float(jnp.sum(DEMO_GMM.log_prob(x_eval)))
     rel = abs(float(jnp.sum(lp)) - truth) / abs(truth)
-    print(f"symplectic: {train_s:.0f}s train, density error {rel:.4%}")
+    print(f"symplectic: {train_s:.0f}s train, IWAE-1 bound gap {rel:.4%}")
     _save(SYM_PATH, model, {
         "family": "symplectic",
         "protocol": {"data": "DEMO_GMM", "n": 50_000,
                      "stages": [list(s) for s in stages],
                      "epochs_per_stage": epochs, "ema_decay": 0.999},
-        "density_rel_error_1e-5": rel,
+        # NOT a density error: the symplectic log_prob is a K-sample
+        # IWAE bound on the momentum marginal (reference
+        # symplectic.py:245-249) — this figure includes the bound gap.
+        # Solver accuracy is gated separately vs the matched-draw f64
+        # oracle (flow_sym_frontier.json / test_checkpoint_quality).
+        "iwae1_bound_rel_error_1e-5": rel,
         "train_seconds": round(train_s, 1),
     })
     return rel
