@@ -47,7 +47,12 @@ import numpy as np
 
 N_TRAIN = 200_000
 STAGES = ((256, 1e-3), (512, 3e-4), (512, 1e-4), (512, 3e-5))
-EPOCHS_PER_STAGE = 60
+# 200 epochs/stage (round-5 measurement): vs 60, the longer schedule is
+# better on EVERY axis — offset -0.0072 vs -0.0115 nats, scatter 0.168
+# vs 0.201, solver error at matched tolerance ~2.5x smaller, NFE 10-17%
+# lower (the trained field gets smoother with training).  ~37 min on
+# the sandbox's 1-core CPU; minutes on a TPU chip.
+EPOCHS_PER_STAGE = 200
 EMA_DECAY = 0.999
 
 
