@@ -11,8 +11,8 @@ analytic ``ConditionalPopulation`` family.
 Why committed: round-4 VERDICT — the north-star conditional workload had
 no committed field, so every strict/frontier number for it was
 unreproducible.  These checkpoints are what
-``benchmarks/bench_conditional_strict.py`` (tolerance ladder x f64 oracle
-x trace mode) and the ``tests/test_checkpoint_quality.py`` conditional
+``benchmarks/bench_conditional_frontier.py`` (tolerance ladder x f64
+oracle x trace mode) and the ``tests/test_checkpoint_quality.py`` conditional
 gate run against, and what bench.py-adjacent TPU rate rows load.
 
 The training protocol mirrors ``examples/demo_conditional_population.py``

@@ -43,9 +43,17 @@ def _free_port() -> int:
 @pytest.mark.skipif(
     jax.default_backend() != "cpu", reason="CPU-cluster simulation only"
 )
-def _run_cluster(tmp_path, nproc: int, devs_per_proc: int, timeout: int = 420):
+def _run_cluster(tmp_path, nproc: int, devs_per_proc: int, timeout: int = 420,
+                 _retry: bool = True):
     """Launch nproc workers (devs_per_proc virtual CPU devices each) and
-    return the replicated results written by process 0."""
+    return the replicated results written by process 0.
+
+    One retry on gloo's 30 s key-value rendezvous timeout: with nproc
+    processes timesharing this sandbox's single CPU core, a heavily
+    loaded machine can starve the rendezvous (observed once in a
+    contended full-battery run; both topologies pass standalone) — that
+    is scheduler starvation, not a framework failure, so it gets one
+    clean re-launch before failing the test."""
     port = _free_port()
     env = {
         **os.environ,
@@ -71,6 +79,16 @@ def _run_cluster(tmp_path, nproc: int, devs_per_proc: int, timeout: int = 420):
         for p in procs:
             p.kill()
         pytest.fail("distributed workers timed out:\n" + "\n".join(outs))
+    failed = [
+        (i, p, out) for i, (p, out) in enumerate(zip(procs, outs))
+        if p.returncode != 0
+    ]
+    if failed and _retry and any(
+        "Gloo context initialization failed" in out for _, _, out in failed
+    ):
+        return _run_cluster(
+            tmp_path, nproc, devs_per_proc, timeout, _retry=False
+        )
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed (rc={p.returncode}):\n{out}"
         assert f"worker {i}: OK" in out, out
