@@ -53,6 +53,10 @@ LADDER = [
     ("exact/dopri5-1.5e-6", "exact", "dopri5", 1.5e-6, {"controller": "pi"}),
     ("exact/dopri5-1e-6", "exact", "dopri5", 1e-6, {"controller": "pi"}),
     ("exact/tsit5-1e-6", "exact", "tsit5", 1e-6, {"controller": "pi"}),
+    ("exact/dop853-1e-5", "exact", "dop853", 1e-5,
+     {"controller": "pi", "beta": 0.04}),
+    ("exact/dop853-3e-6", "exact", "dop853", 3e-6,
+     {"controller": "pi", "beta": 0.04}),
     ("hutch/dopri5-1e-5", "hutchinson", "dopri5", 1e-5, {"controller": "pi"}),
     ("hutch/dopri5-1.5e-6", "hutchinson", "dopri5", 1.5e-6,
      {"controller": "pi"}),

@@ -47,12 +47,14 @@ import numpy as np
 
 N_TRAIN = 200_000
 STAGES = ((256, 1e-3), (512, 3e-4), (512, 1e-4), (512, 3e-5))
-# 200 epochs/stage (round-5 measurement): vs 60, the longer schedule is
-# better on EVERY axis — offset -0.0072 vs -0.0115 nats, scatter 0.168
-# vs 0.201, solver error at matched tolerance ~2.5x smaller, NFE 10-17%
-# lower (the trained field gets smoother with training).  ~37 min on
-# the sandbox's 1-core CPU; minutes on a TPU chip.
-EPOCHS_PER_STAGE = 200
+# 600 epochs/stage (round-5 sweep): training SMOOTHS the field — at
+# dopri5@1e-5 the 60/200/600-epoch fields measure NFE 350/290/266 with
+# solver error 4.2e-3/1.7e-3/1.7e-3 and quality offset -0.0115/-0.0072/
+# -0.0063 nats (scatter 0.201/0.168/0.136).  NFE saturates ~260 (the
+# protocol-rate ceiling this buys is ~855k evals/s single-chip; the
+# >=1e6 structural negative stands — BENCHMARKS.md).  ~56 min on the
+# sandbox's 1-core CPU; minutes on a TPU chip.
+EPOCHS_PER_STAGE = 600
 EMA_DECAY = 0.999
 
 

@@ -87,6 +87,31 @@ def main() -> None:
     mesh = make_mesh()
     xg = global_batch_from_local(x_full[start:stop], mesh)
 
+    # Rendezvous discipline for many-process single-core runs: gloo's
+    # key-value window for creating the collectives context is a fixed
+    # 30 s, but 8 jax processes timesharing one CPU can spread their
+    # first dispatch over minutes (imports + tracing + compiles are
+    # serialized by the scheduler).  So (1) AOT-compile a minimal
+    # all-reduce — compilation needs no gloo context — then (2) meet at
+    # a coordination-service barrier (generous, configurable timeout),
+    # then (3) dispatch immediately: every process reaches the gloo
+    # rendezvous within dispatch skew, not compile skew.
+    from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+
+    warm = (
+        jax.jit(
+            lambda a: jnp.sum(a),
+            in_shardings=_NS(mesh, _P("data")),
+            out_shardings=_NS(mesh, _P()),
+        )
+        .lower(jax.ShapeDtypeStruct(xg.shape, xg.dtype))
+        .compile()
+    )
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier("flowfusion-warmup", 600_000)
+    np.asarray(warm(xg))  # first collective: gloo context created here
+
     # batch-global likelihood solve: the adaptive error norm psums over
     # both hosts' shards every accepted/rejected step
     lp = data_parallel(
