@@ -470,7 +470,19 @@ def _strip_provenance(blob: bytes, strict: bool):
     if bytes(blob[:8]) != _PROV_MAGIC:
         return blob, None
     hlen = int.from_bytes(blob[8:12], "big")
-    meta = json.loads(blob[12:12 + hlen].decode())
+    if len(blob) < 12 + hlen:
+        raise ValueError(
+            f"corrupt serving artifact: provenance header claims {hlen} "
+            f"bytes but only {len(blob) - 12} follow — the blob was "
+            "truncated in transit/storage; re-fetch or re-export it"
+        )
+    try:
+        meta = json.loads(blob[12:12 + hlen].decode())
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise ValueError(
+            "corrupt serving artifact: provenance header is not valid "
+            f"JSON ({e}) — the blob was damaged; re-fetch or re-export it"
+        ) from None
     current = _provenance(meta.get("platforms"))
     mismatches = [
         f"{k}: artifact {meta.get(k)!r} vs serving {current[k]!r}"

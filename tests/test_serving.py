@@ -598,3 +598,16 @@ def test_mixed_platform_auto_dispatch_forces_plain_xla(monkeypatch):
     assert seen["fused"] is False
     f = serving.deserialize_log_prob(blob)
     assert sorted(f.provenance["platforms"]) == ["cpu", "tpu"]
+
+
+def test_provenance_corrupt_envelope_diagnosed():
+    """Truncated or damaged provenance envelopes fail with an actionable
+    message, not a cryptic decode error."""
+    m = _score_model()
+    blob = serving.export_log_prob(m, atol=1e-4, rtol=1e-4)
+    with pytest.raises(ValueError, match="truncated"):
+        serving.deserialize_log_prob(blob[:20])
+    damaged = bytearray(blob)
+    damaged[14] ^= 0xFF  # flip a byte inside the JSON header
+    with pytest.raises(ValueError, match="damaged"):
+        serving.deserialize_log_prob(bytes(damaged))
