@@ -166,7 +166,7 @@ def main():
             "offset_nats_hutch_1e-5_seed7": bias2,
             "scatter_nats_hutch_1e-5": rmse,
             "scatter_nats_hutch_1e-5_seed7": rmse2,
-            "val_loss_final": (
+            "final_train_loss": (
                 float(np.asarray(results[-1].train_losses)[-1])
                 if results else None
             ),

@@ -266,15 +266,20 @@ def _run_stages(
         from jax.experimental import multihost_utils
 
         mine = np.asarray([start_stage, start_epoch], dtype=np.int32)
-        proc0 = multihost_utils.broadcast_one_to_all(mine)
-        if not np.array_equal(np.asarray(proc0), mine):
+        # allgather, not broadcast: EVERY process must see the full set
+        # of positions and raise on disagreement — a broadcast-and-
+        # compare lets the majority rank(s) pass their own value
+        # trivially and then hang at the first collective while only
+        # the minority raises.
+        all_pos = np.asarray(multihost_utils.process_allgather(mine))
+        if not (all_pos == all_pos[0]).all():
             raise RuntimeError(
-                "fit: resume position disagrees across hosts — process 0 "
-                f"is at stage/epoch {list(np.asarray(proc0))} but process "
-                f"{jax.process_index()} read {list(mine)} from "
-                f"{ckpt.path}. checkpoint_dir must be on a filesystem "
-                "shared by ALL hosts (snapshots are written by process 0 "
-                "only); point every process at the same directory."
+                "fit: resume position disagrees across hosts — per-process "
+                f"stage/epoch positions are {all_pos.tolist()} (this is "
+                f"process {jax.process_index()}, reading {ckpt.path}). "
+                "checkpoint_dir must be on a filesystem shared by ALL "
+                "hosts (snapshots are written by process 0 only); point "
+                "every process at the same directory."
             )
 
     def snapshot(si, e_done, tl_flat, vl_flat):

@@ -176,6 +176,15 @@ class ConditionalPopulation:
     theta_dim: int = 6
     cond_dim: int = 3
 
+    def __post_init__(self):
+        if (self.theta_dim, self.cond_dim) != (6, 3):
+            raise ValueError(
+                "ConditionalPopulation is a FROZEN 6-D/3-cond family (the "
+                "committed checkpoints and gates score against exactly "
+                "this functional form) — the dims are informational, not "
+                f"configurable; got ({self.theta_dim}, {self.cond_dim})"
+            )
+
     def mean_scale(self, c: jax.Array):
         """Analytic (mean, scale) of theta | c, each (n, 6)."""
         mean = jnp.concatenate(

@@ -425,7 +425,7 @@ def _git_commit() -> Optional[str]:
         return None
 
 
-def _provenance(platforms) -> dict:
+def _provenance(platforms, with_commit: bool = True) -> dict:
     import jaxlib
 
     from .. import __version__
@@ -436,7 +436,11 @@ def _provenance(platforms) -> dict:
         "package_version": __version__,
         "jax": jax.__version__,
         "jaxlib": jaxlib.__version__,
-        "commit": _git_commit(),
+        # the commit is export-side info only; the serving-side stamp
+        # (with_commit=False) never spawns the git subprocess — a
+        # serving container without git or with a slow filesystem must
+        # not pay a subprocess per artifact load for an uncompared field
+        "commit": _git_commit() if with_commit else None,
         "platforms": sorted(_target_platforms(platforms)),
     }
 
@@ -483,7 +487,7 @@ def _strip_provenance(blob: bytes, strict: bool):
             "corrupt serving artifact: provenance header is not valid "
             f"JSON ({e}) — the blob was damaged; re-fetch or re-export it"
         ) from None
-    current = _provenance(meta.get("platforms"))
+    current = _provenance(meta.get("platforms"), with_commit=False)
     mismatches = [
         f"{k}: artifact {meta.get(k)!r} vs serving {current[k]!r}"
         for k in ("package_version", "jax", "jaxlib")
@@ -538,7 +542,16 @@ def export_log_prob_bucketed(
     bs = sorted(set(int(b) for b in batches))
     if not bs or bs[0] < 1:
         raise ValueError(f"batches must be positive ints, got {batches!r}")
-    blobs = [export_log_prob(model, batch=b, **export_kwargs) for b in bs]
+    # per-bucket exports are individually provenance-wrapped; strip those
+    # inner envelopes (identical to the bundle-level stamp added below,
+    # which is the authoritative one) so bundles carry ONE stamp and the
+    # deserializer needs no duplicate-warning suppression
+    blobs = [
+        _strip_provenance(
+            export_log_prob(model, batch=b, **export_kwargs), strict=False
+        )[0]
+        for b in bs
+    ]
     header = json.dumps({"batches": bs, "cond": _cond_dim(model) > 0}).encode()
     parts = [_BUCKET_MAGIC, len(header).to_bytes(4, "big"), header]
     for blob in blobs:
@@ -563,7 +576,6 @@ def deserialize_log_prob_bucketed(
     ``.provenance``.
     """
     import json
-    import warnings
 
     blob, prov = _strip_provenance(blob, strict)
     if not blob.startswith(_BUCKET_MAGIC):
@@ -580,11 +592,10 @@ def deserialize_log_prob_bucketed(
     for b in meta["batches"]:
         blen = int.from_bytes(blob[off:off + 8], "big")
         off += 8
-        with warnings.catch_warnings():
-            # the per-bucket stamps are identical to the bundle stamp
-            # checked above — don't warn three more times
-            warnings.simplefilter("ignore")
-            fns[b] = deserialize_log_prob(blob[off:off + blen])
+        # bucket payloads are unwrapped (the bundle stamp above is the
+        # only one); pre-round-5 bundles with wrapped buckets still load
+        # through deserialize_log_prob's own envelope handling
+        fns[b] = deserialize_log_prob(blob[off:off + blen])
         off += blen
     buckets = sorted(fns)
     biggest = buckets[-1]

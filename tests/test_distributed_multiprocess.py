@@ -28,7 +28,15 @@ import pytest
 
 import jax
 
-pytestmark = pytest.mark.slow
+pytestmark = [
+    pytest.mark.slow,
+    # CPU-cluster simulation only: the workers fan out virtual CPU
+    # devices, and the in-process oracle must build its mesh over the
+    # same backend/device count
+    pytest.mark.skipif(
+        jax.default_backend() != "cpu", reason="CPU-cluster simulation only"
+    ),
+]
 
 _WORKER = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -40,9 +48,6 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.skipif(
-    jax.default_backend() != "cpu", reason="CPU-cluster simulation only"
-)
 def _run_cluster(tmp_path, nproc: int, devs_per_proc: int, timeout: int = 420,
                  _retry: bool = True):
     """Launch nproc workers (devs_per_proc virtual CPU devices each) and
@@ -80,6 +85,15 @@ def _run_cluster(tmp_path, nproc: int, devs_per_proc: int, timeout: int = 420,
         for p in procs:
             p.kill()
         timed_out = True
+        # reap the killed workers and capture what they DID write —
+        # the stalled worker's log is the one that diagnoses a hang
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=30)
+            except Exception:
+                out = "<no output captured>"
+            outs.append(out)
     starved = timed_out or any(
         p.returncode != 0 and "Gloo context initialization failed" in out
         for p, out in zip(procs, outs)

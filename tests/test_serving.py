@@ -518,19 +518,20 @@ def test_provenance_bucketed_single_warning(monkeypatch):
     once per bucket, and refuses under strict=True."""
     import warnings
 
+    import flowfusion_tpu
+
+    export_version = flowfusion_tpu.__version__
     m = _score_model()
     blob = serving.export_log_prob_bucketed(
         m, batches=(4, 8), atol=1e-3, rtol=1e-3
     )
-    import flowfusion_tpu
-
     monkeypatch.setattr(flowfusion_tpu, "__version__", "99.0.0")
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         f = serving.deserialize_log_prob_bucketed(blob)
     toolchain = [w for w in rec if "different toolchain" in str(w.message)]
     assert len(toolchain) == 1
-    assert f.provenance["package_version"] == "0.1.0"
+    assert f.provenance["package_version"] == export_version
     x = jax.random.normal(jax.random.PRNGKey(0), (6, 2))
     assert f(x).shape == (6,)
     with pytest.raises(ValueError, match="strict=True"):
