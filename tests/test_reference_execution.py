@@ -160,7 +160,9 @@ def _data(rng, n=8, d=2):
     return (0.7 * rng.standard_normal((n, d)) + 0.2).astype(np.float32)
 
 
-@pytest.mark.parametrize("sde_name", ["ve", "vp"])
+@pytest.mark.parametrize(
+    "sde_name", ["ve", pytest.param("vp", marks=pytest.mark.slow)]
+)
 def test_reference_log_prob_executes_and_matches(sde_name, rng):
     """diffusion.py:756-815 with its REAL defaults (atol=rtol=1e-4,
     options={'min_step': 1e-6}) through the executable odeint, vs this
@@ -189,6 +191,7 @@ def test_reference_log_prob_executes_and_matches(sde_name, rng):
     assert err6.mean() <= err.mean() + 1e-4  # tightening tol helps
 
 
+@pytest.mark.slow
 def test_reference_solve_odes_forward_executes_and_matches(rng):
     """diffusion.py:700-754: the (x, delta_logp) tuple-state solve from
     t=epsilon to t=1 at its real defaults (1e-5)."""
@@ -237,6 +240,7 @@ def test_reference_training_mode_adjoint_branch_executes(rng):
     assert err.mean() <= 2e-3, err.mean()
 
 
+@pytest.mark.slow
 def test_reference_conditional_log_prob_executes(rng):
     """The conditional plumbing (self.conditional threaded through
     forward) under a real solve."""
@@ -284,6 +288,7 @@ def test_reference_flow_sample_executes_and_matches(rng):
     np.testing.assert_allclose(np.asarray(x0_mine), x0_ref, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_reference_flow_solve_forward_and_log_prob_execute(rng):
     """flow.py:340-438: augmented (x, log_jacobian) forward solve and the
     full log_prob with base-density correction."""
@@ -301,6 +306,118 @@ def test_reference_flow_solve_forward_and_log_prob_execute(rng):
 
     lp_ref = t2n(ref.log_prob(n2t(x))).reshape(-1)
     lp_mine, _ = mine.log_prob(jnp.asarray(x))
+    err = np.abs(np.asarray(lp_mine) - lp_ref)
+    assert err.mean() <= 2e-3, err.mean()
+
+
+# =========================================================================
+# Population wrappers: the workflow layer's own solver plumbing
+# (hard-coded 1e-5 tolerances, standardization, the no-volume-term quirk)
+# =========================================================================
+
+
+@pytest.mark.slow
+def test_reference_population_wrapper_executes_and_matches(rng):
+    """diffusion.py:1556-1641: PopulationModelDiffusion.forward (1e-5
+    hard-coded, scale/shift applied after the solve) and .log_prob (the
+    reference's missing -sum(log scale) volume term — preserved here by
+    volume_corrected=False, the default)."""
+    from flowfusion_tpu.models.population import PopulationModelDiffusion
+
+    ref_sm, mine_sm = make_pair_score_model("ve", units=(32, 32))
+    shift = np.array([0.5, -0.3], np.float32)
+    scale = np.array([1.5, 0.8], np.float32)
+    ref_wrap = ref_diff.PopulationModelDiffusion(
+        model=ref_sm.model, sde=ref_sm.sde, shift=n2t(shift), scale=n2t(scale)
+    )
+    ref_wrap.eval()
+    mine_wrap = PopulationModelDiffusion(
+        score_model=mine_sm,
+        shift=jnp.asarray(shift),
+        scale=jnp.asarray(scale),
+        conditional_shift=None,
+        conditional_scale=None,
+    )
+
+    base = rng.standard_normal((6, 2)).astype(np.float32)
+    x_ref = t2n(ref_wrap(n2t(base)))
+    x_mine, _ = mine_wrap.forward(jnp.asarray(base))
+    np.testing.assert_allclose(np.asarray(x_mine), x_ref, atol=2e-2, rtol=2e-3)
+
+    x = _data(rng, n=6)
+    lp_ref = t2n(ref_wrap.log_prob(n2t(x))).reshape(-1)
+    lp_mine, _ = mine_wrap.log_prob(jnp.asarray(x))
+    err = np.abs(np.asarray(lp_mine) - lp_ref)
+    assert err.mean() <= 2e-3, err.mean()
+
+
+@pytest.mark.slow
+def test_reference_conditional_population_wrapper_executes(rng):
+    """diffusion.py:1643-1848: the conditional wrapper standardizes the
+    conditional with its own stats before the inner solve (and its inner
+    ScoreModel silently drops the hutchinson flag — the documented
+    reference bug; exact trace on both sides here)."""
+    from flowfusion_tpu.models.population import PopulationModelDiffusion
+
+    ref_sm, mine_sm = make_pair_score_model("ve", n_cond=2, units=(32, 32))
+    shift = np.array([0.1, 0.2], np.float32)
+    scale = np.array([1.2, 0.9], np.float32)
+    c_shift = np.array([0.4, -0.6], np.float32)
+    c_scale = np.array([2.0, 0.5], np.float32)
+    ref_wrap = ref_diff.PopulationModelDiffusionConditional(
+        model=ref_sm.model, sde=ref_sm.sde, shift=n2t(shift),
+        scale=n2t(scale), conditional_shift=n2t(c_shift),
+        conditional_scale=n2t(c_scale),
+    )
+    ref_wrap.eval()
+    mine_wrap = PopulationModelDiffusion(
+        score_model=mine_sm,
+        shift=jnp.asarray(shift),
+        scale=jnp.asarray(scale),
+        conditional_shift=jnp.asarray(c_shift),
+        conditional_scale=jnp.asarray(c_scale),
+    )
+
+    x = _data(rng, n=6)
+    c = rng.standard_normal((6, 2)).astype(np.float32)
+    lp_ref = t2n(ref_wrap.log_prob(n2t(x), conditional=n2t(c))).reshape(-1)
+    lp_mine, _ = mine_wrap.log_prob(jnp.asarray(x), conditional=jnp.asarray(c))
+    err = np.abs(np.asarray(lp_mine) - lp_ref)
+    assert err.mean() <= 2e-3, err.mean()
+
+
+@pytest.mark.slow
+def test_reference_conditional_flow_sample_executes(rng):
+    """flow.py:750-799: ConditionalODEFlow.sample integrates the
+    (xT, conditional) TUPLE as the ODE state (the conditional rides along
+    with zero derivative) — a tuple-state path the raising stub never
+    exercised."""
+    torch.manual_seed(13)
+    c_shift = np.array([0.5, -1.0], np.float32)
+    c_scale = np.array([2.0, 0.5], np.float32)
+    ref = ref_flow.ConditionalODEFlow(
+        target_dimension=2, conditional_dimension=2, hidden_units=[32, 32],
+        conditional_shift=n2t(c_shift), conditional_scale=n2t(c_scale),
+    )
+    mine = ODEFlow(
+        params=convert.velocity_mlp_from_torch(sd_np(ref)),
+        target_shift=jnp.zeros(2),
+        target_scale=jnp.ones(2),
+        conditional_shift=jnp.asarray(c_shift),
+        conditional_scale=jnp.asarray(c_scale),
+        net=VelocityMLPConfig(target_dimension=2, conditional_dimension=2,
+                              hidden_units=(32, 32)),
+        use_fused_kernel=False,
+    )
+    xT = rng.standard_normal((6, 2)).astype(np.float32)
+    c = rng.standard_normal((6, 2)).astype(np.float32)
+    with torch.no_grad():
+        x0_ref = t2n(ref.sample(n2t(xT), n2t(c)))
+    x0_mine, _ = mine.sample(jnp.asarray(xT), conditional=jnp.asarray(c))
+    np.testing.assert_allclose(np.asarray(x0_mine), x0_ref, atol=1e-3)
+
+    lp_ref = t2n(ref.log_prob(n2t(xT), n2t(c))).reshape(-1)
+    lp_mine, _ = mine.log_prob(jnp.asarray(xT), conditional=jnp.asarray(c))
     err = np.abs(np.asarray(lp_mine) - lp_ref)
     assert err.mean() <= 2e-3, err.mean()
 
