@@ -256,14 +256,8 @@ def cmd_sample(args):
                 "pass --cond-data with one row of conditioning values per "
                 "requested sample"
             )
+        # _load_array exits unless the result is 2-D with cond_dim columns
         c = _load_array(args.cond_data, meta["cond_dim"])
-        if c.ndim == 1 and meta["cond_dim"] == 1:
-            c = c[:, None]
-        if c.ndim != 2 or c.shape[1] != meta["cond_dim"]:
-            raise SystemExit(
-                f"--cond-data must be 2-D with {meta['cond_dim']} column(s); "
-                f"got shape {c.shape}"
-            )
         cond = jnp.asarray(c)
         rows = cond.shape[0]
         if args.n is None or args.n == rows:

@@ -102,7 +102,7 @@ def _normal_from_bits(shape):
     return z[:d, :]
 
 
-def _kernel(steps: int, n_hidden: int, compute_dtype, hw_rng, with_cond, refs, activation: str = 'silu'):
+def _kernel(steps: int, n_hidden: int, compute_dtype, hw_rng, with_cond, refs, activation: str = 'silu', b_real: int = 0):
     """Ref layout (V4, batch in lanes — see kernels/fused_mlp.py): all
     batch-shaped operands arrive TRANSPOSED, weights pre-transposed:
     [x0T (D,tile), seed(smem), (noiseT (steps,D,tile)),
@@ -185,6 +185,20 @@ def _kernel(steps: int, n_hidden: int, compute_dtype, hw_rng, with_cond, refs, a
     b_all = b_eff_ref[:]
     step_iota = jax.lax.broadcasted_iota(jnp.int32, b_all.shape, 1)
 
+    # Lane-validity mask: the host pads the batch to a tile multiple with
+    # zero rows, and a padding row's trajectory can go non-finite even
+    # when every real row is healthy.  Excluding padding lanes from the
+    # freeze predicate (like score.py's routed sample_sde path does for
+    # its NaN flag) keeps a diverging padding row from freezing — and
+    # stale-dating — the real samples sharing its tile.  ``b_real`` is
+    # the unpadded batch size (static at trace time).
+    tile_w = x_ref.shape[1]
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
+        + pl.program_id(0) * tile_w
+    )
+    lane_valid = lane < b_real  # (1, tile): False on padding lanes
+
     def net(x, s):
         a = in_proj_rows(mm, w_in, x, d_in, d_in)
         b_col = jnp.sum(
@@ -219,7 +233,10 @@ def _kernel(steps: int, n_hidden: int, compute_dtype, hw_rng, with_cond, refs, a
         # per batch TILE — diverged solves keep more finite samples here,
         # and the per-tile flag output preserves the divergence
         # diagnostic either way.
-        keep = ok & jnp.all(jnp.isfinite(new_x))
+        # (padding lanes count as finite).  NOTE: expressed as a boolean
+        # OR, not jnp.where — Mosaic cannot lower a select with an i1
+        # payload vector ("Unsupported target bitwidth for truncation").
+        keep = ok & jnp.all(jnp.isfinite(new_x) | ~lane_valid)
         x = jnp.where(keep, new_x, x)
         x_mean = jnp.where(keep, new_mean, x_mean)
         return (x, x_mean, keep)
@@ -263,12 +280,12 @@ def em_prep(params: dict, cfg, sde, steps: int, no_sigma: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("steps", "n_hidden", "d_out", "tile", "interpret", "compute_dtype", "activation"),
+    static_argnames=("steps", "n_hidden", "d_out", "tile", "interpret", "compute_dtype", "activation", "b_real"),
 )
 def _fused_em_impl(
     x0, seed, noise, cond_proj, coeffs, b_eff_all, w_in, hidden_flat, w_out, b_out,
     *, steps, n_hidden, d_out, tile, interpret, compute_dtype,
-    activation="silu",
+    activation="silu", b_real=None,
 ):
     B, D = x0.shape
     H = w_in.shape[1]
@@ -317,6 +334,7 @@ def _fused_em_impl(
         steps, n_hidden, _em_weight_dtype(compute_dtype),
         hw_rng, with_cond,
         refs, activation=activation,
+        b_real=B if b_real is None else b_real,
     )
     out = pl.pallas_call(
         kernel,
@@ -365,7 +383,10 @@ def fused_em_sample(
     first-layer contribution — conditioning is one add per step in-kernel.
     ``seed`` is an int32 scalar; each batch tile derives an independent
     hardware-PRNG stream.  ``diverged`` is a scalar bool: True iff any
-    batch tile hit a non-finite step and froze at its last finite state
+    batch tile hit a non-finite step on a REAL row and froze at its last
+    finite state — rows added by tile padding are excluded from the
+    freeze predicate, so a diverging padding row can neither freeze nor
+    flag a tile of healthy samples
     (the in-kernel NaN-freeze keeps the returned samples finite, so the
     arrays alone cannot reveal divergence — callers must consult the
     flag, e.g. for ``EMResult.nan_encountered``).
@@ -419,6 +440,6 @@ def fused_em_sample(
         layers[-1]["w"].astype(wdt), layers[-1]["b"][None, :],
         steps=steps, n_hidden=len(layers) - 1, d_out=D, tile=tile,
         interpret=interpret, compute_dtype=compute_dtype,
-        activation=cfg.activation,
+        activation=cfg.activation, b_real=B,
     )
     return x_mean[:B], x[:B], diverged

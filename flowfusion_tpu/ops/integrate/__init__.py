@@ -63,7 +63,18 @@ def odeint(
             steps = max(1, int(_np.ceil(float(_np.max(spans)) / h)))
         else:
             default = 16 if method in MULTISTEP_METHODS else 1
-            steps = int(opts.pop("steps_per_interval", opts.pop("steps", default)))
+            if "steps_per_interval" in opts and "steps" in opts:
+                # Both spellings present: refuse rather than silently
+                # preferring one (a nested-pop default would consume and
+                # discard 'steps' before the unknown-option guard ran).
+                raise ValueError(
+                    "pass either 'steps_per_interval' or its alias "
+                    "'steps', not both"
+                )
+            if "steps_per_interval" in opts:
+                steps = int(opts.pop("steps_per_interval"))
+            else:
+                steps = int(opts.pop("steps", default))
         if opts:
             raise ValueError(f"unknown fixed-step options: {sorted(opts)}")
         if method in MULTISTEP_METHODS:

@@ -22,7 +22,12 @@ numerical conventions match torchdiffeq 0.2.x so that densities agree to the
     instead — their order exceeds (or their coefficients don't supply)
     the interpolant's.
   * FSAL reuse wherever the tableau supports it (dopri5/bosh3/dop853/
-    tsit5 — see ``tableaus.is_fsal``).
+    tsit5 — see ``tableaus.is_fsal``); for the non-FSAL pairs whose last
+    stage lands at t1 (adaptive_heun, fehlberg2) the final stage is
+    still reused as the next step's derivative, exactly as torchdiffeq's
+    ``_runge_kutta_step`` does (``f1 = k[..., -1]``), so those methods
+    cost one fresh RHS eval per stage per attempted step — never an
+    extra f(t1, y1).
 
 Differences from torchdiffeq (deliberate, TPU-motivated):
   * the entire adaptive loop is compiled — no Python dispatch per step;
@@ -111,7 +116,18 @@ def _rk_step(func, t0, dt, y0, f0, tab: ButcherTableau):
         y1 = jax.tree_util.tree_map(
             jnp.add, y0, _weighted_sum(k, tab.c_sol, dt)
         )
-        f1 = func(t0 + dt, y1)
+        if tab.alpha and tab.alpha[-1] == 1.0:
+            # torchdiffeq convention (rk_common._runge_kutta_step:
+            # ``f1 = k[..., -1]``): when the final stage lands at t1 —
+            # on the embedded pair's *predictor*, not y1 — reuse it as
+            # the next step's derivative anyway.  The stage value is a
+            # first-order-accurate sample of f(t1, y1), which preserves
+            # the pair's order, keeps step sequences aligned with
+            # torchdiffeq for the non-FSAL pairs (adaptive_heun,
+            # fehlberg2), and saves one RHS eval per attempted step.
+            f1 = k[-1]
+        else:
+            f1 = func(t0 + dt, y1)
     err = _weighted_sum(k, tab.c_error, dt)
     err_low = (
         _weighted_sum(k, tab.c_error_low, dt)
@@ -386,7 +402,15 @@ def odeint_adaptive(
         prev_rejected=jnp.asarray(False),
     )
 
-    evals_per_step = tab.n_stages - 1 if tab.is_fsal else tab.n_stages
+    # A step costs n_stages - 1 fresh RHS evals whenever the last stage is
+    # reusable as the next step's derivative: FSAL pairs by construction,
+    # and (torchdiffeq convention, see _rk_step) any pair whose final
+    # stage lands at t1.  Only a tableau whose last stage is interior
+    # pays the extra f(t1, y1) eval.
+    reuses_last_stage = tab.is_fsal or (
+        bool(tab.alpha) and tab.alpha[-1] == 1.0
+    )
+    evals_per_step = tab.n_stages - 1 if reuses_last_stage else tab.n_stages
 
     def attempt_step(c: _RKCarry, target) -> _RKCarry:
         dt = jnp.clip(c.dt, cfg.min_step, cfg.max_step)

@@ -147,10 +147,13 @@ def standardization_stats(x: jax.Array):
 
     Unbiased (ddof=1) std, matching the reference demos' torch
     ``x.std(0)``.  Constant columns get scale 1.0 (centering only)
-    instead of a silent divide-by-zero NaN downstream.
+    instead of a silent divide-by-zero NaN downstream; so does a
+    single-row dataset, whose ddof=1 std is NaN (``NaN < 1e-12`` is
+    False, so a plain less-than guard would pass the NaN through and
+    poison every standardized value).
     """
     std = jnp.std(x, axis=0, ddof=1)
-    scale = jnp.where(std < 1e-12, 1.0, std)
+    scale = jnp.where(jnp.isfinite(std) & (std > 1e-12), std, 1.0)
     return jnp.mean(x, axis=0), scale
 
 

@@ -788,6 +788,15 @@ def deserialize_sampler(
     from jax import export as jexp
 
     payload, meta = _strip_provenance(blob, strict)
+    if bytes(payload[:8]) == _BUCKET_MAGIC:
+        # Same actionable rejection as deserialize_log_prob: feeding a
+        # bucketed bundle to jexp.deserialize fails with an opaque
+        # flatbuffer parse error otherwise.
+        raise ValueError(
+            "this blob is a bucketed bundle — use "
+            "deserialize_log_prob_bucketed (bucketed exports carry "
+            "likelihood artifacts, not samplers)"
+        )
     exported = jexp.deserialize(payload)
 
     def call(base, conditional=None):

@@ -115,6 +115,34 @@ def test_other_adaptive_methods(method):
     np.testing.assert_allclose(ys[-1], np.exp(-1.0), rtol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "method,evals_per_attempt", [("adaptive_heun", 1), ("fehlberg2", 2)]
+)
+def test_non_fsal_last_stage_reuse_eval_count(method, evals_per_attempt):
+    """The non-FSAL pairs whose final stage lands at t1 reuse that stage
+    as the next step's derivative (torchdiffeq's ``f1 = k[..., -1]``
+    convention) — each attempted step costs exactly n_stages - 1 fresh
+    RHS evals, never an extra f(t1, y1)."""
+    ys, st = odeint(
+        lambda t, y: -y, jnp.ones(3), [0.0, 1.0], rtol=1e-5, atol=1e-6,
+        method=method,
+    )
+    np.testing.assert_allclose(ys[-1], np.exp(-1.0), rtol=1e-3)
+    attempts = int(st.n_accepted) + int(st.n_rejected)
+    # +2: the initial f0 and the Hairer init-step probe eval
+    assert int(st.n_func_evals) == 2 + evals_per_attempt * attempts
+
+
+def test_fixed_step_conflicting_step_options_raise():
+    """'steps_per_interval' and its alias 'steps' together must raise,
+    not silently drop one of them."""
+    with pytest.raises(ValueError, match="not both"):
+        odeint(
+            lambda t, y: -y, jnp.ones(2), [0.0, 1.0], method="rk4",
+            options={"steps_per_interval": 4, "steps": 64},
+        )
+
+
 def test_tsit5_oscillator_and_order():
     """Tsitouras 5(4): tight-tolerance accuracy on the oscillator and a
     5th-order-consistent accuracy gain vs bosh3 at equal tolerance

@@ -204,6 +204,68 @@ def test_fused_em_sampler_matches_scan_with_shared_noise():
     np.testing.assert_allclose(np.asarray(xm_k), np.asarray(xm), rtol=2e-4, atol=1e-4)
 
 
+def test_fused_em_padding_row_divergence_does_not_freeze_tile():
+    """A non-finite trajectory on a tile-PADDING row must not freeze (or
+    divergence-flag) the real rows sharing its tile; a non-finite REAL
+    row still must.  Streams noise (interpret-mode path) with NaN
+    injected into specific rows to force each case deterministically."""
+    from flowfusion_tpu.kernels import em_sampler as es
+    from flowfusion_tpu.ops.sde import VPSDE
+
+    cfg, params = _setup()
+    sde = VPSDE()
+    steps, tile, b_real, b_pad = 5, 64, 96, 128  # tile 1 = 32 real + 32 pad
+    x0 = jnp.pad(
+        jax.random.normal(jax.random.PRNGKey(1), (b_real, 2)),
+        ((0, b_pad - b_real), (0, 0)),
+    )
+    clean = jax.random.normal(jax.random.PRNGKey(3), (steps, b_pad, 2))
+
+    coeffs, b_eff = es.em_prep(params, cfg, sde, steps, no_sigma=False)
+    E = cfg.embedding_dimensions
+    layers = params["layers"]
+    w_in = layers[0]["w"][E : E + 2]
+    hidden_flat = []
+    for l in layers[1:-1]:
+        hidden_flat.append(l["w"])
+        hidden_flat.append(l["b"][None, :])
+
+    def run(noise):
+        return es._fused_em_impl(
+            x0, jnp.asarray([0], jnp.int32), noise, None, coeffs, b_eff,
+            w_in, tuple(hidden_flat), layers[-1]["w"],
+            layers[-1]["b"][None, :],
+            steps=steps, n_hidden=len(layers) - 1, d_out=2, tile=tile,
+            interpret=True, compute_dtype="float32", b_real=b_real,
+        )
+
+    xm_clean, x_clean, div_clean = run(clean)
+    assert not bool(div_clean)
+
+    # NaN noise on a padding row (row 100, tile 1): real rows unchanged,
+    # no freeze, no flag.
+    pad_nan = clean.at[0, 100, :].set(jnp.nan)
+    xm_p, x_p, div_p = run(pad_nan)
+    assert not bool(div_p)
+    np.testing.assert_array_equal(
+        np.asarray(x_p)[:b_real], np.asarray(x_clean)[:b_real]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(xm_p)[:b_real], np.asarray(xm_clean)[:b_real]
+    )
+
+    # NaN noise on a REAL row (row 70, tile 1): the tile freezes and the
+    # divergence flag trips — and the freeze keeps outputs finite.
+    real_nan = clean.at[0, 70, :].set(jnp.nan)
+    xm_r, x_r, div_r = run(real_nan)
+    assert bool(div_r)
+    assert np.all(np.isfinite(np.asarray(x_r)[:b_real]))
+    # tile 0 (rows 0..63) is untouched by tile 1's freeze
+    np.testing.assert_array_equal(
+        np.asarray(x_r)[:tile], np.asarray(x_clean)[:tile]
+    )
+
+
 def test_fused_em_deterministic_part_matches():
     """With the diffusion zeroed out (pure ODE Euler), the fused kernel and
     the scan path must agree numerically, not just statistically."""

@@ -455,6 +455,17 @@ def test_deserialize_log_prob_rejects_bundle_blob():
         serving.deserialize_log_prob(bundle)
 
 
+def test_deserialize_sampler_rejects_bundle_blob():
+    """Both single-artifact deserializers must reject a bucketed bundle
+    with the actionable message, not an opaque jax.export parse error."""
+    m = _score_model()
+    bundle = serving.export_log_prob_bucketed(
+        m, batches=(8,), atol=1e-3, rtol=1e-3
+    )
+    with pytest.raises(ValueError, match="bucketed bundle"):
+        serving.deserialize_sampler(bundle)
+
+
 # ---------------------------------------------------------------------------
 # provenance stamps (round 5)
 # ---------------------------------------------------------------------------
