@@ -364,7 +364,13 @@ def _device_preflight(timeout_s: int | None = None,
             total_budget_s, _env_int("BENCH_PREFLIGHT_BUDGET_S", total_budget_s)
         )
     # A budget below one probe length degenerates to a single short probe.
-    total_budget_s = max(total_budget_s, timeout_s + 5)
+    # Shrink the PROBE, never grow the budget: bumping the budget up to
+    # timeout_s + 5 would silently spend main()'s measurement reserve —
+    # exactly the no-number-before-SIGTERM failure the one-budget
+    # discipline exists to prevent on tight BENCH_TOTAL_BUDGET_S.
+    if total_budget_s < timeout_s + 5:
+        timeout_s = min(timeout_s, max(20, int(total_budget_s) - 5))
+        total_budget_s = timeout_s + 5
 
     # honour JAX_PLATFORMS in the child explicitly: this sandbox's
     # sitecustomize force-prefers the axon platform over the env var, and

@@ -86,6 +86,11 @@ def main():
     x = (x_raw - shift) / scale
 
     def quick_train(model, steps=200, batch=4096):
+        # NOTE: third sibling of bench.build_trained_model's inline loop
+        # and bench_suite.quick_train — the DSM protocol (adam 1e-3,
+        # jitted scan, 4096 minibatch) must stay in sync across all
+        # three or the benchmarks train different fields; kept separate
+        # only because each binds a different loss/key convention.
         tx = optax.adam(1e-3)
         opt_state = tx.init(model.params)
 
@@ -161,11 +166,18 @@ def main():
             "issued_mxu_tflops_per_s": round(issued / 1e12, 2),
             "mxu_utilization_pct": round(mfu, 1) if mfu is not None else None,
         }
+        # measured stats print unconditionally; only the MXU% needs the
+        # per-device peak table (a conditional around the WHOLE f-string
+        # would swallow rate/nfe on any device kind missing from it)
+        mxu_part = (
+            f"mxu={mfu:5.1f}%" if mfu is not None
+            else "mxu=n/a (device kind not in peak table)"
+        )
         print(
             f"{name:10s} params={n_params:>8,d} nfe={nfe:4d} "
             f"rate={rate:>12,.0f}/s  row-evals={rate*nfe:>14,.0f}/s  "
             f"useful={useful/1e12:5.1f}T issued={issued/1e12:6.1f}T "
-            f"mxu={mfu:5.1f}%" if mfu is not None else f"{name}: no peak table",
+            + mxu_part,
             flush=True,
         )
 

@@ -64,15 +64,15 @@ def main():
     ap.add_argument("--rows", type=int, default=64)
     args = ap.parse_args()
 
-    base, _, _ = build_trained_model(jax.random.PRNGKey(0),
-                                     from_checkpoint=True)
+    # build_trained_model returns the standardization stats matched to the
+    # model it built — the checkpoint extras when the committed flagship
+    # field loads, or the quick-trained field's own stats in the fallback
+    # path (re-reading the npz here would crash when the checkpoint is
+    # absent AND mismatch the fallback model's standardization).
+    base, _, (shift, scale) = build_trained_model(
+        jax.random.PRNGKey(0), from_checkpoint=True
+    )
     from flowfusion_tpu.utils.data import DEMO_GMM
-    from flowfusion_tpu.utils.checkpoint import read_npz_extra
-    from bench import CKPT_PATH
-
-    extra = read_npz_extra(CKPT_PATH)
-    shift = jnp.asarray(extra["shift"], jnp.float32)
-    scale = jnp.asarray(extra["scale"], jnp.float32)
 
     # -- per-draw truths -------------------------------------------------
     draws = []
@@ -113,11 +113,14 @@ def main():
         e = np.concatenate(errs)  # (draws*rows,) signed
         n = e.size
         abs_e = np.abs(e)
-        # sqrt(N) scaling of the SUMMED error over nested subsets
-        sums = {
-            str(k): float(abs(e[:k].sum()))
-            for k in (64, 128, 256, n)
-        }
+        # sqrt(N) scaling of the SUMMED error over nested subsets: one
+        # draw, two draws, four draws, all — derived from --rows so
+        # non-default sizes don't mislabel clipped subsets (e[:256] on a
+        # 128-row run would silently duplicate the total)
+        subset_sizes = sorted(
+            {min(args.rows * m, n) for m in (1, 2, 4)} | {n}
+        )
+        sums = {str(k): float(abs(e[:k].sum())) for k in subset_sizes}
         out_modes[mode] = {
             "rows": n,
             "nfe": max(nfes),

@@ -135,23 +135,32 @@ def repeat_slope(per_solve, make_stack, k2=4, reps=3, retry=True):
     return slope
 
 
-def provenance_meta(**extra):
-    """date/commit/jax/backend provenance block — ONE copy, shared by
-    every results writer (bench_suite, bench_strict, bench_capacity):
-    these files carry the headline claims and staleness must be
-    mechanically detectable."""
+def git_commit() -> str:
+    """Repo HEAD commit for provenance stamps, 'unknown' on any failure —
+    ONE copy, shared by the results writers (via provenance_meta) and the
+    checkpoint makers (make_flagship_ckpt, make_conditional_ckpt,
+    make_flow_symplectic_ckpts): commit detection fixes must not be able
+    to drift between the artifacts staleness checks compare."""
     import subprocess
 
-    import jaxlib
-
     try:
-        commit = subprocess.run(
+        return subprocess.run(
             ["git", "rev-parse", "HEAD"],
             cwd=os.path.join(_HERE, ".."),
             capture_output=True, text=True, timeout=10,
         ).stdout.strip() or "unknown"
     except Exception:
-        commit = "unknown"
+        return "unknown"
+
+
+def provenance_meta(**extra):
+    """date/commit/jax/backend provenance block — ONE copy, shared by
+    every results writer (bench_suite, bench_strict, bench_capacity):
+    these files carry the headline claims and staleness must be
+    mechanically detectable."""
+    import jaxlib
+
+    commit = git_commit()
     devs = jax.devices()
     meta = {
         "date": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -205,7 +214,12 @@ def main():
 
     def record(name, seconds, per_what=n):
         rate = per_what / seconds
-        results[name] = {"seconds": round(seconds, 4), "rate": round(rate, 1)}
+        # significant digits, not decimal places: per-step marginals are
+        # microseconds, and round(3.6e-06, 4) == 0.0 would erase the
+        # measurement from the committed artifact
+        results[name] = {
+            "seconds": float(f"{seconds:.6g}"), "rate": round(rate, 1)
+        }
         print(f"{name:44s} {seconds:8.3f}s   {rate:>14,.0f}/s")
 
     def record_slope(name, seconds, per_what=n):
@@ -326,7 +340,13 @@ def main():
     # --- flow-matching CNF log-prob ----------------------------------
     # Reference headline: flow exact-trace log_prob 10.79 s for 25k pts at
     # atol=rtol=1e-4 (~2,317 evals/s; demo_flow.ipynb cell 14) — measured
-    # here at the same tolerances.
+    # here at the same tolerances.  The quick field below trains on
+    # DEMO_GMM (the suite's mixture, same as the diffusion rows), NOT the
+    # notebooks' REFERENCE_GMM — the rates compare solver/kernel protocol,
+    # not field-matched NFE; at 1e-4 the solve sits near the dopri5 step
+    # floor on either mixture.  Field-matched flow numbers live in
+    # strict_1m.json (committed REFERENCE_GMM flow_ckpt) and the executed
+    # notebook mirrors.
     from flowfusion_tpu.models.flow import ODEFlow
     from flowfusion_tpu.models.symplectic import SymplecticFlowModel
     from flowfusion_tpu.utils.data import DEMO_GMM, standardization_stats

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -142,13 +141,9 @@ def main():
           f"offset {bias:+.4f}/{bias2:+.4f} nats, "
           f"scatter {rmse:.4f}/{rmse2:.4f} nats")
 
-    try:
-        commit = subprocess.run(
-            ["git", "rev-parse", "HEAD"], cwd=os.path.join(_HERE, ".."),
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-    except Exception:
-        commit = "unknown"
+    from benchmarks.bench_suite import git_commit
+
+    commit = git_commit()
 
     save_npz(
         out,

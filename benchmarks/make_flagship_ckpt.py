@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -147,13 +146,9 @@ def main():
         f"{err_test:.4%}; fresh draws {err:.4%} / {err2:.4%}"
     )
 
-    try:
-        commit = subprocess.run(
-            ["git", "rev-parse", "HEAD"], cwd=os.path.join(_HERE, ".."),
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-    except Exception:
-        commit = "unknown"
+    from benchmarks.bench_suite import git_commit
+
+    commit = git_commit()
 
     save_npz(
         args.out,

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -44,13 +43,9 @@ SYM_PATH = os.path.join(_HERE, "symplectic_ckpt.npz")
 
 
 def _commit():
-    try:
-        return subprocess.run(
-            ["git", "rev-parse", "HEAD"], cwd=os.path.join(_HERE, ".."),
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-    except Exception:
-        return "unknown"
+    from benchmarks.bench_suite import git_commit
+
+    return git_commit()
 
 
 def _save(path, model, extra):

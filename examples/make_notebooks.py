@@ -13,6 +13,7 @@ expect.  Regenerate after changing the demos:
 from __future__ import annotations
 
 import argparse
+import os
 import pathlib
 
 import nbformat as nbf
@@ -50,7 +51,10 @@ steps, the samplers and likelihood solves are single compiled programs
 (no Python dispatch per solver step).  Set `QUICK = False` for the
 full-size run (100k points, reference schedule)."""),
     ("code", """\
-QUICK = True  # small sizes for a fast first run; False = reference scale
+# small sizes for a fast first run; set FLOWFUSION_DEMO_FULL=1 (or edit
+# this to False) for the reference-scale run
+import os
+QUICK = os.environ.get("FLOWFUSION_DEMO_FULL", "0") != "1"
 
 import dataclasses, time
 import jax, jax.numpy as jnp, numpy as np
@@ -180,7 +184,9 @@ velocity field with the linear-interpolant flow-matching loss, sample by
 integrating the learned ODE from Gaussian noise, and validate the exact
 log-likelihood against the analytic mixture."""),
     ("code", """\
-QUICK = True
+# set FLOWFUSION_DEMO_FULL=1 for the reference-scale run
+import os
+QUICK = os.environ.get("FLOWFUSION_DEMO_FULL", "0") != "1"
 
 import time
 import jax, jax.numpy as jnp, numpy as np
@@ -254,13 +260,18 @@ def main():
         "demo_flow.ipynb": _nb(FLOW_CELLS),
     }
     for name, nb in notebooks.items():
-        if args.full:
-            for c in nb.cells:
-                if c.cell_type == "code" and c.source.startswith("QUICK = True"):
-                    c.source = c.source.replace("QUICK = True", "QUICK = False", 1)
         if args.execute or args.full:
             from nbclient import NotebookClient
 
+            # --full flips the scale via the env var the QUICK cell reads
+            # instead of rewriting the cell source: the committed
+            # notebook keeps its fast-first-run default either way (a
+            # persisted QUICK = False would hand every fresh reader the
+            # hours-long reference-scale training by default).
+            if args.full:
+                os.environ["FLOWFUSION_DEMO_FULL"] = "1"
+            else:
+                os.environ.pop("FLOWFUSION_DEMO_FULL", None)
             NotebookClient(nb, timeout=3600).execute()
         path = HERE / name
         nbf.write(nb, path)
